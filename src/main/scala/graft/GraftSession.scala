@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * Defaults chosen for a large cluster but correct in `local[N]`:
+  *   - AQE on (runtime re-plan: skew-join splitting, partition coalescing,
+  *     broadcast-join demotion/promotion at 100 TB input sizes).
+  *   - shuffle.partitions sized by caller (32 locally; thousands on a real
+  *     cluster — AQE coalesces down so over-provisioning is safe).
+  *   - UTC session time zone for oracle parity.
+  *   - `nanosAsLong` so nanosecond parquet timestamps (events.ts) load as
+  *     LongType instead of failing the scan; [[Tables]] normalizes them.
+  */
+object GraftSession {
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    tune(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", math.max(cores, 8).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1"))
+      .getOrCreate()
+
+  /** Apply engine defaults to any builder (used by Verify/Bench/tests). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+}

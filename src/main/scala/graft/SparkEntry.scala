@@ -1,13 +1,534 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cdc.{Batcher, CdcPipeline, Dedupe}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator of SURVEY.md §2 (the
+  * reference CDC surface) plus the LLM-data-pipeline extension operators
+  * (dedup / similarity search / text analysis / multimodal).
+  *
+  * Oracle-parity rules used throughout (cross-engine determinism vs DuckDB):
+  *   - monetary aggregates go through DECIMAL(12,2) (exact) and only the
+  *     final value is cast to DOUBLE;
+  *   - integer outputs are cast to BIGINT on both sides;
+  *   - doubles in outputs are either exact decimal casts or single IEEE
+  *     divisions/sqrt of exactly-equal inputs — never order-dependent
+  *     floating-point sums;
+  *   - `events.ts` (nanosecond parquet) never appears in outputs;
+  *   - every query ends with a deterministic ORDER BY (unique tiebreak).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- shared CDC demo topology (mirrors the reference's mapping shape:
+  // table -> column -> [targets]; `error` is deliberately unrouted) ----
+  private val demoRouteRows = Seq(
+    ("click", "k", "t_all"), ("click", "k", "t_click"),
+    ("purchase", "k", "t_all"), ("purchase", "k", "t_purchase"),
+    ("signup", "k", "t_signup"),
+    ("view", "k", "t_all"), ("view", "k", "t_view"))
+
+  private def demoRoutes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    demoRouteRows.toDF("table", "column", "target")
+  }
+
+  /** events → CDC record shape (id, table, envelope): the synthetic `props`
+    * payload becomes the Debezium `after` image.
+    */
+  private def cdcRecords(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("event_id").as("id"),
+      col("event_type").as("table"),
+      concat(lit("{\"before\": null, \"after\": "), col("props"), lit("}"))
+        .as("envelope"))
+
+  private def routed(s: SparkSession, dir: String): DataFrame =
+    CdcPipeline.parseAndRoute(cdcRecords(s, dir), demoRoutes(s))
+      .withColumn("entity_id", col("entity_id").cast("long"))
+      .withColumnRenamed("table", "event_type")
+
+  // SQL fragments shared by the CDC oracles (DuckDB dialect).
+  private val oracleRoutes =
+    "routes AS (SELECT * FROM (VALUES " +
+      demoRouteRows.map { case (a, b, c) => s"('$a','$b','$c')" }.mkString(", ") +
+      ") v(tbl, colname, target))"
+  private val oracleRouted =
+    s"""WITH $oracleRoutes,
+       |routed AS (
+       |  SELECT t.target, e.event_type, CAST(e.event_id AS BIGINT) AS event_id,
+       |         CAST(json_extract_string(
+       |           '{"before": null, "after": ' || e.props || '}',
+       |           '$$.after.' || t.colname) AS BIGINT) AS entity_id
+       |  FROM events e JOIN routes t ON e.event_type = t.tbl)""".stripMargin
+
+  // decimal helpers for oracle-exact money math
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  def entry(spark: SparkSession): DataFrame = {
+    val recs = cdcRecords(spark, "/root/testdata/sf0.001")
+    CdcPipeline.run(recs, demoRoutes(spark), maxBatch = 100)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------- analytics core (aggregation / join / window / sort / set) ----------
+    "q1_pricing_summary" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") <= lit("2001-09-01"))
+      val qty = dec(col("l_quantity")); val price = dec(col("l_extendedprice"))
+      val disc1 = dec(lit(1) - col("l_discount")); val tax1 = dec(lit(1) + col("l_tax"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(price).cast("double").as("sum_base_price"),
+          sum(price * disc1).cast("double").as("sum_disc_price"),
+          sum(price * disc1 * tax1).cast("double").as("sum_charge"),
+          (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q3_top_revenue_orders" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1999-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    "q5_region_nation_revenue" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation"); val c = t(s, d, "customer")
+      val sup = t(s, d, "supplier")
+      val o = t(s, d, "orders").filter(
+        col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_window_top_orders" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("prev_price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q_topk_orders" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
+
+    "q_setop_customers" -> ((s, d) => {
+      val building = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("custkey"))
+      building.intersect(urgent).except(big)
+        .select(col("custkey").cast("long").as("custkey"))
+        .orderBy(col("custkey"))
+    }),
+
+    "q_scalar_functions" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 6).as("type_prefix"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).cast("long").as("size_mod7"),
+        abs(col("p_size") - 25).cast("long").as("size_dist"),
+        sqrt(col("p_size").cast("double")).as("size_sqrt"))
+        .orderBy(col("p_partkey"))),
+
+    "q_date_rollup" -> ((s, d) =>
+      t(s, d, "orders").groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_total"))
+        .orderBy(col("yr"), col("mo"))),
+
+    "q_json_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
+    // ---------- reference CDC surface (SURVEY §2) ----------
+    "cdc_parse_entities" -> ((s, d) =>
+      cdcRecords(s, d).select(
+        col("id").cast("long").as("event_id"),
+        col("table").as("event_type"),
+        graft.cdc.Envelope.entityId(col("envelope"), "k").cast("long").as("entity_id"))
+        .orderBy(col("event_id"))),
+
+    "cdc_route_fanout" -> ((s, d) =>
+      routed(s, d)
+        .select(col("target"), col("id").cast("long").as("event_id"), col("entity_id"))
+        .orderBy(col("target"), col("event_id"))),
+
+    "cdc_dedupe_keep_first" -> ((s, d) => {
+      val r = routed(s, d).select(col("target"), col("entity_id"),
+        col("id").cast("long").as("event_id"))
+      Dedupe.keepFirstAgg(r, Seq("target", "entity_id"), col("event_id"), Seq("event_id"))
+        .withColumnRenamed("event_id", "first_event_id")
+        .orderBy(col("target"), col("entity_id"))
+    }),
+
+    "cdc_batch_ids" -> ((s, d) => {
+      val dd = Dedupe.distinctKeys(routed(s, d), Seq("target", "entity_id"))
+      Batcher.chunkIds(dd, "target", "entity_id", 100, col("entity_id"))
+        .orderBy(col("target"), col("chunk_no"))
+    }),
+
+    "cdc_ack_audit" -> ((s, d) =>
+      routed(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("id")).as("n_records"), count(lit(1)).as("n_emitted"))
+        .withColumn("fanout_degree",
+          (col("n_emitted") / col("n_records")).cast("long"))
+        .orderBy(col("event_type"))),
+
+    // ---------- dedup suite (documents) ----------
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .select(col("content_hash"), col("canonical_id").cast("long").as("canonical_id"),
+          col("n_copies"))
+        .orderBy(col("content_hash"))),
+
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    "dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          planes = 6, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---------- similarity search (embeddings) ----------
+    "ann_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_lsh_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.lshTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10, planes = 8, probes = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // ---------- text analysis (documents) ----------
+    "text_stats" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(
+        col("doc_id").cast("long").as("doc_id"),
+        TF.nTokens(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        TF.meanTokenLen(col("text")).as("mean_token_len"),
+        TF.alphaRatio(col("text")).as("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"), col("lang"),
+        TF.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        TF.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "text_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        TF.bpeTokens(col("text")).cast("long").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // ---------- multimodal columns ----------
+    "mm_media_meta" -> ((s, d) =>
+      Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+        .select(col("media_id"), col("mime"),
+          col("meta.byte_len").cast("long").as("byte_len"),
+          col("meta.content_hash").as("content_hash"))
+        .orderBy(col("media_id"))),
+
+    "mm_features_stub" -> ((s, d) => {
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
+      Multimodal.extractFeatures(s, media).toDF()
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        | CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue_orders" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        | strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND l_shipdate > TIMESTAMP '1999-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_nation_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, rn, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+        |    lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_setop_customers" ->
+      """SELECT CAST(custkey AS BIGINT) AS custkey FROM (
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        |) t ORDER BY custkey""".stripMargin,
+
+    "q_scalar_functions" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        | upper(p_name) AS name_upper,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | substr(p_type, 1, 6) AS type_prefix,
+        | p_brand || '/' || p_type AS brand_type,
+        | CAST(p_size % 7 AS BIGINT) AS size_mod7,
+        | CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        | sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_parse_entities" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+        | CAST(json_extract_string('{"before": null, "after": ' || props || '}',
+        |   '$.after.k') AS BIGINT) AS entity_id
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "cdc_route_fanout" ->
+      s"""$oracleRouted
+         |SELECT target, event_id, entity_id FROM routed
+         |ORDER BY target, event_id""".stripMargin,
+
+    "cdc_dedupe_keep_first" ->
+      s"""$oracleRouted
+         |SELECT target, entity_id, CAST(MIN(event_id) AS BIGINT) AS first_event_id
+         |FROM routed GROUP BY target, entity_id
+         |ORDER BY target, entity_id""".stripMargin,
+
+    "cdc_batch_ids" ->
+      s"""$oracleRouted,
+         |dedup AS (SELECT DISTINCT target, entity_id FROM routed),
+         |numbered AS (
+         |  SELECT target, entity_id,
+         |    row_number() OVER (PARTITION BY target ORDER BY entity_id) AS rn
+         |  FROM dedup)
+         |SELECT target, CAST(floor((rn-1)/100) AS BIGINT) AS chunk_no,
+         |  '[' || string_agg(CAST(entity_id AS VARCHAR), ',' ORDER BY entity_id) || ']' AS ids,
+         |  COUNT(*) AS n_ids
+         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "cdc_ack_audit" ->
+      s"""$oracleRouted
+         |SELECT event_type,
+         |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_records,
+         |  COUNT(*) AS n_emitted,
+         |  CAST(COUNT(*) / COUNT(DISTINCT event_id) AS BIGINT) AS fanout_degree
+         |FROM routed GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash,
+        | CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+        | COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    "ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+        |      FROM q JOIN c ON qid <> nid),
+        |r AS (SELECT qid, nid,
+        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        |      FROM s)
+        |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+        |       CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "text_stats" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | CAST(length(text) AS BIGINT) AS len_chars,
+        | CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |   / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_token_len,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |   / CAST(length(text) AS DOUBLE) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> langIdOracle,
+
+    "text_fingerprint" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | md5(array_to_string(list_sort(list_distinct(
+        |   string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | md5(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  /** Exact word-3-gram jaccard ≥ 0.8 pairs — oracle for both the exact
+    * shingle-join operator and the MinHash-LSH operator (at k=64/bands=16 the
+    * LSH candidate recall at j≥0.8 is >0.9998 and candidates are verified
+    * with exact jaccard, so both return the identical pair set on this data).
+    */
+  private val ngramJaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents) t),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    len(list_intersect(a.s, b.s)) AS i,
+      |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+      |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+      |FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val langIdOracle: String = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val hits = TF.stopwords.map { case (lang, ws) =>
+      s"len(list_filter(ws, x -> x IN (${inList(ws)}))) AS h_$lang"
+    }.mkString(",\n   ")
+    // CASE order must mirror TextFunctions.langId: first (alphabetical) lang
+    // reaching the max wins; all-zero → 'und'.
+    """WITH t AS (SELECT doc_id, lang,
+      |   string_split_regex(trim(text), '\s+') AS ws FROM documents),
+      |h AS (SELECT doc_id, lang,
+      |   HITS
+      | FROM t)
+      |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      | CASE
+      |  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh AND h_de > 0 THEN 'de'
+      |  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh AND h_en > 0 THEN 'en'
+      |  WHEN h_es >= h_fr AND h_es >= h_zh AND h_es > 0 THEN 'es'
+      |  WHEN h_fr >= h_zh AND h_fr > 0 THEN 'fr'
+      |  WHEN h_zh > 0 THEN 'zh'
+      |  ELSE 'und' END AS pred_lang
+      |FROM h ORDER BY doc_id""".stripMargin.replace("HITS", hits)
+  }
 }

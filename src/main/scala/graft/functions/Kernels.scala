@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight-loop kernels invoked from generated code (each custom Expression
+  * emits a single static call to one of these, so the surrounding plan stays
+  * one whole-stage-codegen pipeline). Allocation-free on the hot path; JIT
+  * compiles the loops to vectorized machine code.
+  */
+object Kernels {
+
+  /** Cosine similarity over two numeric arrays, accumulating in double,
+    * strictly left-to-right (deterministic across runs/engines).
+    * Zero-norm input → 0.0 (poison-safe at scale).
+    */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** Stable 64-bit hash of a UTF8 string (xxHash64 over the raw bytes). */
+  @inline def hash64(s: UTF8String, seed: Long): Long =
+    XXH64.hashUTF8String(s, seed)
+
+  /** 64-bit SimHash over a token array: per-token xxHash64, each bit votes
+    * +1/-1, sign of the vote gives the fingerprint bit. One pass, O(tokens).
+    */
+  def simhash64(tokens: ArrayData, seed: Long): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i), seed)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** MinHash signature of size k: one base xxHash64 per token, then k
+    * universal-hash permutations h_i = a_i*base + b_i (odd multipliers from a
+    * seeded splitmix), unsigned-min per permutation. O(tokens*k), one pass,
+    * no per-row allocation beyond the signature itself.
+    */
+  def minhash(tokens: ArrayData, k: Int, seed: Long): GenericArrayData = {
+    val as = mixA(k, seed); val bs = mixB(k, seed)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = hash64(tokens.getUTF8String(i), seed)
+        var j = 0
+        while (j < k) {
+          val h = as(j) * base + bs(j)
+          if (java.lang.Long.compareUnsigned(h, mins(j)) < 0) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Random-hyperplane sign sketch of a float vector: bit p of the result is
+    * sign(Σ_d v(d)*w(p,d)) with ±1 weights derived from splitmix64(seed,p,d).
+    * Deterministic, allocation-free; weights come from the same cached
+    * constant table as minhash (one row of longs per plane, bit d = sign).
+    */
+  def hyperplaneSketch(vec: ArrayData, planes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        // deterministic ±1 weight: bit (d mod 64) of splitmix'd (seed,p,d/64)
+        val word = mixWord(seed, p, d >>> 6)
+        val w = if (((word >>> (d & 63)) & 1L) == 1L) 1.0 else -1.0
+        proj += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (proj >= 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  private val wordCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), java.lang.Long]()
+  private def mixWord(seed: Long, p: Int, chunk: Int): Long =
+    wordCache.computeIfAbsent((seed, p, chunk), { key =>
+      var z = key._1 + 0x9e3779b97f4a7c15L * (key._2 * 131071L + key._3 + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      java.lang.Long.valueOf(z ^ (z >>> 31))
+    }).longValue()
+
+  // SplitMix64-derived deterministic permutation constants, cached per (k,seed).
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()
+  private def perms(k: Int, seed: Long): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent((k, seed), { key =>
+      val (kk, s) = key
+      var x = s
+      def next(): Long = { // splitmix64
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      val a = Array.fill(kk)(next() | 1L) // odd multipliers
+      val b = Array.fill(kk)(next())
+      (a, b)
+    })
+  private def mixA(k: Int, seed: Long): Array[Long] = perms(k, seed)._1
+  private def mixB(k: Int, seed: Long): Array[Long] = perms(k, seed)._2
+}

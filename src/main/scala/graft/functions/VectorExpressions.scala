@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{aggregate, lit, sqrt, zip_with}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector similarity and content hashing.
+  *
+  * Each `doGenCode` emits ONE static [[Kernels]] call, so plans using these
+  * keep a single WholeStageCodegen span (verified via .explain("formatted")).
+  * A Scala UDF here would cost serialization + iterator breaks; the built-in
+  * higher-order-function route (`aggregate(zip_with(...))`) costs ~10× in
+  * per-element Invoke overhead — see [[VectorFunctions.cosineBuiltin]] kept
+  * for cross-checking in tests.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def isFloat: Boolean = elemType(left) == FloatType
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+    if (ok && elemType(left) == elemType(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_similarity needs two arrays of the same float/double type, " +
+        s"got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isFloat) Kernels.cosineF(x, y) else Kernels.cosineD(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isFloat) "cosineF" else "cosineD"
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.$fn($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash of an array<string> token column. */
+case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.simhash64(v.asInstanceOf[ArrayData], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** MinHash signature (array<bigint> of length k) of an array<string> column. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhash(v.asInstanceOf[ArrayData], k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.minhash($c, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Random-hyperplane LSH sign sketch (long bitset) of an array<float>. */
+case class HyperplaneSketch(child: Expression, planes: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 64, "planes must be in [1,64]")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneSketch(v.asInstanceOf[ArrayData], planes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hyperplaneSketch($c, $planes, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column-level entry points. */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def cosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  def simhash(tokens: Column, seed: Long = 42L): Column =
+    column(SimHash64(expression(tokens), seed))
+
+  def minhashSig(tokens: Column, k: Int, seed: Long = 42L): Column =
+    column(MinHashSignature(expression(tokens), k, seed))
+
+  def hyperplaneSketch(vec: Column, planes: Int, seed: Long = 42L): Column =
+    column(HyperplaneSketch(expression(vec), planes, seed))
+
+  /** Built-in-only cosine (higher-order functions) — slower; retained as the
+    * independent implementation for property tests against [[cosine]].
+    */
+  def cosineBuiltin(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+}
