@@ -1,0 +1,57 @@
+package graft
+
+import graft.cdc.{CdcConfig, DebeziumConfigGen, Routing}
+import graft.streaming.CdcStream
+import org.apache.spark.sql.types._
+
+/** CLI — the engine's equivalent of the reference's Spring Shell commands
+  * (Application.java + WatchStream.watch + DebeziumConfiguration.generate):
+  *
+  *   watch    --config <cfg> --in <dir-of-json-envelope-files>
+  *            --out <parquet-dir> --checkpoint <dir> [--once]
+  *            runs the streaming CDC plane. Sources are pluggable; the file
+  *            source stands in for the Redis-stream connector in this
+  *            container (same `id, table, envelope` contract).
+  *   generate --config <cfg>
+  *            prints Debezium Server properties derived from the config.
+  */
+object Main {
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("generate") =>
+      val cfg = CdcConfig.load(opt(args, "--config").getOrElse("./config.yaml"))
+      print(DebeziumConfigGen.generate(cfg))
+
+    case Some("watch") =>
+      val cfg = CdcConfig.load(opt(args, "--config").getOrElse("./config.yaml"))
+      val in = req(args, "--in"); val out = req(args, "--out")
+      val ckpt = req(args, "--checkpoint")
+      val spark = GraftSession.local()
+      spark.sparkContext.setLogLevel("WARN")
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("table", StringType),
+        StructField("envelope", StringType)))
+      val records = spark.readStream.schema(schema)
+        // count arm of the reference's count-or-time source buffer
+        .option("maxFilesPerTrigger", math.max(1, cfg.buffers.source.size / 1000))
+        .json(in)
+      val q = CdcStream.start(records, Routing.routesDf(spark, cfg),
+        cfg.buffers.target.size, out, ckpt,
+        windowMillis = cfg.buffers.dedupe.time)
+      if (args.contains("--once")) { q.processAllAvailable(); q.stop() }
+      else q.awaitTermination()
+      spark.stop()
+
+    case _ =>
+      System.err.println("usage: graft.Main watch|generate [--config <file>] ...")
+      sys.exit(2)
+  }
+
+  private def opt(args: Array[String], name: String): Option[String] = {
+    val i = args.indexOf(name)
+    if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+  }
+  private def req(args: Array[String], name: String): String =
+    opt(args, name).getOrElse {
+      System.err.println(s"missing required $name"); sys.exit(2)
+    }
+}

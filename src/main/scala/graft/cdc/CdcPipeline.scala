@@ -36,7 +36,7 @@ object CdcPipeline {
       records("id"), records("table"), routes("column"), routes("target"),
       element_at(
         from_json(records("envelope"), Envelope.schema).getField("after"),
-        routes("column")).cast("int").as("entity_id"))
+        routes("column")).try_cast("int").as("entity_id"))
   }
 
   /** Full plane: parse/route → drop nulls (reference would crash; we filter,

@@ -36,11 +36,12 @@ object Envelope {
   def parse(envelopeJson: Column): Column = from_json(envelopeJson, schema)
 
   /** Extract `after.<field>` as the integer entity id — the strict
-    * integer-cast semantics of RedisSource.java:66 become a cast that yields
-    * NULL on non-integers; use [[rejects]] for the FAILFAST-style audit.
+    * integer-cast semantics of RedisSource.java:66 become a try_cast that
+    * yields NULL on non-integers (ANSI-safe: a poison record must not kill a
+    * 100 TB job); use [[rejects]] for the FAILFAST-style audit.
     */
   def entityId(envelopeJson: Column, field: String): Column =
-    get_json_object(envelopeJson, s"$$.after.$field").cast(IntegerType)
+    get_json_object(envelopeJson, s"$$.after.$field").try_cast(IntegerType)
 
   /** Rows the reference would have crashed on (missing `after.<field>` or a
     * non-integer value): surfaced as a filterable flag instead of an error

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Custom Catalyst expressions vs independent implementations. */
+class VectorFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("codegen cosine matches builtin higher-order-function cosine") {
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+      .withColumn("fast", VectorFunctions.cosine(col("a"), col("b")))
+      .withColumn("ref", VectorFunctions.cosineBuiltin(
+        col("a").cast("array<double>"), col("b").cast("array<double>")))
+    val rows = df.select("fast", "ref").as[(Double, Double)].collect()
+    rows.foreach { case (f, r) => assert(math.abs(f - r) < 1e-12, s"$f vs $r") }
+  }
+
+  test("cosine of identical vectors is 1, opposite is -1, zero vector is 0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, -2f), Array(-1f, 0f, 2f)),
+      (Array(0f, 0f, 0f), Array(1f, 2f, 3f)))
+      .toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+    val out = df.as[Double].collect().toSeq
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(math.abs(out(1) + 1.0) < 1e-12)
+    assert(out(2) == 0.0)
+  }
+
+  test("simhash: identical token arrays → distance 0; near-identical → small") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val df = Seq(
+      (base, base),
+      (base, base.updated(3, "CHANGED")),
+      (base, (1 to 40).map(i => s"other$i")))
+      .toDF("x", "y")
+      .select(bit_count(VectorFunctions.simhash(col("x"))
+        .bitwiseXOR(VectorFunctions.simhash(col("y")))).as("d"))
+      .as[Int].collect().toSeq
+    assert(df(0) == 0)
+    assert(df(1) < 16, s"near-identical drifted ${df(1)} bits")
+    assert(df(2) > 10, s"unrelated only ${df(2)} bits apart")
+  }
+
+  test("minhash signature estimates jaccard (statistical, k=256)") {
+    // two sets with known jaccard 50/150 = 1/3
+    val a = (1 to 100).map(i => s"s$i")
+    val b = (51 to 150).map(i => s"s$i")
+    val df = Seq((a, b)).toDF("a", "b").select(
+      VectorFunctions.minhashSig(col("a"), 256).as("sa"),
+      VectorFunctions.minhashSig(col("b"), 256).as("sb"))
+    val (sa, sb) = df.as[(Seq[Long], Seq[Long])].head()
+    val est = sa.zip(sb).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 1.0 / 3.0) < 0.12, s"estimate $est")
+  }
+
+  test("kernels are deterministic across invocations and rows") {
+    val toks = Seq("a", "b", "c").toDF("t")
+      .agg(collect_list("t").as("ts"))
+      .select(VectorFunctions.simhash(col("ts")),
+        VectorFunctions.minhashSig(col("ts"), 8),
+        VectorFunctions.hyperplaneSketch(lit(Array(0.5f, -0.25f)), 8))
+    assert(toks.collect().toSeq == toks.collect().toSeq)
+  }
+}

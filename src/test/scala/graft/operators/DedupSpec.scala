@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator laws on synthetic docs with planted near-duplicates, plus
+  * agreement between the approximate (LSH) and exact operators.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 30 base docs + planted near-dups: 100↔0 (1-word edit), 101↔1 (exact copy)
+  private lazy val docs = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa")
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val d0 = base(0)._2.split(" ").updated(5, "EDITED").mkString(" ")
+    (base :+ (100L, d0) :+ (101L, base(1)._2)).toDF("doc_id", "text")
+  }
+
+  test("exact dedupe groups identical texts only") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val dups = out.filter(col("n_copies") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("canonical_id") == 1L) // min(1, 101)
+    assert(out.agg(sum("n_copies")).as[Long].head() == 32L) // conservation
+  }
+
+  test("ngram jaccard finds planted near-dups and nothing else at 0.8") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("minhash LSH pairs equal exact ngram pairs on planted data") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b", "jaccard").orderBy("doc_a").collect().toSeq
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("doc_a", "doc_b", "jaccard").orderBy("doc_a").collect().toSeq
+    assert(lsh == exact) // verification step makes LSH exact-on-candidates
+  }
+
+  test("simhash blocking finds the exact copy at distance 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 101L, 0)))
+    assert(pairs.forall(_._3 <= 3))
+  }
+
+  test("embedding LSH pairs are a subset of brute-force threshold pairs") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    // plant: 200 = copy of 0 with tiny noise
+    val planted = vecs :+ (200L, vecs(0)._2.map(x => x + 0.001f))
+    val df = planted.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingPairs(df, "vec_id", "embedding", planes = 8, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 200L))) // identical sketch → always a candidate
+    // verify: every reported pair truly exceeds the threshold
+    val withCos = Dedup.embeddingPairs(df, "vec_id", "embedding", 8, 0.9)
+      .select("cosine").as[Double].collect()
+    assert(withCos.forall(_ >= 0.9))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(5)
+    (0 until 60).map(i => (i.toLong, Array.fill(12)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, ranks ordered by cosine") {
+    val q = corpus.filter(col("vec_id") < 3)
+    val out = SimilaritySearch.bruteForceTopK(q, corpus, "vec_id", "embedding", 5)
+    assert(out.count() == 15)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val perQuery = out.groupBy("query_id").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(perQuery.forall(_ == 5L))
+    // ranks are 1..5 and cosine non-increasing within each query
+    val rows = out.orderBy("query_id", "rank")
+      .select("query_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect().toSeq
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2) == Seq(1, 2, 3, 4, 5))
+      assert(sorted.sliding(2).forall(p => p.head._3 >= p.last._3 - 1e-15))
+    }
+  }
+
+  test("brute-force rank-1 is the true nearest neighbor") {
+    val q = corpus.filter(col("vec_id") === 0)
+    val top = SimilaritySearch.bruteForceTopK(q, corpus, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].head()
+    // independent computation via the builtin cosine
+    val truth = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") =!= 0)
+      .select(col("b.vec_id"),
+        graft.functions.VectorFunctions.cosineBuiltin(
+          col("a.embedding").cast("array<double>"),
+          col("b.embedding").cast("array<double>")).as("c"))
+      .orderBy(col("c").desc).select("vec_id").as[Long].head()
+    assert(top == truth)
+  }
+
+  test("LSH top-k returns plausible neighbors (recall sanity vs brute force)") {
+    val q = corpus.filter(col("vec_id") < 5)
+    val bf = SimilaritySearch.bruteForceTopK(q, corpus, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = SimilaritySearch.lshTopK(q, corpus, "vec_id", "embedding",
+        k = 3, planes = 6, probes = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(lsh.nonEmpty)
+    // every LSH hit must be a real vector pair; overlap with brute force > 0
+    assert((lsh intersect bf).nonEmpty)
+  }
+}
