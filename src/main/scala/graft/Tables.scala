@@ -15,9 +15,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Tables whose downstream per-row compute (JSON parse, shingling, large
+    * aggregation) warrants re-balancing when the scan yields few splits.
+    * Dimension tables stay as-is — they broadcast anyway, and repartitioning
+    * under a broadcast just adds a stage.
+    */
+  private val heavy = Set("events", "documents", "lineitem")
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val norm = if (name == "events") normalizeEventTs(df) else df
+    if (heavy(name)) balance(spark, norm) else norm
+  }
+
+  /** Single-row-group local files scan as ONE task, serializing all per-row
+    * compute downstream. Repartition up to the cluster's parallelism when the
+    * scan yields fewer splits — a no-op on real multi-file/multi-row-group
+    * datasets (100 TB inputs always have ≥ cores splits), a 32× win locally.
+    * Explicit numPartitions so AQE doesn't coalesce it back down; Catalyst
+    * still pushes filters/pruning through the repartition into the scan.
+    */
+  def balance(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
   /** `events.ts` is written with parquet TIMESTAMP(NANOS), which Spark reads

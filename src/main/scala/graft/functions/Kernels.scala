@@ -95,6 +95,116 @@ object Kernels {
     new GenericArrayData(mins)
   }
 
+  /** MinHash signature computed directly from a TOKEN array with inline word
+    * n-gram shingling — one pass, no materialized shingle strings (the
+    * `transform`/`array_join` higher-order-function route costs interpreted
+    * lambda evaluation per shingle; this is pure kernel code). Shingle hash =
+    * xxHash64 over the UTF-8 bytes of the n tokens joined by ' '. Shorter-
+    * than-n docs hash the whole token sequence as one shingle.
+    */
+  def minhashShingled(tokens: ArrayData, n: Int, k: Int, seed: Long):
+      GenericArrayData = {
+    val as = mixA(k, seed); val bs = mixB(k, seed)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, -1L)
+    val m = tokens.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val eff = math.max(1, m - n + 1)
+    val width = if (m < n) m else n
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < eff) {
+      var len = 0
+      var j = 0
+      while (j < width && s + j < m) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      val base = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
+      var p = 0
+      while (p < k) {
+        val h = as(p) * base + bs(p)
+        if (java.lang.Long.compareUnsigned(h, mins(p)) < 0) mins(p) = h
+        p += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Distinct word n-gram shingle set, built in one kernel pass (same
+    * shingling rules as [[minhashShingled]]: tokens joined by ' ';
+    * shorter-than-n docs produce one whole-doc shingle). Returns
+    * array<string> for exact set intersection/union verification.
+    */
+  def shingleSet(tokens: ArrayData, n: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val eff = math.max(1, m - n + 1)
+    val width = if (m < n) m else n
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < eff) {
+      var len = 0
+      var j = 0
+      while (j < width && s + j < m) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      seen.add(UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len)))
+      s += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
+  }
+
+  /** Exact Jaccard similarity of two string arrays (treated as sets) in one
+    * pass: hash-set of a, membership-count from distinct b. Returning the
+    * ratio directly (not |∩| and |∪| separately) matters: Catalyst's project
+    * collapsing would otherwise inline and re-evaluate a set-intersection
+    * expression once per reference.
+    */
+  def jaccardSim(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) sa.add(a.getUTF8String(i)); i += 1
+    }
+    val sb = new java.util.HashSet[UTF8String]()
+    var common = 0
+    i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) {
+        val s = b.getUTF8String(i)
+        if (sb.add(s) && sa.contains(s)) common += 1
+      }
+      i += 1
+    }
+    val union = sa.size() + sb.size() - common
+    if (union == 0) 0.0 else common.toDouble / union.toDouble
+  }
+
   /** Random-hyperplane sign sketch of a float vector: bit p of the result is
     * sign(Σ_d v(d)*w(p,d)) with ±1 weights derived from splitmix64(seed,p,d).
     * Deterministic, allocation-free; weights come from the same cached

@@ -69,6 +69,42 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** MinHash signature with inline word n-gram shingling (see
+  * [[Kernels.minhashShingled]]): array<string> tokens → array<bigint>[k].
+  */
+case class MinHashShingled(child: Expression, n: Int, k: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.minhashShingled(v.asInstanceOf[ArrayData], n, k, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.minhashShingled($c, $n, $k, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Exact set-Jaccard of two array<string> columns, single evaluation. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.jaccardSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Distinct word n-gram shingle set of an array<string> token column. */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.shingleSet(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.shingleSet($c, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Random-hyperplane LSH sign sketch (long bitset) of an array<float>. */
 case class HyperplaneSketch(child: Expression, planes: Int, seed: Long = 42L)
     extends UnaryExpression {
@@ -97,6 +133,15 @@ object VectorFunctions {
 
   def hyperplaneSketch(vec: Column, planes: Int, seed: Long = 42L): Column =
     column(HyperplaneSketch(expression(vec), planes, seed))
+
+  def minhashShingled(tokens: Column, n: Int, k: Int, seed: Long = 42L): Column =
+    column(MinHashShingled(expression(tokens), n, k, seed))
+
+  def shingleSet(tokens: Column, n: Int): Column =
+    column(ShingleSet(expression(tokens), n))
+
+  def jaccard(a: Column, b: Column): Column =
+    column(JaccardSim(expression(a), expression(b)))
 
   /** Built-in-only cosine (higher-order functions) — slower; retained as the
     * independent implementation for property tests against [[cosine]].

