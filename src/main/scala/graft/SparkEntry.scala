@@ -187,6 +187,88 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    "q_semi_anti_join" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val withUrgent = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_urgent"))
+      val noOrders = c.join(o.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_no_orders"))
+      withUrgent.join(noOrders, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_urgent"), lit(0L)).as("n_with_urgent"),
+          coalesce(col("n_no_orders"), lit(0L)).as("n_no_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_total"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, d, "events")
+        .withColumn("cohort", pmod(col("user_id"), lit(10)))
+        .groupBy(col("cohort"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("cohort").cast("long").as("cohort") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy(col("cohort"))
+    }),
+
+    "q_distinct_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(get_json_object(col("props"), "$.k").cast("long")).as("n_keys"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))),
+
+    "q_sessionize" -> ((s, d) => {
+      import graft.operators.Sessionize
+      val ev = t(s, d, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      Sessionize.stats(ev, Seq("user_id"), col("ts_us"),
+          gapMicros = 6L * 3600 * 1000000, tieBreak = col("event_id"))
+        .select(col("user_id").cast("long").as("user_id"),
+          col("session_id").cast("long").as("session_id"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q_asof_last_purchase" -> ((s, d) => {
+      import graft.operators.AsOfJoin
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"))
+      AsOfJoin.asOf(clicks, purchases, Seq("user_id"),
+          leftOrder = col("event_id"), rightOrder = col("purchase_id"),
+          payload = Seq("purchase_id"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id_asof").as("last_purchase_id"))
+        .orderBy(col("event_id"))
+    }),
+
+    "text_winnow" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.functions.VectorFunctions.winnow(
+          TF.tokens(col("text")), 3, 4).as("fingerprints"))
+        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
+          col("fingerprints"))
+        .orderBy(col("doc_id"))),
+
     // ---------- reference CDC surface (SURVEY §2) ----------
     "cdc_parse_entities" -> ((s, d) =>
       cdcRecords(s, d).select(
@@ -399,6 +481,85 @@ object SparkEntry {
         | CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_semi_anti_join" ->
+      """WITH wu AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_with_urgent FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |  GROUP BY c_mktsegment),
+        |no_ AS (
+        |  SELECT c_mktsegment, COUNT(*) AS n_no_orders FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_mktsegment)
+        |SELECT COALESCE(wu.c_mktsegment, no_.c_mktsegment) AS c_mktsegment,
+        |  COALESCE(n_with_urgent, 0) AS n_with_urgent,
+        |  COALESCE(n_no_orders, 0) AS n_no_orders
+        |FROM wu FULL OUTER JOIN no_ ON wu.c_mktsegment = no_.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+        | CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_keys,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 21600000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(MIN(ts_us) AS BIGINT) AS start_us,
+        |  CAST(MAX(ts_us) AS BIGINT) AS end_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_asof_last_purchase" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, event_id AS ord, 1 AS side,
+        |         CAST(NULL AS BIGINT) AS pid
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, user_id, event_id AS ord, 0 AS side, event_id AS pid
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT event_id, user_id, side,
+        |    MAX(pid) OVER (PARTITION BY user_id ORDER BY ord, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+        |  FROM u)
+        |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+        |  CAST(last_purchase_id AS BIGINT) AS last_purchase_id
+        |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
 
     "cdc_parse_entities" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,

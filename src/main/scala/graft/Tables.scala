@@ -47,6 +47,8 @@ object Tables {
   private def normalizeEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == LongType)
       df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast(LongType)))
+        // integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's 2^53
+        // integer range, so float division truncates differently by ±1µs
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
     else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
 }

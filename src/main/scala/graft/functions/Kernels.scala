@@ -179,6 +179,65 @@ object Kernels {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** Winnowing document fingerprint (Schleimer/Wilkerson/Aiken): hash every
+    * word n-gram (rolling over the token array), then slide a window of
+    * `w` hashes and keep each window's minimum (rightmost on ties). The
+    * selected hash set is position-independent and guarantees any shared
+    * run of ≥ w+n-1 tokens yields a shared fingerprint — the standard
+    * plagiarism/near-dup detector at corpus scale.
+    */
+  def winnow(tokens: ArrayData, n: Int, w: Int, seed: Long): GenericArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val eff = math.max(1, m - n + 1)
+    val width = if (m < n) m else n
+    val hashes = new Array[Long](eff)
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < eff) {
+      var len = 0
+      var j = 0
+      while (j < width && s + j < m) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      hashes(s) = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
+      s += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (eff <= w) {
+      var mn = hashes(0); var p = 1
+      while (p < eff) { if (java.lang.Long.compareUnsigned(hashes(p), mn) <= 0) mn = hashes(p); p += 1 }
+      out.add(mn)
+    } else {
+      var start = 0
+      while (start + w <= eff) {
+        var mn = hashes(start); var p = start + 1
+        while (p < start + w) {
+          if (java.lang.Long.compareUnsigned(hashes(p), mn) <= 0) mn = hashes(p)
+          p += 1
+        }
+        out.add(mn)
+        start += 1
+      }
+    }
+    val arr = new Array[Long](out.size())
+    val it = out.iterator(); var idx = 0
+    while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Exact Jaccard similarity of two string arrays (treated as sets) in one
     * pass: hash-set of a, membership-count from distinct b. Returning the
     * ratio directly (not |∩| and |∪| separately) matters: Catalyst's project

@@ -83,6 +83,17 @@ case class MinHashShingled(child: Expression, n: Int, k: Int, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Winnowing fingerprint set (array<bigint>) of an array<string> tokens. */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.winnow(v.asInstanceOf[ArrayData], n, w, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $n, $w, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Exact set-Jaccard of two array<string> columns, single evaluation. */
 case class JaccardSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -142,6 +153,9 @@ object VectorFunctions {
 
   def jaccard(a: Column, b: Column): Column =
     column(JaccardSim(expression(a), expression(b)))
+
+  def winnow(tokens: Column, n: Int, w: Int, seed: Long = 42L): Column =
+    column(WinnowFingerprint(expression(tokens), n, w, seed))
 
   /** Built-in-only cosine (higher-order functions) — slower; retained as the
     * independent implementation for property tests against [[cosine]].
