@@ -32,7 +32,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // CDC-plane throughput (BASELINE.md sanity target: >= 20k events/s for
+    // route+dedupe+batch). Rate = input events / wall time of the full plane.
+    val throughput = try {
+      val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.entry2(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      nEvents / secs
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] throughput failed: ${e.getMessage}"); 0.0
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cdc_events_per_sec":${throughput.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

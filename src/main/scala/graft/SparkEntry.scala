@@ -76,6 +76,10 @@ object SparkEntry {
     CdcPipeline.run(recs, demoRoutes(spark), maxBatch = 100)
   }
 
+  /** Full CDC plane at an arbitrary sf dir (Bench throughput metric). */
+  def entry2(spark: SparkSession, dir: String): DataFrame =
+    CdcPipeline.run(cdcRecords(spark, dir), demoRoutes(spark), maxBatch = 1000)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------- analytics core (aggregation / join / window / sort / set) ----------
