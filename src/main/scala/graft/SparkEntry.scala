@@ -273,6 +273,51 @@ object SparkEntry {
           col("fingerprints"))
         .orderBy(col("doc_id"))),
 
+    "q_approx_distinct" -> ((s, d) =>
+      // HLL++ sketch: the 100 TB path for distinct counts (mergeable partial
+      // aggregate, no exact-distinct shuffle explosion). No SQL oracle (HLL
+      // estimate is engine-specific); error bound asserted in ApproxAggSpec.
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          approx_count_distinct(col("event_id"), 0.01).as("approx_events"))
+        .orderBy(col("event_type"))),
+
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))").as("p"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"),
+          col("p")(0).as("p25"), col("p")(1).as("p50"), col("p")(2).as("p90"),
+          col("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q_range_join" -> ((s, d) => {
+      import graft.operators.RangeJoin
+      val ev = t(s, d, "events").withColumn("ts_us", expr("ts_ns div 1000"))
+      val spans = ev.filter(pmod(col("user_id"), lit(11)) === 0)
+        .groupBy(col("user_id").as("span_user"))
+        .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+      val points = ev.select(col("ts_us").as("x"))
+      RangeJoin.pointInInterval(points, col("x"), spans, col("lo"), col("hi"),
+          bucket = 6L * 3600 * 1000000)
+        .groupBy(col("span_user")).agg(count(lit(1)).as("n_in_span"))
+        .select(col("span_user").cast("long").as("span_user"), col("n_in_span"))
+        .orderBy(col("span_user"))
+    }),
+
+    "q_tumbling_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(expr("unix_micros(w.start) div 86400000000").as("day_bucket"),
+          col("event_type"), col("n_events"), col("n_users"),
+          col("min_value"), col("max_value"))
+        .orderBy(col("day_bucket"), col("event_type"))),
+
     // ---------- reference CDC surface (SURVEY §2) ----------
     "cdc_parse_entities" -> ((s, d) =>
       cdcRecords(s, d).select(
@@ -347,6 +392,17 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 10), e,
           "vec_id", "embedding", k = 10, planes = 8, probes = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_ivf_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4, iters = 2,
+          sampleMod = 4)
         .select(col("query_id").cast("long").as("query_id"),
           col("neighbor_id").cast("long").as("neighbor_id"),
           col("rank").cast("long").as("rnk"))
@@ -564,6 +620,29 @@ object SparkEntry {
         |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
         |  CAST(last_purchase_id AS BIGINT) AS last_purchase_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.25) AS p25,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_range_join" ->
+      """WITH spans AS (
+        |  SELECT user_id AS span_user, MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+        |  FROM events WHERE user_id % 11 = 0 GROUP BY user_id)
+        |SELECT CAST(s.span_user AS BIGINT) AS span_user, COUNT(*) AS n_in_span
+        |FROM spans s JOIN events e ON epoch_us(e.ts) BETWEEN s.lo AND s.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day_bucket, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cdc_parse_entities" ->
       """SELECT CAST(event_id AS BIGINT) AS event_id, event_type,

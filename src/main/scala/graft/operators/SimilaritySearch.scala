@@ -59,4 +59,102 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** IVF (inverted-file) ANN — the classic FAISS-style scale path: a
+    * spherical-k-means coarse quantizer (trained on a hash-deterministic
+    * sample, Lloyd iterations entirely in DataFrame ops + a tiny
+    * nlist×dim driver collect per round) partitions the corpus into `nlist`
+    * cells; each query probes only its `nprobe` nearest cells.
+    *
+    * At 100 TB: training touches only the sample (`sampleMod`-th of the
+    * corpus); the corpus-wide work is ONE map-side cell assignment (broadcast
+    * centroids, no shuffle) plus the candidate equi-join on cell id —
+    * scan cost drops by ~nlist/nprobe vs brute force while the join stays a
+    * plain shuffle-hash join AQE can skew-split when cells are unbalanced.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              iters: Int = 3, sampleMod: Int = 1, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val sample = (if (sampleMod <= 1) corpus
+      else corpus.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleMod)) === 0))
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+
+    // init: nlist hash-deterministic seed vectors, L2-normalized
+    var centroids: Array[Array[Double]] = sample
+      .orderBy(xxhash64(col("_id"), lit(seed + 1)))
+      .limit(nlist).select("_v").collect()
+      .map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val cellU = udf((v: Seq[Float]) => nearestCell(v, bc.value))
+      // new centroid = mean of assigned vectors (spherical: renormalize)
+      val sums = sample.withColumn("_cell", cellU(col("_v")))
+        .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
+        .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCell.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            normalized(m)
+          case None => centroids(c) // empty cell keeps its centroid
+        }
+      }.toArray
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellU = udf((v: Seq[Float]) => nearestCell(v, bc.value))
+    val probeU = udf((v: Seq[Float]) => probeCells(v, bc.value, nprobe))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellU(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(probeU(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** argmax over dot(v, centroid) — centroids are unit vectors, so per-row
+    * |v| is a constant factor and raw dot products order identically to
+    * cosine. Ties break to the lowest cell id.
+    */
+  private def nearestCell(v: Seq[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c); var d = 0.0; var i = 0
+      val n = math.min(v.length, cv.length)
+      while (i < n) { d += v(i) * cv(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def probeCells(v: Seq[Float], cs: Array[Array[Double]], nprobe: Int): Array[Int] = {
+    val dots = Array.tabulate(cs.length) { c =>
+      val cv = cs(c); var d = 0.0; var i = 0
+      val n = math.min(v.length, cv.length)
+      while (i < n) { d += v(i) * cv(i); i += 1 }
+      (d, c)
+    }
+    dots.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
+  }
 }

@@ -59,4 +59,46 @@ class SimilaritySpec extends AnyFunSuite {
     // every LSH hit must be a real vector pair; overlap with brute force > 0
     assert((lsh intersect bf).nonEmpty)
   }
+
+  // clustered corpus: 8 well-separated directions + small noise, so an IVF
+  // quantizer must recover the clusters and recall is deterministic-high
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(17)
+    val dim = 12
+    val centers = Array.fill(8) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    (0 until 240).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF top-k has high recall vs brute force on clustered data") {
+    val q = clustered.filter(col("vec_id") < 8)
+    val bf = SimilaritySearch.bruteForceTopK(q, clustered, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(q, clustered, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall=$recall")
+    // every query answered with a full k
+    val counts = SimilaritySearch.ivfTopK(q, clustered, "vec_id", "embedding",
+        10, 8, 2).groupBy("query_id").agg(count(lit(1)).as("n"))
+      .select("n").as[Long].collect()
+    assert(counts.length == 8 && counts.forall(_ == 10L))
+  }
+
+  test("IVF with nprobe = nlist equals brute force exactly") {
+    val q = clustered.filter(col("vec_id") < 4)
+    val bf = SimilaritySearch.bruteForceTopK(q, clustered, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = SimilaritySearch.ivfTopK(q, clustered, "vec_id", "embedding",
+        k = 5, nlist = 6, nprobe = 6, iters = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf)
+  }
 }
