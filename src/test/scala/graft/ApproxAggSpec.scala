@@ -9,10 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class ApproxAggSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("approx_count_distinct within 5% of exact at rsd=0.01") {
+  test("approx_count_distinct within 5% of exact at rsd=0.02") {
     val ev = Tables(spark, TestSpark.sf0001, "events")
     val rows = ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"),
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("a"),
         countDistinct(col("user_id")).as("e"))
       .collect()
     assert(rows.nonEmpty)
