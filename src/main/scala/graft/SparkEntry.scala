@@ -273,6 +273,43 @@ object SparkEntry {
           col("fingerprints"))
         .orderBy(col("doc_id"))),
 
+    "q_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id").cast("long").as("event_id"),
+          lag(col("event_id"), 1).over(w).cast("long").as("prev_event"),
+          lead(col("event_id"), 1).over(w).cast("long").as("next_event"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_priority"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"),
+          col("g_status"), col("g_priority"))),
+
+    "q_scalar_subquery" -> ((s, d) => {
+      // correlated "price > 2x my customer's average" — expressed scale-first
+      // as a window aggregate (one shuffle) rather than a per-row subquery;
+      // the avg comparison is kept in exact decimal (price*n > 2*sum) so both
+      // engines decide borderline rows identically
+      val w = Window.partitionBy(col("o_custkey"))
+      t(s, d, "orders")
+        .withColumn("cust_sum", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("cust_n", count(lit(1)).over(w))
+        .filter(dec(col("o_totalprice")) * col("cust_n") > col("cust_sum") * 2)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          dec(col("o_totalprice")).cast("double").as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q_approx_distinct" -> ((s, d) =>
       // HLL++ sketch: the 100 TB path for distinct counts (mergeable partial
       // aggregate, no exact-distinct shuffle explosion). No SQL oracle (HLL
@@ -623,6 +660,35 @@ object SparkEntry {
         |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
         |  CAST(last_purchase_id AS BIGINT) AS last_purchase_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_lag_lead" ->
+      """SELECT CAST(user_id AS BIGINT) AS user_id,
+        | CAST(event_id AS BIGINT) AS event_id,
+        | CAST(lag(event_id, 1) OVER w AS BIGINT) AS prev_event,
+        | CAST(lead(event_id, 1) OVER w AS BIGINT) AS next_event,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_priority""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(o_custkey AS BIGINT) AS o_custkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+        |  (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey) >
+        |  2 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders i
+        |       WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,
