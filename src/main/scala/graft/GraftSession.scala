@@ -32,4 +32,6 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // engine optimizer rules (each inert until its spark.graft.* conf is set)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 }
