@@ -27,13 +27,27 @@ object Main {
       val ckpt = req(args, "--checkpoint")
       val spark = GraftSession.local()
       spark.sparkContext.setLogLevel("WARN")
-      val schema = StructType(Seq(
-        StructField("id", LongType), StructField("table", StringType),
-        StructField("envelope", StringType)))
-      val records = spark.readStream.schema(schema)
-        // count arm of the reference's count-or-time source buffer
-        .option("maxFilesPerTrigger", math.max(1, cfg.buffers.source.size / 1000))
-        .json(in)
+      val records = opt(args, "--source").getOrElse("graft-cdc") match {
+        case "graft-cdc" =>
+          // DSv2 segment-log source: epoch-commit ack + delete-mode
+          // retention (the XACK/XDEL analogue; sources/CdcDirectorySource)
+          spark.readStream.format("graft-cdc")
+            .option("path", in)
+            .option("acknowledge", cfg.source.acknowledge)
+            .option("maxSegmentsPerTrigger",
+              math.max(1, cfg.buffers.source.size / 1000))
+            .load()
+        case "json" =>
+          val schema = StructType(Seq(
+            StructField("id", LongType), StructField("table", StringType),
+            StructField("envelope", StringType)))
+          spark.readStream.schema(schema)
+            // count arm of the reference's count-or-time source buffer
+            .option("maxFilesPerTrigger", math.max(1, cfg.buffers.source.size / 1000))
+            .json(in)
+        case other =>
+          System.err.println(s"unknown --source $other (graft-cdc|json)"); sys.exit(2)
+      }
       val q = CdcStream.start(records, Routing.routesDf(spark, cfg),
         cfg.buffers.target.size, out, ckpt,
         windowMillis = cfg.buffers.dedupe.time)
