@@ -333,6 +333,28 @@ object SparkEntry {
           col("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
+    "text_normalize" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        md5(graft.functions.TextExpressions.normalizeText(col("text")))
+          .as("norm_hash"),
+        length(graft.functions.TextExpressions.normalizeText(col("text")))
+          .cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))),
+
+    "text_quality" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val nTok = TF.nTokens(col("text"))
+      doc.select(
+        col("doc_id").cast("long").as("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        ((nTok >= 10) && (nTok <= 100000) &&
+          (TF.meanTokenLen(col("text")) >= 2.0) &&
+          (TF.meanTokenLen(col("text")) <= 12.0) &&
+          (TF.alphaRatio(col("text")) > 0.5)).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_range_join" -> ((s, d) => {
       import graft.operators.RangeJoin
       val ev = t(s, d, "events").withColumn("ts_us", expr("ts_ns div 1000"))
@@ -697,6 +719,27 @@ object SparkEntry {
         | quantile_cont(o_totalprice, 0.9) AS p90,
         | COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        | md5(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS norm_hash,
+        | CAST(length(regexp_replace(trim(lower(nfc_normalize(text))), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')) AS mtl,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS ar
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  (n_tokens >= 10 AND n_tokens <= 100000
+        |   AND mtl >= 2.0 AND mtl <= 12.0 AND ar > 0.5) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
 
     "q_range_join" ->
       """WITH spans AS (

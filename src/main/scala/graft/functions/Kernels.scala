@@ -319,4 +319,19 @@ object Kernels {
     })
   private def mixA(k: Int, seed: Long): Array[Long] = perms(k, seed)._1
   private def mixB(k: Int, seed: Long): Array[Long] = perms(k, seed)._2
+
+  /** Canonical text normalization: unicode NFC, lowercase, trim, collapse
+    * runs of whitespace to single spaces. ASCII fast path avoids the
+    * Normalizer + regex allocations for the common case.
+    */
+  def normalizeText(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    val nfc = if (ascii) str
+      else java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(lower.trim.replaceAll("\\s+", " "))
+  }
 }

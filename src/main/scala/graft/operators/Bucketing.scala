@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table co-location: pre-shuffle a table ONCE at write time
+  * (`bucketBy` + `sortBy` on the join/agg key) so every later equi-join or
+  * aggregation on that key runs shuffle-free — Spark reads each bucket as a
+  * pre-partitioned, pre-sorted split and plans SortMergeJoin with no
+  * Exchange and no per-query Sort.
+  *
+  * The 100 TB economics: a fact table joined k times amortizes one shuffle
+  * (the bucketed write) over k queries; bucket count should be sized so
+  * bucket ≈ 100–500 MB at target scale (here parameterized). Both sides must
+  * bucket on the same key with the same count for co-location; a dimension
+  * small enough to broadcast should broadcast instead (bucketing only beats
+  * broadcast when both sides are big).
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed+sorted managed table (idempotent overwrite). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Co-located equi-join of two bucketed tables (plans with zero Exchange
+    * when both were written via [[writeBucketed]] with equal bucket counts).
+    */
+  def join(spark: SparkSession, leftTable: String, rightTable: String,
+           key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

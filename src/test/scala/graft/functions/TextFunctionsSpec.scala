@@ -51,4 +51,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(row._1 - 4.0 / 6.0) < 1e-12)
     assert(math.abs(row._2 - 5.0 / 2.0) < 1e-12) // "ab"+"cd!" = 5 chars / 2 tokens
   }
+
+  test("normalize_text: NFC composition, casefold, whitespace collapse") {
+    val inputs = Seq(
+      "  Hello   WORLD  ",          // collapse + lower + trim
+      "Cafe\u0301 du  Monde",       // decomposed e + accent -> NFC single char
+      "")                           // empty stays empty
+    val out = inputs.toDF("t")
+      .select(graft.functions.TextExpressions.normalizeText(col("t")).as("n"))
+      .as[String].collect().toSeq
+    assert(out(0) == "hello world")
+    assert(out(1) == "caf\u00e9 du monde")
+    assert(out(1).length == 13) // composed form: one char for e-acute
+    assert(out(2) == "")
+  }
 }
