@@ -273,6 +273,47 @@ object SparkEntry {
           col("fingerprints"))
         .orderBy(col("doc_id"))),
 
+    "q_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (beyond rollup/cube): (status), (priority), ()
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+              | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+              | CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+              |  g_status, g_priority""".stripMargin)
+    }),
+
+    "q_array_functions" -> ((s, d) =>
+      // higher-order array ops over per-customer order-price lists
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(dec(col("o_totalprice")).cast("double")))
+          .as("prices"))
+        .select(
+          col("o_custkey").cast("long").as("o_custkey"),
+          size(col("prices")).cast("long").as("n"),
+          element_at(col("prices"), 1).as("min_price"),
+          element_at(col("prices"), -1).as("max_price"),
+          size(filter(col("prices"), p => p > 200000.0)).cast("long").as("n_big"),
+          aggregate(col("prices"), lit(0.0),
+            (acc, p) => acc + p).as("sum_via_fold"))
+        .filter(col("n") >= 3)
+        .orderBy(col("o_custkey"))),
+
+    "q_date_functions" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey").cast("long").as("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_eoy"))
+        .orderBy(col("o_orderkey"))),
+
     "q_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       t(s, d, "events")
@@ -682,6 +723,40 @@ object SparkEntry {
         |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
         |  CAST(last_purchase_id AS BIGINT) AS last_purchase_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        | CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_status, g_priority""".stripMargin,
+
+    "q_array_functions" ->
+      """WITH l AS (
+        |  SELECT o_custkey,
+        |    list_sort(list(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)))
+        |      AS prices
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  CAST(len(prices) AS BIGINT) AS n,
+        |  prices[1] AS min_price,
+        |  prices[-1] AS max_price,
+        |  CAST(len(list_filter(prices, p -> p > 200000.0)) AS BIGINT) AS n_big,
+        |  list_reduce(prices, (acc, p) -> acc + p) AS sum_via_fold
+        |FROM l WHERE len(prices) >= 3 ORDER BY o_custkey""".stripMargin,
+
+    "q_date_functions" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mon,
+        | CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+        | strftime(o_orderdate, '%Y-%m-%d') AS day_str,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS BIGINT)
+        |   AS days_to_eoy
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_lag_lead" ->
       """SELECT CAST(user_id AS BIGINT) AS user_id,
