@@ -16,15 +16,20 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full plan execution (count() could short-circuit
     // through scan-only statistics paths).
-    // min of 2 runs per query: the container shares cores with the driver,
-    // so single-shot timings carry multi-second scheduling noise.
+    // 1 untimed warmup + min of 2 timed runs per query: the first execution
+    // pays codegen compilation + JIT (measured 4-7x on formatter-heavy
+    // queries) and the container shares cores with the driver, so single-shot
+    // timings carry multi-second noise.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
+      def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+      run() // warmup
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        run()
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
