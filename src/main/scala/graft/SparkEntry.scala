@@ -273,6 +273,27 @@ object SparkEntry {
           col("fingerprints"))
         .orderBy(col("doc_id"))),
 
+    "q_topk_agg" -> ((s, d) => {
+      import graft.operators.TopK
+      import s.implicits._
+      // typed Aggregator top-k: only k rows per group per partition shuffle
+      // (vs the full-exchange window row_number in q_window_top_orders)
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec(col("o_totalprice")).cast("double").as("price"))
+      val keyed = o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("price"), col("o_orderkey"))
+        .as[(String, Double, Long)]
+        .map { case (seg, p, id) => (seg, TopK.Entry(p, id)) }
+      TopK.perGroup(keyed, 3).flatMap { case (seg, buf) =>
+        buf.items.zipWithIndex.map { case (e, i) =>
+          (seg, i.toLong + 1, e.id, e.score)
+        }
+      }.toDF("c_mktsegment", "rnk", "o_orderkey", "price")
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
     "q_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS (beyond rollup/cube): (status), (priority), ()
       t(s, d, "orders").createOrReplaceTempView("orders_gs")
@@ -723,6 +744,20 @@ object SparkEntry {
         |SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
         |  CAST(last_purchase_id AS BIGINT) AS last_purchase_id
         |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "q_topk_agg" ->
+      """WITH j AS (
+        |  SELECT c.c_mktsegment, o.o_orderkey,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, o_orderkey, price,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY price DESC, o_orderkey) AS rnk
+        |  FROM j)
+        |SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(o_orderkey AS BIGINT) AS o_orderkey, price
+        |FROM r WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,

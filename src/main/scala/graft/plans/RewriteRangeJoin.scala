@@ -118,10 +118,35 @@ case class RewriteRangeJoin() extends Rule[LogicalPlan] {
 
 /** Engine extensions entry point: `spark.sql.extensions=graft.plans.GraftExtensions`
   * (or `.withExtensions(new GraftExtensions)`). Rules are no-ops until their
-  * session confs are set.
+  * session confs are set; injected functions expose the engine's native
+  * expressions to SQL (`SELECT graft_cosine(a, b)` etc.).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions._
+
+  private def fn(name: String, usage: String)(
+      builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteRangeJoin())
+    ext.injectFunction(fn("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float/double arrays") {
+      args => CosineSimilarity(args(0), args(1))
+    })
+    ext.injectFunction(fn("graft_normalize_text",
+      "graft_normalize_text(s) - NFC + casefold + whitespace collapse") {
+      args => NormalizeText(args(0))
+    })
+    ext.injectFunction(fn("graft_simhash",
+      "graft_simhash(tokens) - 64-bit SimHash of an array<string>") {
+      args => SimHash64(args(0))
+    })
+    ext.injectFunction(fn("graft_jaccard",
+      "graft_jaccard(a, b) - exact set-Jaccard of two array<string>") {
+      args => JaccardSim(args(0), args(1))
+    })
   }
 }
