@@ -59,7 +59,12 @@ object Dedup {
     val ranked = sh.join(dfreq, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc").orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 1)
+      // prefix length = |A| - ceil(t·|A|) + 1. NOT floor((1-t)·|A|)+1 in
+      // doubles: 1.0-0.8 = 0.1999…96, so for |A| divisible by 5 the prefix
+      // came out one short and true pairs were missed (found at sf0.1).
+      // The epsilon guards ceil against the dual error (t·|A| = k - 1e-16).
+      .filter(col("rk") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select("doc", "n_sh", "sh")
     // size-ratio filter inside the candidate join: J ≥ t forces
     // |A|/|B| ∈ [t, 1/t] — kills most spurious prefix collisions for free.
