@@ -294,6 +294,17 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
+    "dedup_groups" -> ((s, d) => {
+      // full dedup deliverable: near-dup pairs -> connected-component
+      // canonical ids (pointer-jumping min-label propagation)
+      val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", 3, 0.8)
+      Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS (beyond rollup/cube): (status), (priority), ()
       t(s, d, "orders").createOrReplaceTempView("orders_gs")
@@ -911,6 +922,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+    "dedup_groups" -> dedupGroupsOracle,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -960,8 +972,8 @@ object SparkEntry {
     * LSH candidate recall at j≥0.8 is >0.9998 and candidates are verified
     * with exact jaccard, so both return the identical pair set on this data).
     */
-  private val ngramJaccardOracle: String =
-    """WITH sh AS (
+  private val ngramPairsCtes: String =
+    """sh AS (
       |  SELECT doc_id, list_distinct(
       |    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words)-1)]) AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents) t),
@@ -969,11 +981,33 @@ object SparkEntry {
       |  SELECT a.doc_id AS da, b.doc_id AS db,
       |    len(list_intersect(a.s, b.s)) AS i,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $ngramPairsCtes
       |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
       |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
       |FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the ngram pair graph via recursive closure —
+    * tractable in DuckDB because near-dup components are tiny.
+    */
+  private val dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+      |good AS (SELECT da, db FROM pairs
+      |         WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8),
+      |edges AS (SELECT da AS a, db AS b FROM good
+      |          UNION SELECT db, da FROM good),
+      |closure(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges)
+      |SELECT CAST(node AS BIGINT) AS doc_id,
+      |  CAST(least(node, min(b)) AS BIGINT) AS canonical_id
+      |FROM nodes JOIN closure ON node = closure.a
+      |GROUP BY node ORDER BY doc_id""".stripMargin
 
   private val langIdOracle: String = {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")

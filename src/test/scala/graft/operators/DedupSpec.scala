@@ -67,4 +67,28 @@ class DedupSpec extends AnyFunSuite {
       .select("cosine").as[Double].collect()
     assert(withCos.forall(_ >= 0.9))
   }
+
+  test("duplicateGroups assigns min-id canonical labels per component") {
+    // components: {1,2,3} via chain 1-2, 2-3; {10,11}; {20,21,22} via star
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("duplicateGroups on a long chain converges within round budget") {
+    val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateGroups(chain, "doc_a", "doc_b", maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
+  test("end-to-end: ngram pairs -> canonical groups on planted dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(groups == Map(0L -> 0L, 100L -> 0L, 1L -> 1L, 101L -> 1L))
+  }
 }
