@@ -294,6 +294,19 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
+    "mm_frame_sample" -> ((s, d) => {
+      import graft.operators.Multimodal
+      val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text",
+        "video/fake")
+      Multimodal.sampleFrames(s, media, stride = 2, maxFrames = 8)
+        .toDF()
+        .select(col("media_id").cast("long").as("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("ts_ms").cast("long").as("ts_ms"),
+          length(col("frame_payload")).cast("long").as("frame_len"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
     "dedup_groups" -> ((s, d) => {
       // full dedup deliverable: near-dup pairs -> connected-component
       // canonical ids (pointer-jumping min-label propagation)
@@ -923,6 +936,23 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_groups" -> dedupGroupsOracle,
+
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, CAST(ceil(n / 256.0) AS INT), 2)) AS i
+        |  FROM m WHERE n > 0),
+        |r AS (
+        |  SELECT doc_id, n, i,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM f)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(i AS BIGINT) AS frame_no,
+        |  CAST(round(i * 1000.0 / 30) AS BIGINT) AS ts_ms,
+        |  CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
+        |FROM r WHERE rn <= 8 ORDER BY media_id, frame_no""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -44,6 +44,22 @@ object Multimodal {
     * available; signature and batching stay identical.
     */
   object FakeCodec {
+    /** STUB demuxer: fixed 256-byte windows as "frames". */
+    def splitFrames(payload: Array[Byte]): Array[Array[Byte]] =
+      if (payload == null || payload.isEmpty) Array.empty
+      else payload.grouped(256).toArray
+
+    /** STUB resampler: deterministic byte subsample to `target` bytes. */
+    def resample(payload: Array[Byte], target: Int): Array[Byte] =
+      if (payload == null || payload.isEmpty) Array.emptyByteArray
+      else {
+        val out = new Array[Byte](math.min(target, payload.length))
+        val step = payload.length.toDouble / out.length
+        var i = 0
+        while (i < out.length) { out(i) = payload((i * step).toInt); i += 1 }
+        out
+      }
+
     def decode(r: MediaRow): MediaFeatures = {
       val h = if (r.payload == null) 0L
         else java.util.Arrays.hashCode(r.payload).toLong & 0xffffffffL
@@ -65,6 +81,50 @@ object Multimodal {
       .mapPartitions { iter =>
         // real codec init would happen here, once per partition
         iter.map(FakeCodec.decode)
+      }
+  }
+
+  case class Frame(media_id: Long, frame_no: Int, ts_ms: Long,
+                   frame_payload: Array[Byte])
+
+  /** Frame sampling: one video row → every `stride`-th frame, capped at
+    * `maxFrames` per video. The row-explosion contract is the real design
+    * decision at scale — sampling BEFORE any shuffle (flatMap over the scan,
+    * output rows carry only the sampled frame bytes, never the full video),
+    * so downstream per-frame featurization parallelizes past the per-video
+    * skew. The frame split itself is stubbed (no codecs in this container):
+    * deterministic fixed-size windows over the payload stand in for decoded
+    * frames; a real demuxer swaps into `splitFrames` only.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int,
+                   maxFrames: Int, fps: Double = 30.0): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride > 0 && maxFrames > 0)
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .flatMap { r =>
+        val frames = FakeCodec.splitFrames(r.payload)
+        Iterator.range(0, frames.length, stride).take(maxFrames).map { i =>
+          Frame(r.media_id, i, math.round(i * 1000.0 / fps), frames(i))
+        }
+      }
+  }
+
+  case class Resized(media_id: Long, width: Int, height: Int,
+                     thumb: Array[Byte])
+
+  /** Resize-to-thumbnail: partition-batched like [[extractFeatures]]; the
+    * pixel resample is stubbed (deterministic byte subsample preserving the
+    * target size contract), the Spark plumbing — schema, per-partition codec
+    * reuse, output byte budget — is real.
+    */
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { iter =>
+        // real scaler init once per partition
+        iter.map { r =>
+          Resized(r.media_id, w, h, FakeCodec.resample(r.payload, w * h))
+        }
       }
   }
 }

@@ -36,4 +36,31 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().find(_.media_id == 2L).get
     assert(out.byte_len == 0)
   }
+
+  test("frame sampling: stride + cap honored, bytes from the source payload") {
+    // 1000-byte payload -> 4 stub frames of 256/256/256/232 bytes
+    val big = Seq((7L, Array.fill[Byte](1000)(3))).toDF("media_id", "payload")
+    val m = Multimodal.asMedia(big, "media_id", "payload", "video/fake")
+    val frames = Multimodal.sampleFrames(spark, m, stride = 2, maxFrames = 10)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2)) // every 2nd of 4
+    assert(frames.head.frame_payload.length == 256)
+    assert(frames.head.ts_ms == 0 && frames(1).ts_ms == 67) // 2/30s = 66.7ms
+    val capped = Multimodal.sampleFrames(spark, m, stride = 1, maxFrames = 2)
+      .collect()
+    assert(capped.length == 2)
+    // empty payload -> no frames, no failure
+    val empty = Multimodal.asMedia(
+      Seq((8L, Array.emptyByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload", "video/fake")
+    assert(Multimodal.sampleFrames(spark, empty, 1, 10).count() == 0)
+  }
+
+  test("resize: output byte budget and determinism") {
+    val out = Multimodal.resize(spark, media, 4, 3).collect().sortBy(_.media_id)
+    assert(out.forall(r => r.width == 4 && r.height == 3))
+    assert(out.forall(r => r.thumb.length <= 12))
+    val again = Multimodal.resize(spark, media, 4, 3).collect().sortBy(_.media_id)
+    assert(out.map(_.thumb.toSeq).toSeq == again.map(_.thumb.toSeq).toSeq)
+  }
 }
