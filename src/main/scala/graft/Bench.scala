@@ -1,6 +1,57 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 object Bench {
+
+  /** Streaming-plane throughput: events staged as segment-log files, consumed
+    * through the DSv2 source in `nBatches` micro-batches running the full
+    * parse→route→dedupe→batch plane per epoch. Measures the stream from
+    * start to drain (setup/staging excluded).
+    */
+  private def streamingThroughput(spark: SparkSession, sfDir: String): Double = {
+    import java.nio.file.{Files, Paths}
+    val segDir = Files.createTempDirectory("graft-bench-segs").toString
+    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
+    val nSegments = 32
+    val ev = Tables(spark, sfDir, "events")
+    val nEvents = ev.count()
+    ev.select(concat(
+        col("event_type"), lit("\u0001"),
+        lit("{\"before\": null, \"after\": "), col("props"), lit("}")).as("value"))
+      .repartition(nSegments)
+      .write.mode("overwrite").text(segDir + "/raw")
+    // one segment per part file; seq from file order. All segments share one
+    // logical "table" per line prefix, so the reader's table column comes
+    // from the line itself — reuse the envelope column and split in-stream.
+    val parts = new java.io.File(segDir + "/raw").listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      Files.move(f.toPath, Paths.get(segDir, s"events.${i + 1}.log"))
+    }
+    val routes = Seq(
+      ("click", "k", "t_all"), ("click", "k", "t_click"),
+      ("purchase", "k", "t_all"), ("purchase", "k", "t_purchase"),
+      ("signup", "k", "t_signup"),
+      ("view", "k", "t_all"), ("view", "k", "t_view"))
+    import spark.implicits._
+    val routesDf = routes.toDF("table", "column", "target")
+    val records = spark.readStream.format("graft-cdc")
+      .option("path", segDir)
+      .option("maxSegmentsPerTrigger", nSegments / 4) // 4 micro-batches
+      .load()
+      // line = "<type>\\u0001<envelope>": recover the real route key
+      .select(col("id"),
+        split(col("envelope"), "\u0001").getItem(0).as("table"),
+        split(col("envelope"), "\u0001").getItem(1).as("envelope"))
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CdcStream.startWith(records, routesDf,
+        maxBatch = 1000, ckpt, windowMillis = 50L) { (batch: DataFrame, _: Long) =>
+      batch.write.format("noop").mode("overwrite").save()
+    }
+    try q.processAllAvailable() finally q.stop()
+    nEvents / ((System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,8 +101,13 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput failed: ${e.getMessage}"); 0.0
     }
+    val streamRate = try streamingThroughput(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}"); 0.0
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cdc_events_per_sec":${throughput.round},"sf":"$sfDir"}""")
+      s""""cdc_events_per_sec":${throughput.round},""" +
+      s""""stream_events_per_sec":${streamRate.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
