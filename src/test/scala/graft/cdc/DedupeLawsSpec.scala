@@ -84,4 +84,31 @@ class DedupeLawsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("law: hashed chunking conserves ids and stays within nChunks") {
+    samples.foreach { rows =>
+      val deduped = rows.groupBy(r => (r._1, r._2)).keys.toList
+      val df = deduped.toDF("target", "entity_id")
+      val out = Batcher.chunkIdsHashed(df, "target", "entity_id", nChunks = 4)
+        .select("target", "chunk_no", "ids")
+        .as[(String, Long, String)].collect()
+      assert(out.forall(r => r._2 >= 0 && r._2 < 4))
+      val idsByTarget = out.groupBy(_._1).view.mapValues(_.flatMap(r =>
+        r._3.stripPrefix("[").stripSuffix("]") match {
+          case "" => Nil
+          case x => x.split(",").map(_.toInt).toSeq
+        }).sorted.toSeq).toMap
+      val expect = deduped.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      assert(idsByTarget == expect)
+    }
+  }
+
+  test("law: distinctKeys equals the set of distinct key tuples") {
+    samples.take(3).foreach { rows =>
+      val df = rows.toDF("target", "entity_id", "ord")
+      val got = Dedupe.distinctKeys(df, Seq("target", "entity_id"))
+        .as[(String, Int)].collect().toSet
+      assert(got == rows.map(r => (r._1, r._2)).toSet)
+    }
+  }
 }
