@@ -30,4 +30,20 @@ object Bucketing {
   def join(spark: SparkSession, leftTable: String, rightTable: String,
            key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Hive-style partitioned layout — the other half of the 100 TB scan
+    * story: a time-partitioned fact table turns every time-bounded query
+    * into a directory prune (the scan's `PartitionFilters`), skipping data
+    * proportionally to the filter's selectivity BEFORE any I/O. Partition
+    * column cardinality must stay modest (days, not seconds — small-file
+    * explosion is the failure mode this guards with a per-partition
+    * repartition).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       filesPerPartition: Int = 1): Unit =
+    df.repartition(filesPerPartition,
+        org.apache.spark.sql.functions.col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

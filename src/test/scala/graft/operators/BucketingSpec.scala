@@ -46,4 +46,22 @@ class BucketingSpec extends AnyFunSuite {
       assert(agg.agg(sum("s")).as[Long].head() == (0 until 500).map(_.toLong).sum)
     } finally spark.sql("DROP TABLE IF EXISTS bspec_agg")
   }
+
+  test("partitioned write: time filter prunes partitions at the scan") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-part").toString
+    val days = (0 until 10).flatMap(d => (0 until 50).map(i =>
+      (f"2026-01-${d + 1}%02d", d * 50L + i)))
+    Bucketing.writePartitioned(days.toDF("day", "v"), dir, "day")
+    val all = spark.read.parquet(dir)
+    val pruned = all.filter($"day" === "2026-01-03")
+    val scan = pruned.queryExecution.executedPlan.toString
+    // partition filter present and applied BEFORE I/O
+    assert(scan.contains("PartitionFilters: [isnotnull(day"), scan.take(1200))
+    assert(pruned.count() == 50)
+    // pruning actually reduced the files read
+    val prunedFiles = pruned.select(input_file_name()).distinct().count()
+    val allFiles = all.select(input_file_name()).distinct().count()
+    assert(prunedFiles == 1 && allFiles == 10)
+  }
 }
