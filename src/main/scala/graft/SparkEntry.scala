@@ -265,12 +265,17 @@ object SparkEntry {
     }),
 
     "text_winnow" -> ((s, d) =>
+      // scalar output only (count + digest of the fingerprint list): the
+      // driver's compare sorts every column, and a raw array column is
+      // unsortable/unhashable on the pandas side
       t(s, d, "documents").select(
         col("doc_id").cast("long").as("doc_id"),
         graft.functions.VectorFunctions.winnow(
           TF.tokens(col("text")), 3, 4).as("fingerprints"))
-        .select(col("doc_id"), size(col("fingerprints")).cast("long").as("n_fp"),
-          col("fingerprints"))
+        .select(col("doc_id"),
+          size(col("fingerprints")).cast("long").as("n_fp"),
+          md5(array_join(transform(col("fingerprints"), _.cast("string")), ","))
+            .as("fp_digest"))
         .orderBy(col("doc_id"))),
 
     "q_topk_agg" -> ((s, d) => {

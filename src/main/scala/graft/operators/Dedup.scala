@@ -196,12 +196,21 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
                       maxRounds: Int = 10): DataFrame = {
-    val edges = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // try_cast (not cast): under ANSI a bad id would throw a raw cast error
+    // from whichever action runs first — the explicit check below gives one
+    // deterministic, named failure in both ANSI and legacy modes
+    val edges = pairs.select(
+      col(aCol).try_cast("long").as("a"), col(bCol).try_cast("long").as("b"))
     // undirected adjacency; materialized ONCE (localCheckpoint) — without it
     // every round re-executes the whole upstream pair-generation pipeline
     // (measured 5x slowdown on the ngram operator at sf0.1)
     val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+    // ids must be numeric: cast("long") maps a non-numeric id to null, which
+    // would silently vanish from the label table — fail fast instead.
+    val nBadIds = adj.filter(col("a").isNull || col("b").isNull).limit(1).count()
+    require(nBadIds == 0,
+      s"duplicateGroups: non-numeric id in '$aCol'/'$bCol' (cast to long gave null)")
     var labels = adj.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
     var round = 0
@@ -228,6 +237,12 @@ object Dedup {
       converged = !changed
       round += 1
     }
+    // exiting on the round budget without a converged pass means labels may
+    // not be component minima — wrong canonical ids are worse than failing
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateGroups: label propagation did not converge in $maxRounds " +
+          "rounds (component diameter > 2^maxRounds?); raise maxRounds")
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 }

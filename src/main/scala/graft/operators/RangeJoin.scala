@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Bucket ids covered by [lo, hi], as an exploded-safe array: a dirty
+    * interval row (hi < lo, or a NULL bound) yields an empty array — Explode
+    * then drops the row, matching the unbucketized join (which matches
+    * nothing for it) instead of throwing "Illegal sequence boundaries".
+    */
+  private def bucketSeq(lo: Column, hi: Column, b: Column): Column = {
+    val bLo = floor(lo / b).cast("long")
+    val bHi = floor(hi / b).cast("long")
+    when(bLo.isNotNull && bHi.isNotNull && bLo <= bHi, sequence(bLo, bHi))
+      .otherwise(array().cast("array<long>"))
+  }
+
   /** Inner-join `points` to `intervals` on containment:
     * `pointCol BETWEEN loCol AND hiCol` (inclusive both ends), all columns of
     * both inputs preserved. Column names must not collide (pre-alias).
@@ -31,8 +43,7 @@ object RangeJoin {
     require(bucket > 0, "bucket width must be positive")
     val b = lit(bucket)
     val ivals = intervals
-      .withColumn("_rj_bucket",
-        explode(sequence(floor(loCol / b).cast("long"), floor(hiCol / b).cast("long"))))
+      .withColumn("_rj_bucket", explode(bucketSeq(loCol, hiCol, b)))
       .withColumn("_rj_lo", loCol).withColumn("_rj_hi", hiCol)
     val pts = points
       .withColumn("_rj_bucket", floor(pointCol / b).cast("long"))
@@ -54,11 +65,9 @@ object RangeJoin {
                       bucket: Long): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
     val w = lit(bucket)
-    val ea = a.withColumn("_rj_bucket",
-        explode(sequence(floor(aLo / w).cast("long"), floor(aHi / w).cast("long"))))
+    val ea = a.withColumn("_rj_bucket", explode(bucketSeq(aLo, aHi, w)))
       .withColumn("_rj_alo", aLo).withColumn("_rj_ahi", aHi)
-    val eb = b.withColumn("_rj_bucket",
-        explode(sequence(floor(bLo / w).cast("long"), floor(bHi / w).cast("long"))))
+    val eb = b.withColumn("_rj_bucket", explode(bucketSeq(bLo, bHi, w)))
       .withColumn("_rj_blo", bLo).withColumn("_rj_bhi", bHi)
     ea.join(eb, Seq("_rj_bucket"))
       .filter(col("_rj_alo") <= col("_rj_bhi") && col("_rj_blo") <= col("_rj_ahi"))

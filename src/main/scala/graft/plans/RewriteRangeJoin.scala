@@ -107,8 +107,18 @@ case class RewriteRangeJoin() extends Rule[LogicalPlan] {
     val rightBucket = AttributeReference("_rj_bucket_r", LongType, nullable = false)()
     // Sequence is TimeZoneAware: without an explicit zone it stays unresolved
     // (this rule runs post-analysis, nothing re-resolves it)
-    val seq = Sequence(bucketOf(lo, w), bucketOf(hi, w), Some(Literal(1L)),
-      Some(conf.sessionLocalTimeZone))
+    val bLo = bucketOf(lo, w)
+    val bHi = bucketOf(hi, w)
+    // A dirty interval row (hi < lo, or a NULL bound) would make Sequence
+    // throw "Illegal sequence boundaries" and kill the job — the unrewritten
+    // query simply matches nothing for that row. Emit an empty bucket list
+    // instead; Explode of an empty array drops the row, preserving the
+    // original semantics.
+    val seq = If(
+      And(And(IsNotNull(bLo), IsNotNull(bHi)), LessThanOrEqual(bLo, bHi)),
+      Sequence(bLo, bHi, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(Array.empty[Long],
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
     val gen = Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(rightBucket), child = right)
     val newCond = And(EqualTo(leftBucket, rightBucket), cond)

@@ -20,8 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference's one stream per watched table, WatchStream.java:323).
   * Each line is one Debezium envelope.
   * Emitted schema = the engine's CDC record contract:
-  * `id STRING, table STRING, envelope STRING` with `id = "<seq>-<line>"`
-  * mirroring Redis's `ms-seq` RecordId totally-ordered offsets.
+  * `id STRING, table STRING, envelope STRING` with `id` a fixed-width
+  * zero-padded `<seq>-<line>` ([[CdcDirectorySource.recordId]]) mirroring
+  * Redis's `ms-seq` RecordId totally-ordered offsets; fixed width keeps
+  * string order == arrival order for downstream keep-first/chunk stages.
   *
   * Semantics carried over from the reference:
   *   - S1 consumer-group attach ⇒ `initialOffset` (idempotent, starts at 0).
@@ -44,10 +46,15 @@ class CdcDirectorySource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     CdcDirectorySource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new CdcDirectoryTable(properties.get("path"),
-      Option(properties.get("acknowledge")).getOrElse("simple"),
-      Option(properties.get("maxsegmentspertrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+                        properties: util.Map[String, String]): Table = {
+    // Spark hands over asCaseSensitiveMap here — re-wrap so option lookup is
+    // case-insensitive like everywhere else in DSv2 (callers write
+    // `maxSegmentsPerTrigger`).
+    val opts = new CaseInsensitiveStringMap(properties)
+    new CdcDirectoryTable(opts.get("path"),
+      Option(opts.get("acknowledge")).getOrElse("simple"),
+      Option(opts.get("maxSegmentsPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+  }
 }
 
 object CdcDirectorySource {
@@ -56,18 +63,27 @@ object CdcDirectorySource {
     StructField("table", StringType, nullable = false),
     StructField("envelope", StringType, nullable = false)))
 
+  // <table>.<seq>.log with the LAST two dots as separators, so table names
+  // containing '.' (e.g. `m2.m2.catalog_product_entity`) parse correctly.
+  private val SegmentName = """(.+)\.(\d+)\.log""".r
+
   /** Segment files sorted by (seq, table): the stream's total order. */
   def segments(dir: String): Seq[SegmentFile] = {
     val d = new java.io.File(dir)
     val fs = Option(d.listFiles()).getOrElse(Array.empty)
-    fs.iterator.map(_.getName).flatMap { n =>
-      n.split('.') match {
-        case Array(table, seq, "log") if seq.forall(_.isDigit) =>
-          Some(SegmentFile(table, seq.toLong, new java.io.File(d, n).getPath))
-        case _ => None
-      }
+    fs.iterator.map(_.getName).flatMap {
+      case SegmentName(table, seq) =>
+        Some(SegmentFile(table, seq.toLong, new java.io.File(d, s"$table.$seq.log").getPath))
+      case _ => None
     }.toSeq.sortBy(s => (s.seq, s.table))
   }
+
+  /** Record offset id: zero-padded `<seq>-<line>` so LEXICOGRAPHIC order ==
+    * numeric (seq, line) arrival order — downstream keep-first/chunk stages
+    * order by this string directly (a bare "10-3" < "9-1" would invert
+    * arrival order once seq passes one digit).
+    */
+  def recordId(seq: Long, line: Long): String = f"$seq%012d-$line%09d"
 
   case class SegmentFile(table: String, seq: Long, path: String)
 }
@@ -102,13 +118,16 @@ private class CdcDirectoryStream(path: String, acknowledge: String,
                                  maxPerTrigger: Int) extends MicroBatchStream {
   import CdcDirectorySource._
 
-  override def initialOffset(): Offset = SegOffset(0L) // S1: attach at 0-0
+  // S1: attach BEFORE the first possible segment — a `<table>.0.log` is
+  // readable (planInputPartitions filters seq > start, so starting at 0
+  // would silently skip it).
+  override def initialOffset(): Offset = SegOffset(-1L)
   override def deserializeOffset(json: String): Offset = SegOffset(json.toLong)
 
   // `latestOffset` must be monotone across calls; `lastEnd` remembers the
   // highest end handed out (per run — the WAL re-seeds progress on restart,
   // and a stale low end only yields one empty batch before catching up)
-  @volatile private var lastEnd = 0L
+  @volatile private var lastEnd = -1L
 
   override def latestOffset(): Offset = {
     val visible = segments(path).map(_.seq).filter(_ > lastEnd).sorted
@@ -135,7 +154,7 @@ private class CdcDirectoryStream(path: String, acknowledge: String,
         override def next(): Boolean =
           if (it.hasNext) { current = it.next(); lineNo += 1; true } else false
         override def get(): InternalRow =
-          InternalRow(UTF8String.fromString(s"${seg.seq}-$lineNo"),
+          InternalRow(UTF8String.fromString(recordId(seg.seq, lineNo)),
             UTF8String.fromString(seg.table),
             UTF8String.fromString(current))
         override def close(): Unit = lines.close()

@@ -85,6 +85,22 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size == 41 && got.values.forall(_ == 0L))
   }
 
+  test("duplicateGroups rejects non-numeric ids instead of dropping them") {
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.duplicateGroups(pairs, "doc_a", "doc_b").collect()
+    }
+    assert(e.getMessage.contains("non-numeric id"))
+  }
+
+  test("duplicateGroups throws on an exhausted round budget, not silently") {
+    val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.duplicateGroups(chain, "doc_a", "doc_b", maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("end-to-end: ngram pairs -> canonical groups on planted dups") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")

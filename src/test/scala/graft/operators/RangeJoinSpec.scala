@@ -52,6 +52,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("dirty intervals (hi < lo, NULL bound) match nothing instead of throwing") {
+    val dirty = intervals.union(
+      Seq((500L, 9000L, 100L)).toDF("iid", "lo", "hi")) // inverted
+      .union(spark.sql("SELECT 501 AS iid, 10 AS lo, CAST(NULL AS BIGINT) AS hi"))
+    val got = RangeJoin.pointInInterval(points, $"x", dirty, $"lo", $"hi", 100L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == bruteForce) // dirty rows contribute no matches
+    val a = dirty.select($"iid".as("aid"), $"lo".as("alo"), $"hi".as("ahi"))
+    val b = intervals.select($"iid".as("bid"), $"lo".as("blo"), $"hi".as("bhi"))
+    val overlaps = RangeJoin.intervalOverlap(a, $"alo", $"ahi", b, $"blo", $"bhi", 500L)
+      .select($"aid").as[Long].collect()
+    assert(!overlaps.contains(500L) && !overlaps.contains(501L))
+  }
+
   test("no nested-loop join in the physical plan") {
     val plan = RangeJoin.pointInInterval(points, $"x", intervals, $"lo", $"hi", 100L)
       .queryExecution.executedPlan.toString

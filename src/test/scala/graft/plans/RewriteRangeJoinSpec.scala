@@ -69,6 +69,24 @@ class RewriteRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("dirty interval rows (hi < lo, NULL bound) match nothing, no crash") {
+    val s = spark
+    import s.implicits._
+    val (points, intervals) = data
+    val dirty = intervals
+      .union(Seq((500L, 4000L, 100L)).toDF("iid", "lo", "hi"))
+      .union(spark.sql("SELECT 501 AS iid, 10 AS lo, CAST(NULL AS BIGINT) AS hi"))
+    val expect = points.crossJoin(intervals)
+      .filter($"x" >= $"lo" && $"x" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "200")
+    try {
+      val got = points.join(dirty, $"x" >= $"lo" && $"x" <= $"hi")
+        .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+      assert(got == expect) // dirty rows contribute nothing, clean rows intact
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("inert without the conf") {
     val s = spark
     import s.implicits._

@@ -71,6 +71,53 @@ class CdcDirectorySourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxSegmentsPerTrigger (camelCase, as callers write it) caps each batch") {
+    val dir = Files.createTempDirectory("graft-src3").toString
+    val ckpt = Files.createTempDirectory("graft-src3-ckpt").toString
+    (1L to 4L).foreach(seq => writeSegment(dir, "t", seq, Seq(seq.toInt)))
+    val records = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("maxSegmentsPerTrigger", "1").load()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = records.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        batchSizes.synchronized { if (n > 0) batchSizes += n }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 4 segments under a 1-segment cap -> 4 micro-batches of 1 record each
+    assert(batchSizes.synchronized(batchSizes.toSeq) == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("segment seq 0 is read; dotted table names parse on the last two dots") {
+    val dir = Files.createTempDirectory("graft-src4").toString
+    val ckpt = Files.createTempDirectory("graft-src4-ckpt").toString
+    writeSegment(dir, "m2.m2.catalog_product_entity", 0L, Seq(7))
+    assert(CdcDirectorySource.segments(dir)
+      .map(s => (s.table, s.seq)) == Seq(("m2.m2.catalog_product_entity", 0L)))
+    val records = spark.readStream.format("graft-cdc").option("path", dir).load()
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = records.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.select("id", "table").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.synchronized(seen.toSeq) ==
+      Seq((CdcDirectorySource.recordId(0L, 0L), "m2.m2.catalog_product_entity")))
+  }
+
+  test("record ids are fixed-width: string order == numeric arrival order") {
+    assert(CdcDirectorySource.recordId(9L, 1L) < CdcDirectorySource.recordId(10L, 3L))
+    assert(CdcDirectorySource.recordId(2L, 10L) > CdcDirectorySource.recordId(2L, 9L))
+  }
+
   test("simple mode leaves consumed segments in place") {
     val dir = Files.createTempDirectory("graft-src2").toString
     val ckpt = Files.createTempDirectory("graft-src2-ckpt").toString

@@ -37,13 +37,14 @@ class RestartRecoverySpec extends AnyFunSuite {
       try q.processAllAvailable() finally q.stop()
     }
 
+    def rid(seq: Long, line: Long) = CdcDirectorySource.recordId(seq, line)
     writeSegment(dir, 1L, Seq(1, 2))
     runOnce() // "crash" = stop after commit
-    assert(out.sorted.toSeq == Seq("1-0", "1-1"))
+    assert(out.sorted.toSeq == Seq(rid(1, 0), rid(1, 1)))
 
     writeSegment(dir, 2L, Seq(3))
     runOnce() // restart over the same checkpoint
     // segment 1 NOT re-read; segment 2 picked up exactly once
-    assert(out.sorted.toSeq == Seq("1-0", "1-1", "2-0"))
+    assert(out.sorted.toSeq == Seq(rid(1, 0), rid(1, 1), rid(2, 0)))
   }
 }
