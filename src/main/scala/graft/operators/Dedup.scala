@@ -178,6 +178,23 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** EXACT embedding near-dup pairs: all (a, b) with cosine ≥ threshold, by
+    * full pairwise scoring. O(n²) — the correctness baseline / small-corpus
+    * path only; [[embeddingPairs]] is the blocked scale path. Kept as an
+    * operator because it is the cross-engine-checkable ground truth the
+    * approximate variant is audited against.
+    */
+  def embeddingPairsExact(vecs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+  }
+
   /** Duplicate-group canonicalization: near-dup PAIRS → per-doc canonical id
     * (the min doc id of its connected component) — the step that turns a
     * pair list into an actionable keep/drop decision.

@@ -61,8 +61,15 @@ object Multimodal {
       }
 
     def decode(r: MediaRow): MediaFeatures = {
+      // feature seed = first 32 bits of md5(payload): a standard digest (not
+      // a JVM-specific hash) so the stub's output is reproducible by any
+      // engine for cross-checking
       val h = if (r.payload == null) 0L
-        else java.util.Arrays.hashCode(r.payload).toLong & 0xffffffffL
+        else {
+          val d = java.security.MessageDigest.getInstance("MD5").digest(r.payload)
+          ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+            ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        }
       MediaFeatures(r.media_id, r.mime,
         if (r.payload == null) 0 else r.payload.length,
         width = (h % 1920L).toInt + 1,

@@ -35,23 +35,43 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** LSH-bucketed ANN: candidates share the query's hyperplane sketch within
-    * `probes` flipped bits (multi-probe via explode over probe masks when
-    * probes > 0). Exact cosine + top-k inside the candidate set.
+  /** LSH-bucketed ANN with OR-amplification: `tables` independent
+    * hyperplane sketches (seeded per table); a corpus row is a candidate if
+    * it collides with the query in ANY table, where "collides" means equal
+    * sketch or within one of the `probes` single-bit flips (multi-probe).
+    * Candidates are deduped on (query, neighbor) BEFORE exact-cosine scoring
+    * so cross-table duplicates cost one join row, not one cosine each.
+    *
+    * Recall/cost dial: per-table match prob for angle θ is (1-θ/π)^planes —
+    * OR over tables lifts it to 1-(1-p)^tables while scan cost stays
+    * ~tables/2^planes of the corpus per probe. The index (table, bucket,
+    * id) is `tables`× the id column — the classic L-table LSH size tradeoff,
+    * all map-side; vectors never ride through the candidate join.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, probes: Int,
-              seed: Long = 42L): DataFrame = {
-    require(planes <= 64)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed).as("bucket"))
-    // probe masks: the identity plus single-bit flips for the first `probes` planes
+              tables: Int = 1, seed: Long = 42L): DataFrame = {
+    require(planes <= 64 && tables >= 1 && probes <= planes)
+    // per-table sketches as struct(t, bucket); compile-time unrolled
+    def sketches(v: org.apache.spark.sql.Column) = array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        VectorFunctions.hyperplaneSketch(v, planes, seed + t * 7919L).as("b"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        explode(sketches(col(vecCol))).as("s"))
+      .select(col("neighbor_id"), col("s.t"), col("s.b").as("bucket"))
+    // probe masks: the identity plus single-bit flips of the first `probes` planes
     val masks = (0L +: (0 until probes).map(1L << _)).toArray
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed).as("qb"))
-      .withColumn("bucket", explode(transform(lit(masks), m => col("qb").bitwiseXOR(m))))
-    val scored = c.join(broadcast(q.drop("qb")), Seq("bucket"))
+    val q = queries.select(col(idCol).as("query_id"),
+        explode(sketches(col(vecCol))).as("s"))
+      .select(col("query_id"), col("s.t"),
+        explode(transform(lit(masks), m => col("s.b").bitwiseXOR(m))).as("bucket"))
+    val cands = c.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cands.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))

@@ -60,6 +60,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert((lsh intersect bf).nonEmpty)
   }
 
+  test("multi-table LSH (OR-amplification) lifts recall over one table") {
+    val q = clustered.filter(col("vec_id") < 8)
+    val bf = SimilaritySearch.bruteForceTopK(q, clustered, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(tables: Int): Double = {
+      val lsh = SimilaritySearch.lshTopK(q, clustered, "vec_id", "embedding",
+          k = 10, planes = 6, probes = 2, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (lsh intersect bf).size.toDouble / bf.size
+    }
+    val one = recallAt(1)
+    val eight = recallAt(8)
+    assert(eight >= one, s"multi-table recall $eight < single-table $one")
+    // on well-separated clusters (intra-cluster cosine ~0.95, per-plane
+    // collision ~0.9 → per-table ~0.53 → 8 tables ~1-(0.47)^8 ≈ 0.998)
+    assert(eight >= 0.8, s"recall=$eight")
+  }
+
+  test("LSH candidate pairs are deduped across tables (no rank inflation)") {
+    val q = clustered.filter(col("vec_id") < 3)
+    val out = SimilaritySearch.lshTopK(q, clustered, "vec_id", "embedding",
+      k = 10, planes = 4, probes = 4, tables = 8)
+    val dup = out.groupBy("query_id", "neighbor_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(dup == 0)
+    // ranks within each query are consecutive from 1
+    val ranks = out.select("query_id", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+    assert(ranks.forall(r => r == (1 to r.length)))
+  }
+
   // clustered corpus: 8 well-separated directions + small noise, so an IVF
   // quantizer must recover the clusters and recall is deterministic-high
   private lazy val clustered = {
