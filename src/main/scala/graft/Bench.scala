@@ -11,7 +11,6 @@ object Bench {
   private def streamingThroughput(spark: SparkSession, sfDir: String): Double = {
     import java.nio.file.{Files, Paths}
     val segDir = Files.createTempDirectory("graft-bench-segs").toString
-    val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
     val nSegments = 32
     val ev = Tables(spark, sfDir, "events")
     val nEvents = ev.count()
@@ -43,13 +42,23 @@ object Bench {
       .select(col("id"),
         split(col("envelope"), "\u0001").getItem(0).as("table"),
         split(col("envelope"), "\u0001").getItem(1).as("envelope"))
-    val t0 = System.nanoTime()
-    val q = graft.streaming.CdcStream.startWith(records, routesDf,
-        maxBatch = 1000, ckpt, windowMillis = 50L) { (batch: DataFrame, _: Long) =>
-      batch.write.format("noop").mode("overwrite").save()
+    // simple-mode source leaves segments in place, so the staged stream can
+    // be consumed repeatedly (fresh checkpoint per run): run 1 warms
+    // codegen/JIT for the per-epoch plan (measured 2.5x on the first
+    // micro-batch), later runs are steady state — the same warmup
+    // methodology as the batch queries in main().
+    def runOnce(): Double = {
+      val runCkpt = Files.createTempDirectory("graft-bench-ckpt").toString
+      val t0 = System.nanoTime()
+      val q = graft.streaming.CdcStream.startWith(records, routesDf,
+          maxBatch = 1000, runCkpt, windowMillis = 50L) { (batch: DataFrame, _: Long) =>
+        batch.write.format("noop").mode("overwrite").save()
+      }
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
     }
-    try q.processAllAvailable() finally q.stop()
-    nEvents / ((System.nanoTime() - t0) / 1e9)
+    runOnce() // warmup
+    nEvents / (1 to 2).map(_ => runOnce()).min
   }
 
   def main(args: Array[String]): Unit = {

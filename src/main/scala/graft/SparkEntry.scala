@@ -408,21 +408,29 @@ object SparkEntry {
       // a within-5%-of-exact flag (measured ≤2.6% at sf0.01/sf0.1; rsd 0.02
       // → ~2% stddev, so 5% is a ≥2σ bound). ApproxAggSpec asserts the raw
       // error bound directly.
-      t(s, d, "events")
-        .groupBy(col("event_type"))
+      {
+        // HLL and exact-distinct in SEPARATE aggregations + tiny join: mixing
+        // them makes Spark expand per distinct column and drag the ~3 KB HLL
+        // partial buffer through every (type, value) group — measured 4.2 s
+        // vs 0.9 s split at sf0.1.
+        val ev = t(s, d, "events")
         // rsd 0.02: ~2% error with 4x smaller HLL registers than 0.01 —
         // measured 2.6x faster end-to-end at sf0.1 (register width dominates
         // the partial-agg buffer, not row count)
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
-          approx_count_distinct(col("event_id"), 0.02).as("ae"),
-          countDistinct(col("user_id")).as("n_users"),
-          countDistinct(col("event_id")).as("n_events"))
-        .select(col("event_type"), col("n_users"), col("n_events"),
-          (abs(col("au") - col("n_users")) <= lit(0.05) * col("n_users"))
-            .as("users_within_5pct"),
-          (abs(col("ae") - col("n_events")) <= lit(0.05) * col("n_events"))
-            .as("events_within_5pct"))
-        .orderBy(col("event_type"))),
+        val approx = ev.groupBy(col("event_type"))
+          .agg(approx_count_distinct(col("user_id"), 0.02).as("au"),
+            approx_count_distinct(col("event_id"), 0.02).as("ae"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_id")).as("n_events"))
+        approx.join(exact, "event_type")
+          .select(col("event_type"), col("n_users"), col("n_events"),
+            (abs(col("au") - col("n_users")) <= lit(0.05) * col("n_users"))
+              .as("users_within_5pct"),
+            (abs(col("ae") - col("n_events")) <= lit(0.05) * col("n_events"))
+              .as("events_within_5pct"))
+          .orderBy(col("event_type"))
+      }),
 
     "q_percentiles" -> ((s, d) =>
       t(s, d, "orders")

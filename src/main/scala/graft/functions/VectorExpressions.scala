@@ -116,6 +116,28 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Dot product of two array<float> columns (double accumulation). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** Euclidean norm of an array<float> column. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.normF(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normF($c)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Random-hyperplane LSH sign sketch (long bitset) of an array<float>. */
 case class HyperplaneSketch(child: Expression, planes: Int, seed: Long = 42L)
     extends UnaryExpression {
@@ -135,6 +157,11 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  def norm(a: Column): Column = column(VecNorm(expression(a)))
 
   def simhash(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))

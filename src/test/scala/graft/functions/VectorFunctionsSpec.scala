@@ -35,6 +35,21 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(out(2) == 0.0)
   }
 
+  test("dot/norm factorization agrees with cosine") {
+    val rnd = new scala.util.Random(9)
+    val vecs = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() * 2 - 1),
+      Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val rows = vecs.toDF("a", "b")
+      .select(
+        (VectorFunctions.dot(col("a"), col("b")) /
+          (VectorFunctions.norm(col("a")) * VectorFunctions.norm(col("b"))))
+          .as("via_dot"),
+        VectorFunctions.cosine(col("a"), col("b")).as("direct"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (d, c) => assert(math.abs(d - c) < 1e-12, s"$d vs $c") }
+  }
+
   test("simhash: identical token arrays → distance 0; near-identical → small") {
     val base = (1 to 40).map(i => s"tok$i")
     val df = Seq(
