@@ -158,5 +158,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_jaccard(a, b) - exact set-Jaccard of two array<string>") {
       args => JaccardSim(args(0), args(1))
     })
+    ext.injectFunction(fn("graft_dot",
+      "graft_dot(a, b) - dot product of two float arrays (double accumulation)") {
+      args => DotProduct(args(0), args(1))
+    })
+    ext.injectFunction(fn("graft_norm",
+      "graft_norm(a) - Euclidean norm of a float array") {
+      args => VecNorm(args(0))
+    })
   }
 }

@@ -29,5 +29,14 @@ class SqlFunctionsSpec extends AnyFunSuite {
       "SELECT graft_simhash(array('x','y')) = graft_simhash(array('x','y')) AS eq")
       .head().getBoolean(0)
     assert(sh)
+
+    val dot = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .head().getDouble(0)
+    assert(math.abs(dot - 11.0) < 1e-12)
+
+    val nrm = spark.sql("SELECT graft_norm(array(3.0F, 4.0F)) AS n")
+      .head().getDouble(0)
+    assert(math.abs(nrm - 5.0) < 1e-12)
   }
 }
