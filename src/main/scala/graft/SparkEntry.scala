@@ -264,6 +264,36 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_window_range_frame" -> ((s, d) => {
+      // RANGE frame (value-based, tie-inclusive): trailing-31-day spend per
+      // customer — the frame the ROWS variant cannot express under ties
+      val ord = datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy(col("o_custkey")).orderBy(ord)
+        .rangeBetween(-30, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("trailing_sum", sum(dec(col("o_totalprice"))).over(w)
+          .cast("double"))
+        .withColumn("n_trailing", count(lit(1)).over(w))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("trailing_sum"), col("n_trailing"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q_string_functions" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_type")).as("type_rev"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        substring(col("p_name"), 1, 8).as("name_left8"),
+        element_at(split(col("p_type"), " "), 1).as("type_first"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("name_first_word"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        translate(col("p_brand"), "B#", "b-").as("brand_tr"))
+        .orderBy(col("p_partkey"))),
+
     "text_winnow" -> ((s, d) =>
       // scalar output only (count + digest of the fingerprint list): the
       // driver's compare sorts every column, and a raw array column is
@@ -1041,6 +1071,29 @@ object SparkEntry {
          |  COUNT(*) AS n_emitted,
          |  CAST(COUNT(*) / COUNT(DISTINCT event_id) AS BIGINT) AS fanout_degree
          |FROM routed GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        | CAST(o_custkey AS BIGINT) AS o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_sum,
+        | COUNT(*) OVER w AS n_trailing
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_functions" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_pad,
+        | reverse(p_type) AS type_rev,
+        | replace(p_type, ' ', '_') AS type_snake,
+        | substr(p_name, 1, 8) AS name_left8,
+        | split_part(p_type, ' ', 1) AS type_first,
+        | regexp_extract(p_name, '^(\w+)', 1) AS name_first_word,
+        | CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        | translate(p_brand, 'B#', 'b-') AS brand_tr
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "cdc_compact_state" ->
       s"""$oracleRouted
