@@ -264,6 +264,47 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q_stats_agg" -> ((s, d) => {
+      // stddev/variance/correlation via EXACT decimal moment sums (Σx, Σx²,
+      // Σxy) + one closed-form double expression per output. Native stddev/
+      // corr aggregates are merge-order-dependent floating point — identical
+      // inputs give different last-ulp results per partitioning, so they can
+      // never hash-match a serial engine. Moments are also the mergeable
+      // 100 TB formulation (partial sums combine exactly).
+      val l = t(s, d, "lineitem")
+      val q = dec(col("l_quantity")); val p = dec(col("l_extendedprice"))
+      l.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(q * q).as("sqq"),
+          sum(p).as("sp"), sum(p * p).as("spp"),
+          sum(q * p).as("sqp"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
+          sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")).as("stddev_qty"),
+          ((col("n") * col("sqp") - col("sq") * col("sp")).cast("double") /
+            (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
+              sqrt((col("n") * col("spp") - col("sp") * col("sp")).cast("double"))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q_in_subquery" -> ((s, d) => {
+      // IN / NOT IN subquery forms (the null-aware rewrite path, distinct
+      // from the explicit left_semi/anti operators in q_semi_anti_join)
+      t(s, d, "orders").createOrReplaceTempView("orders_insq")
+      t(s, d, "customer").createOrReplaceTempView("customer_insq")
+      s.sql("""SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+              |  CAST(o_custkey AS BIGINT) AS o_custkey
+              |FROM orders_insq
+              |WHERE o_custkey IN (SELECT c_custkey FROM customer_insq
+              |                    WHERE c_mktsegment = 'MACHINERY')
+              |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders_insq
+              |                         WHERE o_orderpriority = '5-LOW')
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
     "q_window_range_frame" -> ((s, d) => {
       // RANGE frame (value-based, tie-inclusive): trailing-31-day spend per
       // customer — the frame the ROWS variant cannot express under ties
@@ -1071,6 +1112,33 @@ object SparkEntry {
          |  COUNT(*) AS n_emitted,
          |  CAST(COUNT(*) / COUNT(DISTINCT event_id) AS BIGINT) AS fanout_degree
          |FROM routed GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sqq,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
+        |  sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
+        |  CAST(n * sqp - sq * sp AS DOUBLE) /
+        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+        |    AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(o_custkey AS BIGINT) AS o_custkey
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                         WHERE o_orderpriority = '5-LOW')
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
