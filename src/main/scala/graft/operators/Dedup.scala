@@ -237,6 +237,14 @@ object Dedup {
       .withColumn("label", col("node"))
     var round = 0
     var converged = false
+    // convergence probe: labels are monotonically non-increasing per node
+    // (min over a neighborhood containing self, then label(label) <= label),
+    // so the label-sum is strictly decreasing until the fixed point — equal
+    // sums mean a converged round. One cheap aggregate over the checkpointed
+    // frame instead of a join-and-compare job per round.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     while (round < maxRounds && !converged) {
       // each node's new label: min over own label and all neighbors' labels
       val viaNeighbors = adj
@@ -253,10 +261,10 @@ object Dedup {
           "label")
         .select(col("node"), col("label2").as("label"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      val nextSum = labelSum(next)
       labels = next
-      converged = !changed
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       round += 1
     }
     // exiting on the round budget without a converged pass means labels may

@@ -1,0 +1,31 @@
+package graft.tools
+
+import graft._
+import org.apache.spark.sql.SparkSession
+
+/** Dev: time named queries (warmup + min of 2, noop sink) at a given sf dir.
+  * Usage: runMain graft.tools.TimeQuery <query>... [-- <sfdir>]
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val (names, rest) = args.span(_ != "--")
+    val dir = rest.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.tune(SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def run(): Unit =
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      run() // warmup
+      val best = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"TIME $name $best%.2f s")
+    }
+    spark.stop()
+  }
+}
