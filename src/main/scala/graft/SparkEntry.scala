@@ -349,6 +349,17 @@ object SparkEntry {
             .as("fp_digest"))
         .orderBy(col("doc_id"))),
 
+    "text_chunks" -> ((s, d) =>
+      // model-window chunking: 32-token windows, stride 24 (8-token overlap)
+      t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(TF.chunks(col("text"), 32, 24)).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_no").cast("long").as("chunk_no"),
+          md5(col("c.chunk")).as("chunk_hash"),
+          col("c.n_tokens").cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_no"))),
+
     "q_topk_agg" -> ((s, d) => {
       import graft.operators.TopK
       import s.implicits._
@@ -1196,6 +1207,21 @@ object SparkEntry {
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events CROSS JOIN (VALUES (0), (1)) o(off)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    unnest(range(0,
+        |      1 + CAST(ceil(greatest(len(words) - 32, 0) / 24.0) AS INT))) AS cn
+        |  FROM t)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(cn AS BIGINT) AS chunk_no,
+        |  md5(array_to_string(words[cn*24 + 1 : cn*24 + 32], ' ')) AS chunk_hash,
+        |  CAST(len(words[cn*24 + 1 : cn*24 + 32]) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH sh AS (

@@ -64,6 +64,29 @@ object TextFunctions {
     }
   }
 
+  /** Overlapping token-window chunks — the training-data prep step that
+    * splits long documents into model-window-sized pieces. Returns
+    * array<struct<chunk_no int, chunk string, n_tokens int>>: chunk i covers
+    * tokens [i*stride, i*stride+size); a document shorter than `size` yields
+    * exactly one chunk. Pure Column composition (explode downstream), so
+    * chunking runs inside the scan's codegen stage and only the exploded
+    * chunks shuffle.
+    */
+  def chunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      "need 0 < stride <= chunkSize")
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of chunks: 1 + ceil(max(0, n - chunkSize) / stride)
+    val extra = greatest(n - chunkSize, lit(0))
+    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i => {
+      val piece = slice(toks, i * stride + 1, lit(chunkSize))
+      struct(i.as("chunk_no"), array_join(piece, " ").as("chunk"),
+        size(piece).as("n_tokens"))
+    })
+  }
+
   /** Quality scoring signals: share of alphabetic chars, punctuation density,
     * mean token length, stopword ratio — the usual cheap corpus filters.
     */

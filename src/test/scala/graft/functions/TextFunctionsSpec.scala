@@ -52,6 +52,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(math.abs(row._2 - 5.0 / 2.0) < 1e-12) // "ab"+"cd!" = 5 chars / 2 tokens
   }
 
+  test("chunks: coverage, overlap, and short-doc single chunk") {
+    val doc = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq((1L, doc), (2L, "a b c"))
+      .toDF("id", "t")
+      .select(col("id"), explode(TextFunctions.chunks(col("t"), 32, 24)).as("c"))
+      .select(col("id"), col("c.chunk_no"), col("c.chunk"), col("c.n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // 40 tokens, size 32, stride 24 -> chunks at 0 (32 toks) and 24 (16 toks)
+    assert(d1.map(_._2).toSeq == Seq(0, 1))
+    assert(d1.map(_._4).toSeq == Seq(32, 16))
+    assert(d1(0)._3.startsWith("w1 ") && d1(0)._3.endsWith(" w32"))
+    assert(d1(1)._3.startsWith("w25 ") && d1(1)._3.endsWith(" w40"))
+    // every token appears in at least one chunk; overlap = size - stride
+    val covered = d1.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 40).map(i => s"w$i").toSet)
+    // short doc: exactly one chunk with all tokens
+    val d2 = rows.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._4 == 3 && d2.head._3 == "a b c")
+  }
+
   test("normalize_text: NFC composition, casefold, whitespace collapse") {
     val inputs = Seq(
       "  Hello   WORLD  ",          // collapse + lower + trim
