@@ -336,18 +336,14 @@ object SparkEntry {
         .orderBy(col("p_partkey"))),
 
     "text_winnow" -> ((s, d) =>
-      // scalar output only (count + digest of the fingerprint list): the
-      // driver's compare sorts every column, and a raw array column is
-      // unsortable/unhashable on the pandas side
+      // md5-derived gram hash + exploded scalar rows: both make the DuckDB
+      // oracle exact (window-min over per-position gram hashes); arrays in
+      // the output would be unsortable on the driver's pandas side
       t(s, d, "documents").select(
         col("doc_id").cast("long").as("doc_id"),
-        graft.functions.VectorFunctions.winnow(
-          TF.tokens(col("text")), 3, 4).as("fingerprints"))
-        .select(col("doc_id"),
-          size(col("fingerprints")).cast("long").as("n_fp"),
-          md5(array_join(transform(col("fingerprints"), _.cast("string")), ","))
-            .as("fp_digest"))
-        .orderBy(col("doc_id"))),
+        explode(graft.functions.VectorFunctions.winnowMd5(
+          TF.tokens(col("text")), 3, 4)).as("fp"))
+        .orderBy(col("doc_id"), col("fp"))),
 
     "text_chunks" -> ((s, d) =>
       // model-window chunking: 32-token windows, stride 24 (8-token overlap)
@@ -637,13 +633,15 @@ object SparkEntry {
 
     "q_approx_percentiles" -> ((s, d) =>
       // mergeable quantile sketch (the 100 TB percentile path) audited
-      // against the exact percentile: measured relative error <= 0.09% at
-      // sf0.01/sf0.1, flagged at 1%
+      // against the DISCRETE exact percentile (lossless-accuracy sketch, no
+      // interpolation — the interpolating `percentile` drifts >1% from any
+      // element-returning estimator once groups get small), flagged at 1%
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)")
           .as("a"),
-          expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))").as("e"),
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 2147483647)")
+            .as("e"),
           count(lit(1)).as("n_orders"))
         .select(col("o_orderpriority"), col("n_orders"),
           (abs(col("a")(0) - col("e")(0)) <= lit(0.01) * abs(col("e")(0)) &&
@@ -702,7 +700,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_simhash" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+      // md5-derived 60-bit token hash so DuckDB can rebuild the exact
+      // fingerprints; blocking is pigeonhole-complete (maxDist+1 blocks), so
+      // the output is the EXACT hamming<=3 pair set, not a candidate subset
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text", maxDist = 3,
+          md5 = true)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_embedding" -> ((s, d) =>
@@ -1222,6 +1227,54 @@ object SparkEntry {
         |  md5(array_to_string(words[cn*24 + 1 : cn*24 + 32], ' ')) AS chunk_hash,
         |  CAST(len(words[cn*24 + 1 : cn*24 + 32]) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(words) AS tok FROM t)),
+        |bits AS (
+        |  SELECT doc_id, bs.b AS b,
+        |    sum(CASE WHEN ((h >> bs.b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, (SELECT unnest(range(60)) AS b) bs
+        |  GROUP BY 1, 2),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+        |      AS BIGINT) AS fp
+        |  FROM bits GROUP BY 1)
+        |SELECT CAST(a.doc_id AS BIGINT) AS doc_a,
+        |  CAST(b2.doc_id AS BIGINT) AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.fp, b2.fp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "text_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(words) AS m,
+        |    unnest(range(0, greatest(len(words) - 3, 0) + 1)) AS s, words
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, s, greatest(m - 3, 0) + 1 AS eff,
+        |    CAST(concat('0x',
+        |      substr(md5(array_to_string(words[s+1 : s+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id, s, eff,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM h)
+        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
+        |FROM wm WHERE s <= eff - 4 OR s = 0
+        |ORDER BY doc_id, fp""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH sh AS (

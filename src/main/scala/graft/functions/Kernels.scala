@@ -54,6 +54,31 @@ object Kernels {
   @inline def hash64(s: UTF8String, seed: Long): Long =
     XXH64.hashUTF8String(s, seed)
 
+  /** Oracle-replicable 60-bit hash: the first 15 hex chars of md5, i.e.
+    * `CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)` in ANSI SQL.
+    * 60 bits keeps the value positive in a signed 64-bit int on any engine.
+    * ~10× the cost of xxHash64 — use the seeded variants where cross-engine
+    * replication isn't required.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5hash60(bytes: Array[Byte], len: Int): Long = {
+    val md = md5Local.get(); md.reset()
+    md.update(bytes, 0, len)
+    val d = md.digest()
+    // first 15 hex chars == big-endian first 8 bytes >>> 4
+    var v = 0L; var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  @inline def md5hash60(s: UTF8String): Long = {
+    val b = s.getBytes; md5hash60(b, b.length)
+  }
+
   /** 64-bit SimHash over a token array: per-token xxHash64, each bit votes
     * +1/-1, sign of the vote gives the fingerprint bit. One pass, O(tokens).
     */
@@ -74,6 +99,30 @@ object Kernels {
     }
     var out = 0L; var j = 0
     while (j < 64) { if (votes(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  /** SimHash via [[md5hash60]] — 60 effective bits (top 4 always 0), so a
+    * SQL oracle can rebuild the fingerprint from md5 alone. Same vote
+    * semantics as [[simhash64]].
+    */
+  def simhash64Md5(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = md5hash60(tokens.getUTF8String(i))
+        var j = 0
+        while (j < 60) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 60) { if (votes(j) > 0) out |= (1L << j); j += 1 }
     out
   }
 
@@ -194,7 +243,15 @@ object Kernels {
     * run of ≥ w+n-1 tokens yields a shared fingerprint — the standard
     * plagiarism/near-dup detector at corpus scale.
     */
-  def winnow(tokens: ArrayData, n: Int, w: Int, seed: Long): GenericArrayData = {
+  def winnow(tokens: ArrayData, n: Int, w: Int, seed: Long): GenericArrayData =
+    winnowImpl(tokens, n, w, seed, md5 = false)
+
+  /** [[winnow]] with the oracle-replicable [[md5hash60]] gram hash. */
+  def winnowMd5(tokens: ArrayData, n: Int, w: Int): GenericArrayData =
+    winnowImpl(tokens, n, w, 0L, md5 = true)
+
+  private def winnowImpl(tokens: ArrayData, n: Int, w: Int, seed: Long,
+                         md5: Boolean): GenericArrayData = {
     val m = tokens.numElements()
     val toks = new Array[Array[Byte]](m)
     var i = 0
@@ -219,8 +276,10 @@ object Kernels {
         System.arraycopy(t, 0, buf, len, t.length); len += t.length
         j += 1
       }
-      hashes(s) = XXH64.hashUnsafeBytes(buf,
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
+      hashes(s) =
+        if (md5) md5hash60(buf, len)
+        else XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, seed)
       s += 1
     }
     val out = new java.util.LinkedHashSet[java.lang.Long]()

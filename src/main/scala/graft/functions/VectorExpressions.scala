@@ -48,13 +48,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** 64-bit SimHash of an array<string> token column. */
-case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpression {
+/** 64-bit SimHash of an array<string> token column. With `md5 = true` the
+  * per-token hash is [[Kernels.md5hash60]] (60 effective bits) so a SQL
+  * oracle can replicate the fingerprint; `seed` is then ignored.
+  */
+case class SimHash64(child: Expression, seed: Long = 42L, md5: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(v: Any): Any =
-    Kernels.simhash64(v.asInstanceOf[ArrayData], seed)
+    if (md5) Kernels.simhash64Md5(v.asInstanceOf[ArrayData])
+    else Kernels.simhash64(v.asInstanceOf[ArrayData], seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c, ${seed}L)")
+    if (md5) defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64Md5($c)")
+    else defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhash64($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -83,14 +89,20 @@ case class MinHashShingled(child: Expression, n: Int, k: Int, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Winnowing fingerprint set (array<bigint>) of an array<string> tokens. */
-case class WinnowFingerprint(child: Expression, n: Int, w: Int, seed: Long = 42L)
+/** Winnowing fingerprint set (array<bigint>) of an array<string> tokens.
+  * With `md5 = true` gram hashes come from [[Kernels.md5hash60]] (SQL-oracle
+  * replicable); `seed` is then ignored.
+  */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int,
+                             seed: Long = 42L, md5: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
-    Kernels.winnow(v.asInstanceOf[ArrayData], n, w, seed)
+    if (md5) Kernels.winnowMd5(v.asInstanceOf[ArrayData], n, w)
+    else Kernels.winnow(v.asInstanceOf[ArrayData], n, w, seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $n, $w, ${seed}L)")
+    if (md5) defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnowMd5($c, $n, $w)")
+    else defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.winnow($c, $n, $w, ${seed}L)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -166,6 +178,10 @@ object VectorFunctions {
   def simhash(tokens: Column, seed: Long = 42L): Column =
     column(SimHash64(expression(tokens), seed))
 
+  /** SimHash with the md5-derived 60-bit token hash (oracle-replicable). */
+  def simhashMd5(tokens: Column): Column =
+    column(SimHash64(expression(tokens), 0L, md5 = true))
+
   def minhashSig(tokens: Column, k: Int, seed: Long = 42L): Column =
     column(MinHashSignature(expression(tokens), k, seed))
 
@@ -183,6 +199,10 @@ object VectorFunctions {
 
   def winnow(tokens: Column, n: Int, w: Int, seed: Long = 42L): Column =
     column(WinnowFingerprint(expression(tokens), n, w, seed))
+
+  /** Winnowing with the md5-derived 60-bit gram hash (oracle-replicable). */
+  def winnowMd5(tokens: Column, n: Int, w: Int): Column =
+    column(WinnowFingerprint(expression(tokens), n, w, 0L, md5 = true))
 
   /** Built-in-only cosine (higher-order functions) — slower; retained as the
     * independent implementation for property tests against [[cosine]].

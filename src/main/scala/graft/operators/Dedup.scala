@@ -132,11 +132,14 @@ object Dedup {
     * equi-join on (block_no, block_bits) and are verified with bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int, seed: Long = 42L): DataFrame = {
+                   maxDist: Int, seed: Long = 42L,
+                   md5: Boolean = false): DataFrame = {
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
-    val fp = docs.select(col(idCol).as("doc"),
-      VectorFunctions.simhash(TextFunctions.tokens(col(textCol)), seed).as("fp"))
+    val hashCol =
+      if (md5) VectorFunctions.simhashMd5(TextFunctions.tokens(col(textCol)))
+      else VectorFunctions.simhash(TextFunctions.tokens(col(textCol)), seed)
+    val fp = docs.select(col(idCol).as("doc"), hashCol.as("fp"))
     val blockStructs = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("fp"), b * width)

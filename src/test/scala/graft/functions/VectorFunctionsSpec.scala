@@ -85,4 +85,55 @@ class VectorFunctionsSpec extends AnyFunSuite {
         VectorFunctions.hyperplaneSketch(lit(Array(0.5f, -0.25f)), 8))
     assert(toks.collect().toSeq == toks.collect().toSeq)
   }
+
+  // Independent reimplementation of the md5-60bit hash contract:
+  // CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) on the oracle side.
+  private def md5hash60Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  test("simhashMd5 matches a from-scratch md5-vote reference") {
+    val docs = Seq("the quick brown fox", "lorem ipsum dolor sit amet", "a")
+    val got = docs.toDF("text")
+      .select(VectorFunctions.simhashMd5(TextFunctions.tokens(col("text"))))
+      .as[Long].collect()
+    val want = docs.map { doc =>
+      val votes = new Array[Int](60)
+      doc.trim.split("\\s+").foreach { t =>
+        val h = md5hash60Ref(t)
+        for (j <- 0 until 60)
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+      }
+      (0 until 60).foldLeft(0L)((acc, j) =>
+        if (votes(j) > 0) acc | (1L << j) else acc)
+    }
+    assert(got.toSeq == want)
+    // 60-bit: top nibble always clear
+    got.foreach(fp => assert((fp >>> 60) == 0L))
+  }
+
+  test("winnowMd5 matches a from-scratch window-min reference") {
+    val n = 3; val w = 4
+    val docs = Seq(
+      (1 to 20).map(i => s"t${i % 7}").mkString(" "), // repeats → dedupe
+      "only two",                                     // m < n: single gram
+      "a b c d e f")                                  // eff=4 == w: one window
+    val got = docs.toDF("text")
+      .select(VectorFunctions.winnowMd5(TextFunctions.tokens(col("text")), n, w))
+      .as[Seq[Long]].collect()
+    val want = docs.map { doc =>
+      val toks = doc.trim.split("\\s+")
+      val eff = math.max(1, toks.length - n + 1)
+      val hs = (0 until eff).map(s =>
+        md5hash60Ref(toks.slice(s, s + n).mkString(" ")))
+      val mins =
+        if (eff <= w) Seq(hs.min)
+        else (0 to eff - w).map(s => hs.slice(s, s + w).min)
+      mins.distinct
+    }
+    got.zip(want).foreach { case (g, e) => assert(g.toSet == e.toSet) }
+  }
 }
