@@ -356,6 +356,34 @@ object SparkEntry {
           col("c.n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    "sample_stratified" -> ((s, d) =>
+      // deterministic per-language sample: k smallest md5(doc_id) per
+      // stratum via the bounded MinK aggregator (no stratum-wide sort)
+      graft.operators.CorpusOps.stratifiedSample(
+          t(s, d, "documents"), "lang", "doc_id", 20)
+        .orderBy(col("lang"), col("rank"))),
+
+    "corpus_mix" -> ((s, d) =>
+      // token-budget mixture: each language contributes ~2000 tokens,
+      // documents admitted in md5(doc_id) order
+      graft.operators.CorpusOps.mixByTokenBudget(
+          t(s, d, "documents"), "lang", "doc_id", "text", 2000L)
+        .orderBy(col("lang"), col("cum_before"), col("doc_id"))),
+
+    "text_decontaminate" -> ((s, d) =>
+      // benchmark decontamination: train docs sharing an 8-gram with the
+      // (broadcast) eval slice doc_id % 25 == 0
+      graft.operators.CorpusOps.decontaminate(
+          t(s, d, "documents"), col("doc_id") % 25 === 0, "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+        .orderBy(col("doc_id"))),
+
+    "pack_sequences" -> ((s, d) =>
+      // greedy fixed-budget sequence packing per language, id order
+      graft.operators.CorpusOps.packSequences(
+          t(s, d, "documents"), "lang", "doc_id", "text", 512L)
+        .orderBy(col("lang"), col("doc_id"))),
+
     "q_topk_agg" -> ((s, d) => {
       import graft.operators.TopK
       import s.implicits._
@@ -1227,6 +1255,70 @@ object SparkEntry {
         |  md5(array_to_string(words[cn*24 + 1 : cn*24 + 32], ' ')) AS chunk_hash,
         |  CAST(len(words[cn*24 + 1 : cn*24 + 32]) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        |FROM documents
+        |QUALIFY rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
+
+    "corpus_mix" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, n_tokens, cum_before
+        |FROM c WHERE cum_before < 2000
+        |ORDER BY lang, cum_before, doc_id""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) < 8
+        |    THEN [array_to_string(words, ' ')]
+        |    ELSE [array_to_string(words[i:i+7], ' ')
+        |          FOR i IN range(1, len(words) - 6)]
+        |    END)) AS gram
+        |  FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 25 = 0)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+        |FROM g JOIN e USING (gram) WHERE g.doc_id % 25 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pack_sequences" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS toks,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, toks, rn, CAST(0 AS BIGINT) AS bin_id,
+        |    toks AS fill
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.lang, t.doc_id, t.toks, t.rn,
+        |    CASE WHEN p.fill + t.toks > 512 THEN p.bin_id + 1
+        |         ELSE p.bin_id END,
+        |    CASE WHEN p.fill + t.toks > 512 THEN t.toks
+        |         ELSE p.fill + t.toks END
+        |  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1)
+        |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, toks AS n_tokens,
+        |  bin_id
+        |FROM p ORDER BY lang, doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH t AS (

@@ -1,0 +1,154 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+
+/** Corpus-construction operators for training-data pipelines: deterministic
+  * stratified sampling, token-budget mixture construction, benchmark
+  * decontamination, and greedy sequence packing. These extend the engine
+  * beyond the reference's CDC surface (see SURVEY.md §2.8 / §8.2) with the
+  * steps an LLM-scale data pipeline runs after dedupe.
+  *
+  * All randomness is hash-derived (md5 of the id), so every operator is
+  * reproducible run-to-run and replicable by a SQL oracle.
+  */
+object CorpusOps {
+
+  /** One sampled candidate: `key` is the hash sort key, `id` the row id. */
+  case class Pick(key: String, id: Long)
+  case class PickBuf(items: Seq[Pick])
+
+  private def insertMin(items: Seq[Pick], e: Pick, k: Int): Seq[Pick] = {
+    // items kept sorted (key asc, id asc), length <= k
+    if (items.size >= k) {
+      val last = items.last
+      if (e.key > last.key || (e.key == last.key && e.id >= last.id))
+        return items
+    }
+    val (before, after) = items.span(x =>
+      x.key < e.key || (x.key == e.key && x.id < e.id))
+    (before ++ (e +: after)).take(k)
+  }
+
+  /** Bounded min-k by (string key, id) — same shuffle argument as
+    * [[TopK.TopKAgg]]: partial aggregation keeps at most k candidates per
+    * group per partition map-side, so sampling a fixed k per stratum from
+    * 100 TB never materializes or sorts a whole stratum (a
+    * `row_number().over(partitionBy(stratum))` would — and with a handful of
+    * language strata, each window partition would be ~20 TB of skew).
+    */
+  class MinKAgg[G](k: Int) extends Aggregator[(G, Pick), PickBuf, PickBuf] {
+    override def zero: PickBuf = PickBuf(Vector.empty)
+    override def reduce(b: PickBuf, e: (G, Pick)): PickBuf =
+      PickBuf(insertMin(b.items, e._2, k))
+    override def merge(a: PickBuf, b: PickBuf): PickBuf =
+      PickBuf(b.items.foldLeft(a.items)((acc, e) => insertMin(acc, e, k)))
+    override def finish(b: PickBuf): PickBuf = b
+    override def bufferEncoder: Encoder[PickBuf] = Encoders.product[PickBuf]
+    override def outputEncoder: Encoder[PickBuf] = Encoders.product[PickBuf]
+  }
+
+  /** Deterministic stratified sample: the k rows per `groupCol` stratum with
+    * the smallest md5(id) — a uniform-without-replacement sample that any
+    * engine reproduces exactly. Output: (groupCol, idCol, rank), rank 1..k
+    * in hash order.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(groupCol).cast("string"),
+        md5(col(idCol).cast("string")), col(idCol).cast("long"))
+      .as[(String, String, Long)]
+      .map { case (g, h, id) => (g, Pick(h, id)) }
+    implicit val outEnc: Encoder[(String, PickBuf)] =
+      Encoders.tuple(Encoders.STRING, Encoders.product[PickBuf])
+    keyed.groupByKey(_._1)
+      .agg(new MinKAgg[String](k).toColumn)
+      .flatMap { case (g, buf) =>
+        buf.items.zipWithIndex.map { case (p, i) => (g, p.id, i + 1L) }
+      }
+      .toDF(groupCol, idCol, "rank")
+  }
+
+  /** Token-budget corpus mixing: per stratum, admit documents in md5(id)
+    * order while the running token total BEFORE the document is under
+    * `quota` — so each stratum contributes ~quota tokens to the mixture and
+    * the admitted set is deterministic. The boundary document is admitted
+    * (quota is a low-water mark), so every stratum with any data reaches its
+    * quota. Output: (groupCol, idCol, n_tokens, cum_before).
+    *
+    * Scale note: the prefix sum needs one window sort per stratum, but only
+    * over rows surviving an (optional) pre-filter; for few large strata,
+    * run [[stratifiedSample]]-style candidate pruning first — admitted rows
+    * are a hash-prefix of the stratum, so any superset of the smallest
+    * ~quota/avg_tokens hashes is a safe pre-filter.
+    */
+  def mixByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                       textCol: String, quota: Long): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    df.select(col(groupCol), col(idCol).cast("long").as(idCol),
+        TextFunctions.nTokens(col(textCol)).cast("long").as("n_tokens"),
+        md5(col(idCol).cast("string")).as("_h"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < quota)
+      .drop("_h")
+  }
+
+  /** Benchmark decontamination: flag training documents sharing at least one
+    * distinct word n-gram with the evaluation set (`evalPred` rows).
+    * Output: (doc_id, n_shared) for contaminated train docs only.
+    *
+    * The eval gram set is broadcast — benchmark suites are tiny next to a
+    * 100 TB corpus, so the only shuffle is the final per-doc count; train
+    * grams never exchange. Gram extraction reuses the distinct-shingle
+    * kernel ([[VectorFunctions.shingleSet]]), one codegen call per doc.
+    */
+  def decontaminate(docs: DataFrame, evalPred: Column, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      evalPred.as("is_eval"),
+      explode(VectorFunctions.shingleSet(
+        TextFunctions.tokens(col(textCol)), n)).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    grams.filter(!col("is_eval"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+  }
+
+  /** Greedy sequence packing: within each stratum, walk documents in id
+    * order and append to the current bin while it stays within `budget`
+    * tokens; otherwise open a new bin. A document larger than the budget
+    * gets a bin of its own (never split). Output:
+    * (groupCol, idCol, n_tokens, bin_id) — bin ids dense per stratum.
+    *
+    * Packing is inherently sequential per stratum (bin state threads through
+    * the walk), so parallelism is across strata; at 100 TB, pack within
+    * finer strata (e.g. source × day) so no single group exceeds one task.
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        TextFunctions.nTokens(col(textCol)).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.toVector.sortBy(_._2)
+        var bin = 0L; var fill = 0L
+        docs.iterator.map { case (_, id, toks) =>
+          if (fill > 0 && fill + toks > budget) { bin += 1; fill = 0L }
+          fill += toks
+          (g, id, toks, bin)
+        }
+      }
+      .toDF(groupCol, idCol, "n_tokens", "bin_id")
+  }
+}

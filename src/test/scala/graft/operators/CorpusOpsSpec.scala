@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(11)
+    val langs = Seq("en", "de", "fr")
+    (1 to 90).map { id =>
+      val lang = langs(id % langs.size)
+      val nTok = 1 + rnd.nextInt(40)
+      (id.toLong, lang, (1 to nTok).map(i => s"w${rnd.nextInt(30)}").mkString(" "))
+    }
+  }
+
+  test("stratifiedSample equals the window row_number reference") {
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = CorpusOps.stratifiedSample(df, "lang", "doc_id", 7)
+      .as[(String, Long, Long)].collect().toSet
+    val want = corpus
+      .map { case (id, lang, _) => (lang, md5Hex(id.toString), id) }
+      .groupBy(_._1)
+      .flatMap { case (lang, rows) =>
+        rows.sortBy(r => (r._2, r._3)).take(7).zipWithIndex
+          .map { case (r, i) => (lang, r._3, i + 1L) }
+      }.toSet
+    assert(got == want)
+    // never more than k per stratum
+    assert(got.groupBy(_._1).values.forall(_.size <= 7))
+  }
+
+  test("mixByTokenBudget admits a hash-prefix reaching the quota") {
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val quota = 100L
+    val got = CorpusOps.mixByTokenBudget(df, "lang", "doc_id", "text", quota)
+      .as[(String, Long, Long, Long)].collect()
+    val byLang = got.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_._4)
+      // cum_before is the exclusive prefix sum in hash order
+      sorted.foldLeft(0L) { case (acc, (_, _, n, cb)) =>
+        assert(cb == acc); acc + n
+      }
+      // every admitted doc starts under quota; total reaches quota unless
+      // the stratum ran out of documents
+      assert(sorted.forall(_._4 < quota))
+      val total = sorted.map(_._3).sum
+      val stratumTotal = corpus.filter(_._2 == lang)
+        .map(_._3.split("\\s+").length.toLong).sum
+      assert(total >= math.min(quota, stratumTotal))
+    }
+    // determinism
+    val again = CorpusOps.mixByTokenBudget(df, "lang", "doc_id", "text", quota)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
+  test("decontaminate flags exactly the docs sharing an n-gram with eval") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // eval
+      (2L, "x a b c d e f"), // shares grams "a b c" ... with doc 1
+      (3L, "p q r s t u"),   // clean
+      (4L, "c d e"),         // short doc: full-gram fallback hits "c d e"
+      (5L, "a b c d e f")    // identical to eval doc
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(docs, col("doc_id") === 1, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 2: shares the 4 trigrams of doc 1; doc 5: all 4; doc 4: its single
+    // full-gram equals eval trigram "c d e"; doc 3: clean (absent)
+    assert(got == Map(2L -> 4L, 4L -> 1L, 5L -> 4L))
+  }
+
+  test("packSequences: greedy invariants and sequential-reference equality") {
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val budget = 64L
+    val got = CorpusOps.packSequences(df, "lang", "doc_id", "text", budget)
+      .as[(String, Long, Long, Long)].collect()
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // reference: sequential greedy walk
+      var bin = 0L; var fill = 0L
+      sorted.foreach { case (_, _, toks, binId) =>
+        if (fill > 0 && fill + toks > budget) { bin += 1; fill = 0 }
+        fill += toks
+        assert(binId == bin)
+      }
+      // bins over budget only when a single doc exceeds it
+      rows.groupBy(_._4).values.foreach { binRows =>
+        val total = binRows.map(_._3).sum
+        assert(total <= budget || binRows.size == 1)
+      }
+      // bin ids dense from 0
+      val ids = rows.map(_._4).distinct.sorted
+      assert(ids.toSeq == (0L until ids.size))
+    }
+  }
+}
