@@ -356,6 +356,21 @@ object SparkEntry {
           col("c.n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    "dedup_canonical" -> ((s, d) => {
+      // end-to-end dedup deliverable: near-dup groups -> keep decision
+      // (highest-token member, ties to smallest id) per group
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val scored = docs.select(col("doc_id"),
+        TF.nTokens(col("text")).cast("long").as("n_tokens"))
+      Dedup.canonicalRepresentatives(groups, scored, "doc_id", "n_tokens")
+        .select(col("canonical_id").cast("long").as("canonical_id"),
+          col("keep_id"), col("n_docs"),
+          col("score_sum").as("total_tokens"))
+        .orderBy(col("canonical_id"))
+    }),
+
     "sample_stratified" -> ((s, d) =>
       // deterministic per-language sample: k smallest md5(doc_id) per
       // stratum via the bounded MinK aggregator (no stratum-wide sort)
@@ -1423,6 +1438,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_groups" -> dedupGroupsOracle,
 
+    "dedup_canonical" -> dedupCanonicalOracle,
+
     "mm_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
@@ -1524,6 +1541,38 @@ object SparkEntry {
       |  CAST(least(node, min(b)) AS BIGINT) AS canonical_id
       |FROM nodes JOIN closure ON node = closure.a
       |GROUP BY node ORDER BY doc_id""".stripMargin
+
+  private val dedupCanonicalOracle: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+      |good AS (SELECT da, db FROM pairs
+      |         WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8),
+      |edges AS (SELECT da AS a, db AS b FROM good
+      |          UNION SELECT db, da FROM good),
+      |closure(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |grp AS (
+      |  SELECT CAST(node AS BIGINT) AS doc_id,
+      |    CAST(least(node, min(b)) AS BIGINT) AS canonical_id
+      |  FROM nodes JOIN closure ON node = closure.a GROUP BY node),
+      |q AS (
+      |  SELECT g.canonical_id, g.doc_id,
+      |    CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+      |      AS n_tokens
+      |  FROM grp g JOIN documents d ON g.doc_id = d.doc_id),
+      |r AS (
+      |  SELECT canonical_id, doc_id, n_tokens, row_number() OVER (
+      |    PARTITION BY canonical_id ORDER BY n_tokens DESC, doc_id) AS rn
+      |  FROM q),
+      |a AS (
+      |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |  FROM q GROUP BY 1)
+      |SELECT a.canonical_id, r.doc_id AS keep_id, a.n_docs, a.total_tokens
+      |FROM a JOIN r ON a.canonical_id = r.canonical_id AND r.rn = 1
+      |ORDER BY a.canonical_id""".stripMargin
 
   private val langIdOracle: String = {
     def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")

@@ -278,4 +278,28 @@ object Dedup {
           "rounds (component diameter > 2^maxRounds?); raise maxRounds")
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
+
+  /** Representative selection — the step after [[duplicateGroups]] that
+    * decides WHICH duplicate to keep: per group, the member with the highest
+    * `scoreCol` (ties → smallest id). One hash aggregation with map-side
+    * partials (`max_by` over a (score, -id) struct); no per-group window
+    * sort, so group size never matters at scale.
+    *
+    * `groups` is [[duplicateGroups]] output (doc_id, canonical_id); `scored`
+    * must carry (idCol, scoreCol). Output:
+    * (canonical_id, keep_id, n_docs, score_sum).
+    */
+  def canonicalRepresentatives(groups: DataFrame, scored: DataFrame,
+                               idCol: String, scoreCol: String): DataFrame = {
+    val s = scored.select(col(idCol).cast("long").as("doc_id"),
+      col(scoreCol).cast("long").as("_score"))
+    groups.select(col("doc_id").cast("long").as("doc_id"), col("canonical_id"))
+      .join(s, "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("_score"), negate(col("doc_id"))))
+          .as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        sum(col("_score")).as("score_sum"))
+  }
 }

@@ -107,4 +107,16 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(groups == Map(0L -> 0L, 100L -> 0L, 1L -> 1L, 101L -> 1L))
   }
+
+  test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
+    val groups = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2
+      (7L, 7L), (8L, 7L)            // group 7: scores 4, 4  -> keep 7
+    ).toDF("doc_id", "canonical_id")
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (8L, 4L))
+      .toDF("doc_id", "s")
+    val got = Dedup.canonicalRepresentatives(groups, scored, "doc_id", "s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 3L, 23L), (7L, 7L, 2L, 8L)))
+  }
 }
