@@ -52,9 +52,18 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc"), shingleSet(col(textCol), n).as("sh_set"))
+    // materialize (doc, shingle set) ONCE: the set feeds the prefix-filter
+    // branch AND both sides of the verify join — without the checkpoint each
+    // consumer re-scans the corpus and re-runs the shingle kernel (3 full
+    // passes at 100 TB)
+    val sets = docs.select(col(idCol).as("doc"),
+      shingleSet(col(textCol), n).as("sh_set")).localCheckpoint()
+    // candidate generation runs on 64-bit shingle hashes, not the strings:
+    // same global (df, hash) prefix order for every doc (completeness needs
+    // only a consistent total order), ~10× fewer shuffle bytes; collisions
+    // can only add candidates, and exact-set verify removes those
     val sh = sets.select(col("doc"), size(col("sh_set")).as("n_sh"),
-      explode(col("sh_set")).as("sh"))
+      explode(expr("transform(sh_set, s -> xxhash64(s))")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, "sh")
       .withColumn("rk", row_number().over(

@@ -36,10 +36,18 @@ object RangeJoin {
   /** Inner-join `points` to `intervals` on containment:
     * `pointCol BETWEEN loCol AND hiCol` (inclusive both ends), all columns of
     * both inputs preserved. Column names must not collide (pre-alias).
+    *
+    * `broadcastIntervals` (default true) pins the join direction: intervals
+    * are dimension-like (even exploded by buckets) while points are the
+    * fact side — without the hint, local byte estimates can flip the build
+    * side and broadcast the POINTS, which deadlocks memory the moment the
+    * fact side is real (observed: a 100k-point scan chosen as build side).
+    * Pass false only when the interval set itself is huge; the join then
+    * shuffles both sides on the bucket key.
     */
   def pointInInterval(points: DataFrame, pointCol: Column,
                       intervals: DataFrame, loCol: Column, hiCol: Column,
-                      bucket: Long): DataFrame = {
+                      bucket: Long, broadcastIntervals: Boolean = true): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
     val b = lit(bucket)
     val ivals = intervals
@@ -48,7 +56,8 @@ object RangeJoin {
     val pts = points
       .withColumn("_rj_bucket", floor(pointCol / b).cast("long"))
       .withColumn("_rj_p", pointCol)
-    pts.join(ivals, Seq("_rj_bucket"))
+    val rhs = if (broadcastIntervals) broadcast(ivals) else ivals
+    pts.join(rhs, Seq("_rj_bucket"))
       .filter(col("_rj_p") >= col("_rj_lo") && col("_rj_p") <= col("_rj_hi"))
       .drop("_rj_bucket", "_rj_p", "_rj_lo", "_rj_hi")
   }
