@@ -356,6 +356,47 @@ object SparkEntry {
           col("c.n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    "text_redact" -> ((s, d) => {
+      // PII scrubbing: the synthetic corpus carries no PII, so the query
+      // plants deterministic fake contact info (same construction in the
+      // oracle) and then proves the redaction machinery end-to-end
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{4,}"
+      val withPii = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-0"),
+          lpad(col("doc_id").cast("string"), 4, "0"), lit(" now")).as("t"))
+      withPii.select(col("doc_id"),
+        TF.countMatches(col("t"), email).cast("long").as("n_emails"),
+        TF.countMatches(col("t"), phone).cast("long").as("n_phones"),
+        md5(TF.redact(col("t"),
+          Seq(email -> "<EMAIL>", phone -> "<PHONE>"))).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_window_navigation" -> ((s, d) =>
+      // navigation + distribution window functions over each customer's
+      // order history: first/last/nth value, percent_rank, cume_dist
+      t(s, d, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .select(col("o_custkey").cast("long").as("custkey"),
+          col("o_orderkey").cast("long").as("orderkey"),
+          dec(col("o_totalprice")).cast("double").as("price"))
+        .withColumn("first_price", first(col("price")).over(
+          Window.partitionBy("custkey").orderBy("orderkey")))
+        .withColumn("last_price", last(col("price")).over(
+          Window.partitionBy("custkey").orderBy("orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("second_price", nth_value(col("price"), 2).over(
+          Window.partitionBy("custkey").orderBy("orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("pr", round(percent_rank().over(
+          Window.partitionBy("custkey").orderBy("price", "orderkey")), 6))
+        .withColumn("cd", round(cume_dist().over(
+          Window.partitionBy("custkey").orderBy("price", "orderkey")), 6))
+        .orderBy(col("custkey"), col("orderkey"))),
+
     "dedup_canonical" -> ((s, d) => {
       // end-to-end dedup deliverable: near-dup groups -> keep decision
       // (highest-token member, ties to smallest id) per group
@@ -1270,6 +1311,44 @@ object SparkEntry {
         |  md5(array_to_string(words[cn*24 + 1 : cn*24 + 32], ' ')) AS chunk_hash,
         |  CAST(len(words[cn*24 + 1 : cn*24 + 32]) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "text_redact" ->
+      """WITH w AS (
+        |  SELECT doc_id, concat(text, ' contact user',
+        |    CAST(doc_id AS VARCHAR), '@example.com or call 555-0',
+        |    lpad(CAST(doc_id AS VARCHAR), 4, '0'), ' now') AS t
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4,}')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4,}', '<PHONE>', 'g')) AS digest
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_window_navigation" ->
+      """WITH o AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS custkey,
+        |    CAST(o_orderkey AS BIGINT) AS orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |  FROM orders WHERE o_custkey % 100 = 0)
+        |SELECT custkey, orderkey, price,
+        |  first_value(price) OVER (PARTITION BY custkey ORDER BY orderkey)
+        |    AS first_price,
+        |  last_value(price) OVER (PARTITION BY custkey ORDER BY orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_price,
+        |  nth_value(price, 2) OVER (PARTITION BY custkey ORDER BY orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_price,
+        |  round(percent_rank() OVER (PARTITION BY custkey
+        |    ORDER BY price, orderkey), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY custkey
+        |    ORDER BY price, orderkey), 6) AS cd
+        |FROM o ORDER BY custkey, orderkey""".stripMargin,
 
     "sample_stratified" ->
       """SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,

@@ -87,6 +87,21 @@ object TextFunctions {
     })
   }
 
+  /** PII redaction: replace every match of each (pattern, token) rule in
+    * order — rule order matters when patterns overlap (redact emails before
+    * bare phone digits, etc.). Pure regexp_replace composition: codegen'd,
+    * no UDF, patterns limited to the RE2-compatible subset so SQL oracles
+    * and other engines replicate byte-for-byte.
+    */
+  def redact(text: Column, rules: Seq[(String, String)]): Column =
+    rules.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Number of non-overlapping matches of `pattern`. */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Quality scoring signals: share of alphabetic chars, punctuation density,
     * mean token length, stopword ratio — the usual cheap corpus filters.
     */

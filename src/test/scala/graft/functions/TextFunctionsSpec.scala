@@ -73,6 +73,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(d2.length == 1 && d2.head._4 == 3 && d2.head._3 == "a b c")
   }
 
+  test("redact replaces all matches in rule order; countMatches counts them") {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{4,}"
+    val rows = Seq(
+      "mail a@b.com and c.d@e.org or 555-1234 x",
+      "no pii here",
+      "777-88889 only")
+      .toDF("t")
+      .select(
+        TextFunctions.redact(col("t"), Seq(email -> "<EMAIL>", phone -> "<PHONE>")).as("r"),
+        TextFunctions.countMatches(col("t"), email).as("ne"),
+        TextFunctions.countMatches(col("t"), phone).as("np"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(rows(0) == ("mail <EMAIL> and <EMAIL> or <PHONE> x", 2, 1))
+    assert(rows(1) == ("no pii here", 0, 0))
+    assert(rows(2) == ("<PHONE> only", 0, 1))
+  }
+
   test("normalize_text: NFC composition, casefold, whitespace collapse") {
     val inputs = Seq(
       "  Hello   WORLD  ",          // collapse + lower + trim
