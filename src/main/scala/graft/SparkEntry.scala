@@ -705,6 +705,23 @@ object SparkEntry {
         .orderBy(col("entity_id"), col("event_id"))
     }),
 
+    "cdc_apply_changes" -> ((s, d) => {
+      // MERGE the odd-event change set (entity_id % 7 == 0 → delete, else
+      // upsert) into the even-event base snapshot
+      val r = routed(s, d).select(col("target"), col("entity_id"),
+        col("id").cast("long").as("event_id"))
+      val base = graft.cdc.Scd2.compact(r.filter(col("event_id") % 2 === 0),
+        Seq("target", "entity_id"), col("event_id"), Seq("event_id"))
+      val changes = r.filter(col("event_id") % 2 === 1)
+        .withColumn("op",
+          when(col("entity_id") % 7 === 0, lit("D")).otherwise(lit("U")))
+      graft.cdc.Scd2.applyChanges(base, changes, Seq("target", "entity_id"),
+          col("event_id"), col("op"), Seq("event_id"))
+        .select(col("target"), col("entity_id"),
+          col("event_id").cast("long").as("last_event_id"))
+        .orderBy(col("target"), col("entity_id"))
+    }),
+
     "q_bloom_semi_join" -> ((s, d) => {
       import graft.operators.BloomJoin
       val big = t(s, d, "orders").filter(col("o_totalprice") > 350000.0)
@@ -1277,6 +1294,23 @@ object SparkEntry {
          |FROM routed WHERE target = 't_all'
          |WINDOW w AS (PARTITION BY entity_id ORDER BY event_id)
          |ORDER BY entity_id, event_id""".stripMargin,
+
+    "cdc_apply_changes" ->
+      s"""$oracleRouted,
+         |b AS (SELECT target, entity_id, MAX(event_id) AS event_id
+         |      FROM routed WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         |c AS (SELECT target, entity_id, MAX(event_id) AS event_id,
+         |        CASE WHEN entity_id % 7 = 0 THEN 'D' ELSE 'U' END AS op
+         |      FROM routed WHERE event_id % 2 = 1 GROUP BY 1, 2),
+         |kept AS (SELECT b.target, b.entity_id, b.event_id FROM b
+         |         LEFT JOIN c ON b.target = c.target
+         |           AND b.entity_id = c.entity_id
+         |         WHERE c.op IS NULL),
+         |ups AS (SELECT target, entity_id, event_id FROM c WHERE op <> 'D')
+         |SELECT target, entity_id,
+         |  CAST(event_id AS BIGINT) AS last_event_id
+         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+         |ORDER BY target, entity_id""".stripMargin,
 
     "q_bloom_semi_join" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment

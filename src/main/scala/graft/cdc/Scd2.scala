@@ -34,6 +34,34 @@ object Scd2 {
       .select(keys.map(col) ++ payload.map(p => col(s"_last.$p").as(p)): _*)
   }
 
+  /** MERGE-style change application: upsert/delete a compacted change set
+    * into a base snapshot (the warehouse "apply CDC to the table" step the
+    * reference leaves to its consumers).
+    *
+    * `changes` rows carry `opCol` ('D' = delete, anything else = upsert);
+    * per key only the NEWEST change (max `order`) decides. Result =
+    * untouched base rows + upserted latest versions; deleted keys drop.
+    *
+    * Plan shape: compact the changes (map-side-combinable hash agg), then
+    * base LEFT ANTI touched-keys UNION upserts — two joins that both
+    * broadcast when the change set is small relative to the snapshot (the
+    * normal CDC regime; `broadcastChanges = false` falls back to shuffle
+    * joins for snapshot-sized change sets). No full-outer sort-merge join:
+    * the base table streams through untouched.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   order: Column, opCol: Column, payload: Seq[String],
+                   broadcastChanges: Boolean = true): DataFrame = {
+    val latest = compact(changes.withColumn("_op", opCol), keys, order,
+      payload :+ "_op")
+    def bc(df: DataFrame) = if (broadcastChanges) broadcast(df) else df
+    val untouched = base.select((keys ++ payload).map(col): _*)
+      .join(bc(latest.select(keys.map(col): _*)), keys, "left_anti")
+    val upserts = latest.filter(col("_op") =!= "D")
+      .select((keys ++ payload).map(col): _*)
+    untouched.unionByName(upserts)
+  }
+
   /** SCD2 historization: each version row gains
     *   `valid_from` = its own `order` value,
     *   `valid_to`   = the NEXT version's order (null while current),

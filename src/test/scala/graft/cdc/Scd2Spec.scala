@@ -46,4 +46,22 @@ class Scd2Spec extends AnyFunSuite {
       assert(sorted.last._4.isEmpty)
     }
   }
+
+  test("applyChanges: upsert overrides, delete drops, insert adds, stale change loses") {
+    val base = Seq(
+      ("k1", 10L), ("k2", 10L), ("k3", 10L) // snapshot at version 10
+    ).toDF("k", "v")
+    val changes = Seq(
+      ("k1", 20L, "U"),  // update k1
+      ("k2", 20L, "D"),  // delete k2
+      ("k4", 20L, "U"),  // insert new key
+      ("k4", 30L, "D"),  // ...then delete it again (newest wins)
+      ("k5", 5L, "U"), ("k5", 6L, "D"), ("k5", 7L, "U") // churn: final U
+    ).toDF("k", "v", "op")
+    val got = graft.cdc.Scd2.applyChanges(base, changes, Seq("k"),
+        col("v"), col("op"), Seq("v"))
+      .as[(String, Long)].collect().toMap
+    // k1 updated to 20, k2 deleted, k3 untouched, k4 net-deleted, k5 at 7
+    assert(got == Map("k1" -> 20L, "k3" -> 10L, "k5" -> 7L))
+  }
 }
