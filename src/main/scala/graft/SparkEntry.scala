@@ -356,6 +356,32 @@ object SparkEntry {
           col("c.n_tokens").cast("long").as("n_tokens"))
         .orderBy(col("doc_id"), col("chunk_no"))),
 
+    "text_salient_terms" -> ((s, d) => {
+      // tf-idf-shaped term salience with a fully integer ranking
+      // (tf DESC, df ASC, term ASC) — exact across engines, no float ln
+      val tokens = t(s, d, "documents").select(
+        col("doc_id").cast("long").as("doc_id"),
+        explode(TF.tokens(col("text"))).as("term"))
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(df, "term")
+        .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df"), col("term"))))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    "q_histogram" -> ((s, d) =>
+      // fixed-width histogram of order totals: one hash agg, bucket ids
+      // computed scan-side
+      t(s, d, "orders")
+        .select((floor(dec(col("o_totalprice")).cast("double") / 50000.0))
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+        .orderBy("bucket")),
+
     "text_redact" -> ((s, d) => {
       // PII scrubbing: the synthetic corpus carries no PII, so the query
       // plants deterministic fake contact info (same construction in the
@@ -1345,6 +1371,28 @@ object SparkEntry {
         |  md5(array_to_string(words[cn*24 + 1 : cn*24 + 32], ' ')) AS chunk_hash,
         |  CAST(len(words[cn*24 + 1 : cn*24 + 32]) AS BIGINT) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "text_salient_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df, tf.term) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(rnk AS BIGINT) AS rnk,
+        |  term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        |FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+        |    / 50000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_redact" ->
       """WITH w AS (
