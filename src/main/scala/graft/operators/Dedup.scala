@@ -241,14 +241,13 @@ object Dedup {
     val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     // ids must be numeric: cast("long") maps a non-numeric id to null, which
-    // would silently vanish from the label table — fail fast instead.
-    val nBadIds = adj.filter(col("a").isNull || col("b").isNull).limit(1).count()
-    require(nBadIds == 0,
+    // would silently vanish from the label table — fail fast instead. One
+    // aggregate doubles as the bad-id probe and the initial convergence sum.
+    val stats = adj.agg(
+      sum(when(col("a").isNull || col("b").isNull, 1L).otherwise(0L)).as("bad"),
+      sum_distinct(col("a").cast("decimal(38,0)")).as("s")).head()
+    require(stats.getLong(0) == 0L,
       s"duplicateGroups: non-numeric id in '$aCol'/'$bCol' (cast to long gave null)")
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-    var round = 0
-    var converged = false
     // convergence probe: labels are monotonically non-increasing per node
     // (min over a neighborhood containing self, then label(label) <= label),
     // so the label-sum is strictly decreasing until the fixed point — equal
@@ -256,7 +255,11 @@ object Dedup {
     // frame instead of a join-and-compare job per round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    var prevSum = stats.getDecimal(1) // Σ node = label-sum of the identity labeling
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var round = 0
+    var converged = false
     while (round < maxRounds && !converged) {
       // each node's new label: min over own label and all neighbors' labels
       val viaNeighbors = adj
