@@ -76,10 +76,23 @@ object Bench {
     catch { case _: Throwable => () }
     // noop sink forces full plan execution (count() could short-circuit
     // through scan-only statistics paths).
-    // 1 untimed warmup + min of 2 timed runs per query: the first execution
-    // pays codegen compilation + JIT (measured 4-7x on formatter-heavy
-    // queries) and the container shares cores with the driver, so single-shot
-    // timings carry multi-second noise.
+    // 1 untimed warmup + MEDIAN of 5 timed runs per query: the first
+    // execution pays codegen compilation + JIT (measured 4-7x on
+    // formatter-heavy queries) and the container shares cores with the
+    // driver, so single-shot (and min-of-2) timings carry multi-second
+    // noise — round 3's bench showed uniform 1.2-2.5x "regressions" on
+    // untouched queries from machine contention alone. The median absorbs
+    // one-off stalls in either direction; stddev is reported per query so
+    // a reader can tell a real delta from a noisy one.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def stddev(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
+    }
+    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -87,25 +100,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       run() // warmup
-      val times = (1 to 2).map { _ =>
+      val times = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, median(times), stddev(times))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sds = results.map { case (k, _, sd) => s"\"" + k + "\":" + sd }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // CDC-plane throughput (BASELINE.md sanity target: >= 20k events/s for
     // route+dedupe+batch). Rate = input events / wall time of the full plane.
     val throughput = try {
       val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
-      val secs = (1 to 2).map { _ =>
+      val secs = median((1 to 3).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.entry2(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      }.min
+      })
       nEvents / secs
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput failed: ${e.getMessage}"); 0.0
@@ -114,7 +129,12 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}"); 0.0
     }
+    // machine-load context: a reader comparing rounds needs to know whether
+    // the box was already busy when the suite ran
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stddev":$sds,"timed_runs":$timedRuns,""" +
+      s""""load_avg":${osBean.getSystemLoadAverage},""" +
       s""""cdc_events_per_sec":${throughput.round},""" +
       s""""stream_events_per_sec":${streamRate.round},"sf":"$sfDir"}""")
     spark.stop()

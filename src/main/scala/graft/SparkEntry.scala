@@ -620,6 +620,20 @@ object SparkEntry {
           .orderBy(col("event_type"))
       }),
 
+    "q_approx_distinct_sketch" -> ((s, d) =>
+      // the PRODUCTION distinct-count path: HLL++ only, no exact arm. One
+      // partial-aggregate pass, mergeable sketches, no exact-distinct shuffle
+      // anywhere in the plan (PlanAuditSpec asserts no Expand). The estimate
+      // is engine-specific so this is a rows-only driver check by design;
+      // ApproxAggSpec pins the ≤5%-of-exact error bound in-engine, and
+      // q_approx_distinct above is the oracle-verified audit variant.
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          approx_count_distinct(col("event_id"), 0.02).as("n_events_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("event_type"))),
+
     "q_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -838,8 +852,15 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     "dedup_embedding" -> ((s, d) =>
+      // md5-derived hyperplanes ("emb" family) — the DuckDB oracle rebuilds
+      // the exact buckets from md5 alone, so the blocked path is fully
+      // hash-verified, not rows-only. Cosine is recomputed by the oracle for
+      // the verify filter but kept OUT of the output (raw float-sum doubles
+      // are the one place engines can differ in the last ulp).
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-          planes = 6, threshold = 0.4)
+          planes = 6, threshold = 0.4, md5Tag = Some("emb"))
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 
     "dedup_embedding_exact" -> ((s, d) =>
@@ -861,9 +882,13 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, d) => {
+      // md5-derived plane families ("lsh0".."lsh3") — the DuckDB oracle
+      // replays bucketing + multi-probe + cosine ranking exactly, so the
+      // approximate index itself is hash-verified end to end
       val e = t(s, d, "embeddings")
       SimilaritySearch.lshTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "embedding", k = 10, planes = 8, probes = 4, tables = 4)
+          "vec_id", "embedding", k = 10, planes = 8, probes = 4, tables = 4,
+          md5Tag = Some("lsh"))
         .select(col("query_id").cast("long").as("query_id"),
           col("neighbor_id").cast("long").as("neighbor_id"),
           col("rank").cast("long").as("rnk"))
@@ -871,10 +896,13 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, d) => {
+      // hash-deterministic coarse quantizer (md5-smallest ids as centroids)
+      // — same one-pass assignment + nprobe equi-join shape as the trained
+      // k-means variant (SimilaritySpec covers that one), but every stage is
+      // DuckDB-replicable so the driver hash-verifies the index
       val e = t(s, d, "embeddings")
-      SimilaritySearch.ivfTopK(e.filter(col("vec_id") < 10), e,
-          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4, iters = 2,
-          sampleMod = 4)
+      SimilaritySearch.ivfTopKSeeded(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4)
         .select(col("query_id").cast("long").as("query_id"),
           col("neighbor_id").cast("long").as("neighbor_id"),
           col("rank").cast("long").as("rnk"))

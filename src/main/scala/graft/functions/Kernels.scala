@@ -366,6 +366,97 @@ object Kernels {
       java.lang.Long.valueOf(z ^ (z >>> 31))
     }).longValue()
 
+  /** [[hyperplaneSketch]] with md5-derived weights so a SQL oracle can
+    * rebuild the exact buckets: the ±1 weight for (plane p, dim d) is bit
+    * (d mod 60) of `md5hash60("<tag>:<p>:<d/60>")` — in ANSI SQL,
+    * `(CAST(concat('0x', substr(md5(tag||':'||p||':'||(d//60)), 1, 15))
+    * AS BIGINT) >> (d % 60)) & 1`. Same sign/accumulation semantics as the
+    * seeded variant (strict left-to-right double sum, proj >= 0 → bit set);
+    * the weight words are cached per (tag, plane, chunk), so the md5 cost is
+    * O(planes·dim/60) per JVM, not per row.
+    */
+  def hyperplaneSketchMd5(vec: ArrayData, planes: Int, tag: String): Long = {
+    val n = vec.numElements()
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val w = if (((md5Word(tag, p, d / 60) >>> (d % 60)) & 1L) == 1L) 1.0 else -1.0
+        proj += vec.getFloat(d).toDouble * w
+        d += 1
+      }
+      if (proj >= 0.0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  private val md5WordCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), java.lang.Long]()
+  private def md5Word(tag: String, p: Int, chunk: Int): Long =
+    md5WordCache.computeIfAbsent((tag, p, chunk), { key =>
+      java.lang.Long.valueOf(
+        md5hash60(UTF8String.fromString(s"${key._1}:${key._2}:${key._3}")))
+    }).longValue()
+
+  /** Index of the nearest centroid by cosine up to the per-row constant:
+    * argmax over cells of dot(v, c)/|c|, ties to the LOWEST cell id (a SQL
+    * oracle replicates the tie with `ORDER BY score DESC, cell`). `cents` is
+    * the row-major flat centroid matrix (ncells × dim doubles), `norms` the
+    * per-centroid euclidean norms — both precomputed once on the driver and
+    * shipped as expression reference objects, so the corpus-wide assignment
+    * pass is one codegen'd static call with zero per-row boxing.
+    */
+  def nearestCentroid(vec: ArrayData, cents: Array[Double],
+                      norms: Array[Double], dim: Int): Int = {
+    val ncells = norms.length
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < ncells) {
+      val off = c * dim
+      val n = math.min(vec.numElements(), dim)
+      var d = 0.0; var i = 0
+      while (i < n) { d += vec.getFloat(i).toDouble * cents(off + i); i += 1 }
+      val score = d / norms(c)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid ids by the same score/tie order as
+    * [[nearestCentroid]] (insertion sort over the bounded probe list — nprobe
+    * is single-digit in practice).
+    */
+  def probeCentroids(vec: ArrayData, cents: Array[Double], norms: Array[Double],
+                     dim: Int, nprobe: Int): ArrayData = {
+    val ncells = norms.length
+    val m = math.min(nprobe, ncells)
+    val topCell = new Array[Int](m)
+    val topScore = new Array[Double](m)
+    java.util.Arrays.fill(topScore, Double.NegativeInfinity)
+    var c = 0
+    while (c < ncells) {
+      val off = c * dim
+      val n = math.min(vec.numElements(), dim)
+      var d = 0.0; var i = 0
+      while (i < n) { d += vec.getFloat(i).toDouble * cents(off + i); i += 1 }
+      val score = d / norms(c)
+      // strict > : on score ties the earlier (lower) cell id stays ahead
+      var j = m - 1
+      if (score > topScore(j)) {
+        while (j > 0 && score > topScore(j - 1)) {
+          topScore(j) = topScore(j - 1); topCell(j) = topCell(j - 1); j -= 1
+        }
+        topScore(j) = score; topCell(j) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(topCell)
+  }
+
   // SplitMix64-derived deterministic permutation constants, cached per (k,seed).
   private val permCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long), (Array[Long], Array[Long])]()

@@ -163,6 +163,67 @@ case class HyperplaneSketch(child: Expression, planes: Int, seed: Long = 42L)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Hyperplane sketch with md5-derived weights (SQL-oracle replicable — see
+  * [[Kernels.hyperplaneSketchMd5]]); `tag` namespaces the plane family so
+  * multi-table LSH gets independent sketches per table.
+  */
+case class HyperplaneSketchMd5(child: Expression, planes: Int, tag: String)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 64, "planes must be in [1,64]")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.hyperplaneSketchMd5(v.asInstanceOf[ArrayData], planes, tag)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagRef = ctx.addReferenceObj("hpTag", tag, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.hyperplaneSketchMd5($c, $planes, $tagRef)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** IVF cell assignment: index of the nearest centroid (see
+  * [[Kernels.nearestCentroid]]). The centroid matrix rides as a codegen
+  * reference object — no per-row boxing, no broadcast-variable plumbing
+  * (nlist × dim doubles is KBs, serialized once per task with the plan).
+  */
+case class NearestCentroid(child: Expression, cents: Array[Double],
+                           norms: Array[Double], dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && norms.length * dim == cents.length,
+    "cents must be a row-major (ncells x dim) matrix with one norm per row")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    Kernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, norms, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.nearestCentroid($c, $cRef, $nRef, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** IVF multi-probe: the nprobe nearest centroid ids (array<int>), same
+  * score/tie order as [[NearestCentroid]].
+  */
+case class ProbeCentroids(child: Expression, cents: Array[Double],
+                          norms: Array[Double], dim: Int, nprobe: Int)
+    extends UnaryExpression {
+  require(dim > 0 && norms.length * dim == cents.length,
+    "cents must be a row-major (ncells x dim) matrix with one norm per row")
+  require(nprobe > 0, "nprobe must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.probeCentroids(v.asInstanceOf[ArrayData], cents, norms, dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val nRef = ctx.addReferenceObj("ivfNorms", norms, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.probeCentroids($c, $cRef, $nRef, $dim, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-level entry points. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -187,6 +248,18 @@ object VectorFunctions {
 
   def hyperplaneSketch(vec: Column, planes: Int, seed: Long = 42L): Column =
     column(HyperplaneSketch(expression(vec), planes, seed))
+
+  /** Hyperplane sketch with the md5-derived weights (oracle-replicable). */
+  def hyperplaneSketchMd5(vec: Column, planes: Int, tag: String): Column =
+    column(HyperplaneSketchMd5(expression(vec), planes, tag))
+
+  def nearestCentroid(vec: Column, cents: Array[Double], norms: Array[Double],
+                      dim: Int): Column =
+    column(NearestCentroid(expression(vec), cents, norms, dim))
+
+  def probeCentroids(vec: Column, cents: Array[Double], norms: Array[Double],
+                     dim: Int, nprobe: Int): Column =
+    column(ProbeCentroids(expression(vec), cents, norms, dim, nprobe))
 
   def minhashShingled(tokens: Column, n: Int, k: Int, seed: Long = 42L): Column =
     column(MinHashShingled(expression(tokens), n, k, seed))

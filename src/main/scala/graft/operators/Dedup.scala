@@ -172,12 +172,17 @@ object Dedup {
     * from xxhash64(bucket-plane index, dimension) — no driver-side RNG state.
     */
   def embeddingPairs(vecs: DataFrame, idCol: String, vecCol: String,
-                     planes: Int, threshold: Double, seed: Long = 42L): DataFrame = {
+                     planes: Int, threshold: Double, seed: Long = 42L,
+                     md5Tag: Option[String] = None): DataFrame = {
     // candidate generation on (id, bucket) only; vectors re-join afterwards
     // so the cosine threshold is evaluated once per candidate pair rather
-    // than being pushed into the bucket join's condition.
-    val b = vecs.select(col(idCol).as("vid"),
-      VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed).as("bucket"))
+    // than being pushed into the bucket join's condition. md5Tag switches to
+    // the md5-derived plane family so a SQL oracle can rebuild the buckets.
+    val sketch = md5Tag match {
+      case Some(tag) => VectorFunctions.hyperplaneSketchMd5(col(vecCol), planes, tag)
+      case None => VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed)
+    }
+    val b = vecs.select(col(idCol).as("vid"), sketch.as("bucket"))
     val cands = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
@@ -246,6 +251,10 @@ object Dedup {
     val stats = adj.agg(
       sum(when(col("a").isNull || col("b").isNull, 1L).otherwise(0L)).as("bad"),
       sum_distinct(col("a").cast("decimal(38,0)")).as("s")).head()
+    // zero input pairs: both sums aggregate over nothing and come back NULL —
+    // an empty corpus has no duplicate groups, which is an answer, not an NPE
+    if (stats.isNullAt(0))
+      return adj.select(col("a").as("doc_id"), col("b").as("canonical_id"))
     require(stats.getLong(0) == 0L,
       s"duplicateGroups: non-numeric id in '$aCol'/'$bCol' (cast to long gave null)")
     // convergence probe: labels are monotonically non-increasing per node

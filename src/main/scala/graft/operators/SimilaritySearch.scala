@@ -50,12 +50,17 @@ object SimilaritySearch {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, probes: Int,
-              tables: Int = 1, seed: Long = 42L): DataFrame = {
+              tables: Int = 1, seed: Long = 42L,
+              md5Tag: Option[String] = None): DataFrame = {
     require(planes <= 64 && tables >= 1 && probes <= planes)
-    // per-table sketches as struct(t, bucket); compile-time unrolled
+    // per-table sketches as struct(t, bucket); compile-time unrolled.
+    // md5Tag switches to the md5-derived plane family ("<tag><t>" per table)
+    // so a SQL oracle can rebuild the exact buckets.
     def sketches(v: org.apache.spark.sql.Column) = array((0 until tables).map { t =>
-      struct(lit(t).as("t"),
-        VectorFunctions.hyperplaneSketch(v, planes, seed + t * 7919L).as("b"))
+      struct(lit(t).as("t"), (md5Tag match {
+        case Some(tag) => VectorFunctions.hyperplaneSketchMd5(v, planes, s"$tag$t")
+        case None => VectorFunctions.hyperplaneSketch(v, planes, seed + t * 7919L)
+      }).as("b"))
     }: _*)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         explode(sketches(col(vecCol))).as("s"))
@@ -106,11 +111,19 @@ object SimilaritySearch {
       .limit(nlist).select("_v").collect()
       .map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
 
+    val dim0 = centroids.headOption.map(_.length).getOrElse(0)
+    require(dim0 > 0, "ivfTopK: empty corpus sample — cannot train centroids")
+    // unit-norm centroids → norms of 1.0, so the shared kernel's
+    // dot/norm score reduces to the raw dot product
+    def unitNorms = Array.fill(centroids.length)(1.0)
+
     for (_ <- 1 to iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val cellU = udf((v: Seq[Float]) => nearestCell(v, bc.value))
+      // codegen cell assignment (no ScalaUDF: per-row boxed Seq[Float] was
+      // the one interpreted hot-path in the corpus-wide pass)
+      val assignC = VectorFunctions.nearestCentroid(
+        col("_v"), centroids.flatten, unitNorms, dim0)
       // new centroid = mean of assigned vectors (spherical: renormalize)
-      val sums = sample.withColumn("_cell", cellU(col("_v")))
+      val sums = sample.withColumn("_cell", assignC)
         .select(col("_cell"), posexplode(col("_v")).as(Seq("_pos", "_x")))
         .groupBy("_cell", "_pos").agg(avg(col("_x")).as("_m"))
         .collect()
@@ -127,13 +140,60 @@ object SimilaritySearch {
       }.toArray
     }
 
-    val bc = spark.sparkContext.broadcast(centroids)
-    val cellU = udf((v: Seq[Float]) => nearestCell(v, bc.value))
-    val probeU = udf((v: Seq[Float]) => probeCells(v, bc.value, nprobe))
+    searchCells(queries, corpus, idCol, vecCol, k, nprobe,
+      centroids.flatten, unitNorms, dim0)
+  }
+
+  /** IVF with a hash-deterministic coarse quantizer and NO Lloyd iterations:
+    * the `nlist` centroids are the corpus vectors with the smallest
+    * md5(CAST(id AS STRING)) (id tie-break) — a uniform deterministic sample
+    * a SQL oracle reproduces exactly, making the whole pipeline (assignment,
+    * probing, ranking) cross-engine verifiable. Cell score is
+    * dot(v, c)/|c| (cosine up to the per-row constant |v|), ties to the
+    * lowest cell id.
+    *
+    * Same 100 TB shape as [[ivfTopK]]: centroid selection reads nlist rows,
+    * the corpus-wide work is ONE codegen'd map-side assignment plus the
+    * candidate equi-join on cell id. Trained k-means centroids buy better
+    * cell balance, not different mechanics — use [[ivfTopK]] when recall/cell
+    * skew matters more than replicability.
+    */
+  def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val picked = corpus
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id")), col("_id"))
+      .limit(nlist).collect()
+    require(picked.nonEmpty, "ivfTopKSeeded: empty corpus")
+    val dim = picked.head.getSeq[Float](1).length
+    val flat = new Array[Double](picked.length * dim)
+    val norms = new Array[Double](picked.length)
+    var c = 0
+    while (c < picked.length) {
+      val v = picked(c).getSeq[Float](1)
+      var s = 0.0; var i = 0
+      while (i < dim) {
+        val x = v(i).toDouble; flat(c * dim + i) = x; s += x * x; i += 1
+      }
+      norms(c) = math.sqrt(s)
+      c += 1
+    }
+    searchCells(queries, corpus, idCol, vecCol, k, nprobe, flat, norms, dim)
+  }
+
+  /** Shared IVF search stage: codegen'd map-side cell assignment over the
+    * corpus, multi-probe explosion on the (broadcast) query side, candidate
+    * equi-join on cell id, exact-cosine ranking.
+    */
+  private def searchCells(queries: DataFrame, corpus: DataFrame, idCol: String,
+                          vecCol: String, k: Int, nprobe: Int,
+                          flat: Array[Double], norms: Array[Double],
+                          dim: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      cellU(col(vecCol)).as("cell"))
+      VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(probeU(col("qv"))))
+      .withColumn("cell",
+        explode(VectorFunctions.probeCentroids(col(vecCol), flat, norms, dim, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
@@ -149,32 +209,5 @@ object SimilaritySearch {
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)
     if (n == 0.0) v else v.map(_ / n)
-  }
-
-  /** argmax over dot(v, centroid) — centroids are unit vectors, so per-row
-    * |v| is a constant factor and raw dot products order identically to
-    * cosine. Ties break to the lowest cell id.
-    */
-  private def nearestCell(v: Seq[Float], cs: Array[Array[Double]]): Int = {
-    var best = 0; var bestDot = Double.NegativeInfinity
-    var c = 0
-    while (c < cs.length) {
-      val cv = cs(c); var d = 0.0; var i = 0
-      val n = math.min(v.length, cv.length)
-      while (i < n) { d += v(i) * cv(i); i += 1 }
-      if (d > bestDot) { bestDot = d; best = c }
-      c += 1
-    }
-    best
-  }
-
-  private def probeCells(v: Seq[Float], cs: Array[Array[Double]], nprobe: Int): Array[Int] = {
-    val dots = Array.tabulate(cs.length) { c =>
-      val cv = cs(c); var d = 0.0; var i = 0
-      val n = math.min(v.length, cv.length)
-      while (i < n) { d += v(i) * cv(i); i += 1 }
-      (d, c)
-    }
-    dots.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
   }
 }
