@@ -92,7 +92,9 @@ object Bench {
       val m = xs.sum / xs.size
       math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.size)
     }
-    val timedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(5)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

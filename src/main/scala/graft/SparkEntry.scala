@@ -1603,6 +1603,117 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // replays Kernels.hyperplaneSketchMd5 ("emb" family): the ±1 weight for
+    // (plane p, dim d) is bit (d%60) of the first 15 md5 hex chars of
+    // "emb:<p>:<d/60>"; bucket bit set iff the projection is >= 0. Verify
+    // filter recomputes exact cosine (list_cosine_similarity on doubles
+    // agrees with the engine kernel — same contract dedup_embedding_exact
+    // already hash-verifies).
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |w AS (
+        |  SELECT p, d,
+        |    CASE WHEN (CAST(concat('0x',
+        |        substr(md5('emb:' || p || ':' || (d // 60)), 1, 15))
+        |      AS BIGINT) >> (d % 60)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS wt
+        |  FROM range(6) pp(p), range(64) dd(d)),
+        |proj AS (
+        |  SELECT v.vec_id, w.p, sum(v.e[w.d + 1] * w.wt) AS pr
+        |  FROM v, w GROUP BY 1, 2),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1)
+        |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+        |FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN v va ON va.vec_id = a.vec_id
+        |JOIN v vb ON vb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(CAST(va.e AS DOUBLE[]),
+        |  CAST(vb.e AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // replays lshTopK's 4 md5 plane families ("lsh0".."lsh3", 8 planes),
+    // multi-probe masks {0,1,2,4,8} (identity + single-bit flips of the
+    // first 4 planes), OR-amplified candidate dedup, then exact-cosine
+    // ranking with the neighbor_id tie-break.
+    "ann_lsh_topk" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |w AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN (CAST(concat('0x',
+        |        substr(md5('lsh' || t || ':' || p || ':' || (d // 60)), 1, 15))
+        |      AS BIGINT) >> (d % 60)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS wt
+        |  FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)),
+        |proj AS (
+        |  SELECT v.vec_id, w.t, w.p, sum(v.e[w.d + 1] * w.wt) AS pr
+        |  FROM v, w GROUP BY 1, 2, 3),
+        |bkt AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2),
+        |qb AS (
+        |  SELECT b.vec_id AS query_id, b.t, xor(b.bucket, m.m) AS bucket
+        |  FROM bkt b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) m(m)
+        |  WHERE b.vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        |  FROM qb q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+        |  WHERE q.query_id <> c.vec_id),
+        |sc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(CAST(qv.e AS DOUBLE[]),
+        |      CAST(cv.e AS DOUBLE[])) AS cosine
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // replays ivfTopKSeeded: the 16 centroids are the corpus vectors with
+    // the smallest md5(CAST(id AS VARCHAR)) (string-id tie-break), cell ids
+    // assigned in that order; cell score is dot(v,c)/|c| with ties to the
+    // lowest cell; queries probe their 4 best cells; candidates rank by
+    // exact cosine with the neighbor_id tie-break.
+    "ann_ivf_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cell FROM sc WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qv.e, cv.e) AS cosine
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM ranked QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
     "q_approx_distinct" ->
       """SELECT event_type,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

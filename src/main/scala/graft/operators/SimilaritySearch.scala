@@ -171,10 +171,14 @@ object SimilaritySearch {
     var c = 0
     while (c < picked.length) {
       val v = picked(c).getSeq[Float](1)
+      // ragged vectors: trailing dims stay 0.0 (mirrors the kernel's
+      // math.min bound); zero-norm centroids would make every cell score
+      // NaN, which DuckDB sorts as largest — reject instead of diverging.
       var s = 0.0; var i = 0
-      while (i < dim) {
+      while (i < math.min(dim, v.length)) {
         val x = v(i).toDouble; flat(c * dim + i) = x; s += x * x; i += 1
       }
+      require(s > 0.0, s"ivfTopKSeeded: zero-norm centroid vector ${picked(c).getString(0)}")
       norms(c) = math.sqrt(s)
       c += 1
     }
@@ -193,7 +197,7 @@ object SimilaritySearch {
       VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
-        explode(VectorFunctions.probeCentroids(col(vecCol), flat, norms, dim, nprobe)))
+        explode(VectorFunctions.probeCentroids(col("qv"), flat, norms, dim, nprobe)))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
