@@ -23,15 +23,32 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1"))
       .getOrCreate()
 
+  /** Off-heap RocksDB keyed state — the 100 TB default for streaming
+    * stateful ops (banded dedupe fingerprints, buffers): the in-heap HDFS
+    * provider OOMs once state outgrows executor heap. Either the
+    * `GRAFT_STATE_STORE=rocksdb` env or `graft.stateStore=rocksdb` system
+    * property flips it on; a query can also set the conf directly.
+    */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   /** Apply engine defaults to any builder (used by Verify/Bench/tests). */
-  def tune(b: SparkSession.Builder): SparkSession.Builder = b
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.parquet.filterPushdown", "true")
-    .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-    // engine optimizer rules (each inert until its spark.graft.* conf is set)
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  def tune(b: SparkSession.Builder): SparkSession.Builder = {
+    val base = b
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // engine optimizer rules (each inert until its spark.graft.* conf is set)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    sys.env.get("GRAFT_STATE_STORE").orElse(sys.props.get("graft.stateStore"))
+      .map(_.toLowerCase) match {
+      case Some("rocksdb") =>
+        base.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+      case _ => base
+    }
+  }
 }

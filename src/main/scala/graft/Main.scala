@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** CLI — the engine's equivalent of the reference's Spring Shell commands
   * (Application.java + WatchStream.watch + DebeziumConfiguration.generate):
   *
-  *   watch    --config <cfg> --in <dir-of-json-envelope-files>
-  *            --out <parquet-dir> --checkpoint <dir> [--once]
-  *            runs the streaming CDC plane. Sources are pluggable; the file
-  *            source stands in for the Redis-stream connector in this
-  *            container (same `id, table, envelope` contract).
+  *   watch    --config <cfg> --in <dir-or-url> --out <parquet-dir>
+  *            --checkpoint <dir> [--once] [--source graft-cdc|json|redis]
+  *            runs the streaming CDC plane. Sources are pluggable on the
+  *            shared `id, table, envelope` contract: the segment-directory
+  *            source (CI default), a plain json file source, or the Redis
+  *            Streams connector (`--source redis`, production parity with
+  *            the reference's XREADGROUP/XACK/XDEL plane).
   *   generate --config <cfg>
   *            prints Debezium Server properties derived from the config.
   */
@@ -45,8 +47,25 @@ object Main {
             // count arm of the reference's count-or-time source buffer
             .option("maxFilesPerTrigger", math.max(1, cfg.buffers.source.size / 1000))
             .json(in)
+        case "redis" =>
+          // the reference's actual I/O plane: one stream per watched table
+          // named <source.prefix><table> (WatchStream.java:323), consumer
+          // group + XACK/XDEL handled by the DSv2 source. --in is the
+          // redis:// (or mem://) URL here; --url overrides for tests.
+          val url = opt(args, "--url").getOrElse(
+            s"redis://${cfg.source.connection.host}:${cfg.source.connection.port}")
+          val streams = cfg.mapping.keys.toSeq.sorted
+            .map(t => s"${cfg.source.prefix}$t").mkString(",")
+          spark.readStream.format("graft-redis")
+            .option("url", url)
+            .option("streams", streams)
+            .option("group", cfg.source.group)
+            .option("prefix", cfg.source.prefix)
+            .option("acknowledge", cfg.source.acknowledge)
+            .option("maxRecordsPerTrigger", cfg.buffers.source.size)
+            .load()
         case other =>
-          System.err.println(s"unknown --source $other (graft-cdc|json)"); sys.exit(2)
+          System.err.println(s"unknown --source $other (graft-cdc|json|redis)"); sys.exit(2)
       }
       val q = CdcStream.start(records, Routing.routesDf(spark, cfg),
         cfg.buffers.target.size, out, ckpt,

@@ -28,6 +28,23 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     VectorFunctions.shingleSet(TextFunctions.tokens(text), n)
 
+  /** Candidate-pair verify join: attach each side's shingle set to the
+    * (doc_a, doc_b) candidate list. With `salt > 1` both attach joins run
+    * through [[SaltedJoin]] — a viral doc in millions of candidate pairs
+    * otherwise pins one reducer, and AQE's skew split does not cover the
+    * shuffle-HASH joins these compile to. The sets side has exactly one row
+    * per doc, so its ×salt replication is cheap; the skewed pair rows are
+    * what get spread.
+    */
+  private def attachSets(cands: DataFrame, sets: DataFrame, setCol: String,
+                         salt: Int): DataFrame = {
+    val a = sets.select(col("doc").as("doc_a"), col(setCol).as("sa"))
+    val b = sets.select(col("doc").as("doc_b"), col(setCol).as("sb"))
+    if (salt <= 1) cands.join(a, "doc_a").join(b, "doc_b")
+    else SaltedJoin.inner(SaltedJoin.inner(cands, a, Seq("doc_a"), salt),
+      b, Seq("doc_b"), salt)
+  }
+
   /** Exact dedupe: group by content hash (md5 here; xxhash64 is cheaper but
     * md5 keeps oracle parity), canonical = min id. Pure hash aggregate with
     * map-side partial combine — the cheapest possible full-corpus dedupe.
@@ -51,7 +68,8 @@ object Dedup {
     * O(n²) stage exists at any scale.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        saltVerify: Int = 1): DataFrame = {
     // materialize (doc, shingle set) ONCE: the set feeds the prefix-filter
     // branch AND both sides of the verify join — without the checkpoint each
     // consumer re-scans the corpus and re-runs the shingle kernel (3 full
@@ -83,9 +101,7 @@ object Dedup {
           col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
-    cands
-      .join(sets.select(col("doc").as("doc_a"), col("sh_set").as("sa")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh_set").as("sb")), "doc_b")
+    attachSets(cands, sets, "sh_set", saltVerify)
       .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -101,7 +117,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double,
-                      seed: Long = 42L): DataFrame = {
+                      seed: Long = 42L, saltVerify: Int = 1): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // ids + band hashes ONLY cross the LSH join — texts never shuffle with
@@ -127,9 +143,7 @@ object Dedup {
     // exact-jaccard verification: shingle SETS are computed once per doc in
     // a projection, then re-joined to the (rare) candidate pairs.
     val sets = docs.select(col(idCol).as("doc"), shingleSet(col(textCol), n).as("sh"))
-    cands
-      .join(sets.select(col("doc").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sets.select(col("doc").as("doc_b"), col("sh").as("sb")), "doc_b")
+    attachSets(cands, sets, "sh", saltVerify)
       .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

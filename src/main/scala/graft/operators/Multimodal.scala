@@ -7,11 +7,12 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct, plus a partition-batched
   * decode/feature-extract stage.
   *
-  * The decode itself is a STUB (this container ships no image/audio codecs):
-  * [[FakeCodec]] derives deterministic "features" from the payload hash so the
-  * Spark-side contract — schema, per-partition batching, null/corrupt-payload
-  * behavior, partitioning — is fully real and testable. Swapping in a real
-  * codec is a one-function change.
+  * Image decode is REAL ([[ImageIoCodec]], pure-JDK javax.imageio —
+  * PNG/JPEG/GIF/BMP). Audio/video decode remains a STUB ([[FakeCodec]], no
+  * such codecs ship in the JDK): deterministic pseudo-features from the
+  * payload hash keep the Spark-side contract — schema, per-partition
+  * batching, null/corrupt-payload behavior, partitioning — fully real and
+  * testable; a real demuxer swaps in behind the same signatures.
   *
   * Scale: decode is the canonical CPU-heavy map stage. `mapPartitions` keeps
   * codec initialization per-partition (not per-row), payloads never shuffle
@@ -78,16 +79,86 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec over `javax.imageio` (pure JDK — PNG/JPEG/GIF/BMP, no
+    * external libs): dimensions from the decoded bitmap, sharpness = mean
+    * absolute 4-neighbour Laplacian of the luminance plane normalized to
+    * [0, 1] (the classic focus measure). Corrupt/undecodable payloads yield
+    * zeroed features, same contract as [[FakeCodec]]. Audio/video stay
+    * stubbed (no codecs for those in the JDK).
+    */
+  object ImageIoCodec {
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload == null || payload.isEmpty) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = if (r.payload == null) 0 else r.payload.length
+      decodeImage(r.payload) match {
+        case None => MediaFeatures(r.media_id, r.mime, len, 0, 0, 0.0)
+        case Some(img) => MediaFeatures(r.media_id, r.mime, len,
+          img.getWidth, img.getHeight, sharpness(img))
+      }
+    }
+
+    /** Mean |∇²luma| / 1020 (4·255 bounds the 4-neighbour Laplacian, so the
+      * score lands in [0, 1]); 0.0 for degenerate (<3×3) images.
+      */
+    def sharpness(img: java.awt.image.BufferedImage): Double = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 3 || h < 3) return 0.0
+      def luma(x: Int, y: Int): Double = {
+        val rgb = img.getRGB(x, y)
+        0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      var sum = 0.0
+      var y = 1
+      while (y < h - 1) {
+        var x = 1
+        while (x < w - 1) {
+          sum += math.abs(luma(x - 1, y) + luma(x + 1, y) + luma(x, y - 1) +
+            luma(x, y + 1) - 4.0 * luma(x, y))
+          x += 1
+        }
+        y += 1
+      }
+      sum / ((w - 2).toDouble * (h - 2)) / 1020.0
+    }
+
+    /** Real bilinear resize, re-encoded as PNG. None when undecodable. */
+    def resize(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decodeImage(payload).map { img =>
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      }
+  }
+
   /** Partition-batched decode/feature-extract. One codec "session" per
-    * partition (the `iter =>` prologue is where a real codec would init);
-    * corrupt/null payloads yield zeroed features instead of failing the task.
+    * partition (the `iter =>` prologue is where a stateful codec would
+    * init); dispatch is per-mime — `image/<any>` mimes decode for REAL via
+    * [[ImageIoCodec]], other modalities go through the stub. Corrupt/null
+    * payloads yield zeroed features instead of failing the task.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "mime", "payload").as[MediaRow]
       .mapPartitions { iter =>
-        // real codec init would happen here, once per partition
-        iter.map(FakeCodec.decode)
+        // stateful codec init would happen here, once per partition
+        iter.map { r =>
+          if (r.mime != null && r.mime.startsWith("image/")) ImageIoCodec.decode(r)
+          else FakeCodec.decode(r)
+        }
       }
   }
 
@@ -119,18 +190,24 @@ object Multimodal {
   case class Resized(media_id: Long, width: Int, height: Int,
                      thumb: Array[Byte])
 
-  /** Resize-to-thumbnail: partition-batched like [[extractFeatures]]; the
-    * pixel resample is stubbed (deterministic byte subsample preserving the
-    * target size contract), the Spark plumbing — schema, per-partition codec
-    * reuse, output byte budget — is real.
+  /** Resize-to-thumbnail: partition-batched like [[extractFeatures]].
+    * `image/<any>` payloads get a REAL bilinear resize re-encoded as PNG
+    * ([[ImageIoCodec.resize]]); other mimes fall back to the stub byte
+    * resample (deterministic, preserves the size contract). Undecodable
+    * image payloads also fall back rather than failing the task.
     */
   def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[Resized] = {
     import spark.implicits._
     media.select("media_id", "mime", "payload").as[MediaRow]
       .mapPartitions { iter =>
-        // real scaler init once per partition
+        // stateful scaler init would happen here, once per partition
         iter.map { r =>
-          Resized(r.media_id, w, h, FakeCodec.resample(r.payload, w * h))
+          val thumb =
+            if (r.mime != null && r.mime.startsWith("image/"))
+              ImageIoCodec.resize(r.payload, w, h)
+                .getOrElse(FakeCodec.resample(r.payload, w * h))
+            else FakeCodec.resample(r.payload, w * h)
+          Resized(r.media_id, w, h, thumb)
         }
       }
   }

@@ -1,15 +1,46 @@
 package graft.tools
 
 import graft._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
-/** Dev: audit physical plans for scale anti-patterns. Executes each query
-  * (noop sink) so AQE finalizes, then inspects the FINAL plan: unexpected
-  * nested-loop/cartesian joins, parquet scans without column pruning
-  * (ReadSchema wider than needed is approximated by full-table width).
+/** Physical-plan scale audit: unexpected nested-loop/cartesian joins, scans
+  * without column pruning, missing parquet filter pushdown. The library
+  * half ([[audit]]) is asserted over every SparkEntry query by
+  * PlanAuditSpec — a plan regression (a filter that stops pushing, a join
+  * that degrades to a cartesian) fails `sbt test`, not just a dev glance.
   */
 object PlanAudit {
+
+  /** Findings for one executed query plan. `scanWidths` = columns read per
+    * parquet scan (column-pruning proxy); `pushedFilters` = the data
+    * filters each parquet scan pushed (empty entries mean a full-scan).
+    */
+  case class Audit(flags: Seq[String], scanWidths: Seq[Int],
+                   pushedFilters: Seq[String])
+
+  /** Executes `df` (noop sink) so AQE finalizes, then audits the FINAL
+    * adaptive plan. `maxScanWidth` caps columns per scan (the widest
+    * driver-contract query reads 8 of lineitem's 16).
+    */
+  def audit(df: DataFrame, maxScanWidth: Int = 8): Audit = {
+    df.write.format("noop").mode("overwrite").save()
+    val exec = df.queryExecution.executedPlan
+    val finalPlan = exec.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      .getOrElse(exec)
+    val s = finalPlan.toString
+    val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s)
+      .map(_.group(1).count(_ == ':')).toList
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(s)
+      .map(_.group(1)).toList
+    val flags = Seq(
+      "NESTED_LOOP" -> s.contains("BroadcastNestedLoopJoin"),
+      "CARTESIAN" -> s.contains("CartesianProduct"),
+      "WIDE_SCAN" -> scans.exists(_ > maxScanWidth))
+      .collect { case (f, true) => f }
+    Audit(flags, scans, pushed)
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = GraftSession.tune(SparkSession.builder().master("local[8]")
@@ -18,23 +49,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val df = fn(spark, dir)
-        df.write.format("noop").mode("overwrite").save()
-        val exec = df.queryExecution.executedPlan
-        val finalPlan = exec.collectFirst { case a: AdaptiveSparkPlanExec => a.executedPlan }
-          .getOrElse(exec)
-        val s = finalPlan.toString
-        // scans: report column counts actually read per parquet scan
-        val scans = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s)
-          .map(_.group(1).count(_ == ':')).toList
-        // NOTE: codegen spans are not visible here — AQE applies codegen per
-        // query stage at execution; use df.explain("codegen") to inspect.
-        val flags = Seq(
-          "NESTED_LOOP" -> s.contains("BroadcastNestedLoopJoin"),
-          "CARTESIAN" -> s.contains("CartesianProduct"),
-          "WIDE_SCAN" -> scans.exists(_ > 8))
-          .collect { case (f, true) => f }
-        println(s"AUDIT $name scans=${scans.mkString("/")} ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+        val a = audit(fn(spark, dir))
+        println(s"AUDIT $name scans=${a.scanWidths.mkString("/")} " +
+          (if (a.flags.isEmpty) "ok" else a.flags.mkString(",")))
       } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage}") }
     }
     spark.stop()

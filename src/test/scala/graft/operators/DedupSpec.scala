@@ -108,6 +108,49 @@ class DedupSpec extends AnyFunSuite {
     assert(groups == Map(0L -> 0L, 100L -> 0L, 1L -> 1L, 101L -> 1L))
   }
 
+  test("salted verify joins return the exact same pairs on a skewed corpus") {
+    // adversarial skew: one viral text duplicated across 60 docs (every
+    // pair candidate, every verify row keyed on the same few docs) plus a
+    // hot shingle planted in half the normal docs — the shape that pins a
+    // single reducer at 100 TB when the verify join is unsalted
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "gold", "gray", "teal")
+    val viral = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val hot = "the quick brown fox" // 4-token hot shingle seed
+    val skewed = ((0 until 60).map(i => (i.toLong, viral)) ++
+      (100 until 160).map { i =>
+        val body = Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        (i.toLong, if (i % 2 == 0) s"$hot $body" else body)
+      }).toDF("doc_id", "text")
+
+    val plainJ = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val saltedJ = Dedup.ngramJaccardPairs(skewed, "doc_id", "text", 3, 0.8,
+        saltVerify = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(saltedJ == plainJ)
+    assert(plainJ.count { case (a, b) => a < 60 && b < 60 } == 60 * 59 / 2,
+      "viral clique must survive verification")
+
+    val plainM = Dedup.minhashLshPairs(skewed, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val saltedM = Dedup.minhashLshPairs(skewed, "doc_id", "text",
+        n = 3, k = 64, bands = 16, threshold = 0.8, saltVerify = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(saltedM == plainM)
+
+    // the mechanism actually spreads: one hot doc's candidate rows land on
+    // >1 salt value (salt = xxhash64(whole row) mod salts, the exact
+    // expression SaltedJoin applies), so its verify work fans out across
+    // reducers instead of pinning one
+    val hotPairs = (1L until 60L).map(b => (0L, b)).toDF("doc_a", "doc_b")
+    val spread = hotPairs
+      .withColumn("_salt", pmod(xxhash64(col("doc_a"), col("doc_b")), lit(8L)))
+      .select(countDistinct(col("_salt"))).as[Long].head()
+    assert(spread > 1L, "hot doc's candidate rows all hashed to one salt")
+  }
+
   test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2

@@ -63,4 +63,56 @@ class MultimodalSpec extends AnyFunSuite {
     val again = Multimodal.resize(spark, media, 4, 3).collect().sortBy(_.media_id)
     assert(out.map(_.thumb.toSeq).toSeq == again.map(_.thumb.toSeq).toSeq)
   }
+
+  /** A real PNG: w×h gradient (distinct luma per pixel so sharpness > 0). */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 37 + y * 101) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("image/* decodes for REAL via javax.imageio: true dimensions and a " +
+       "nonzero Laplacian sharpness") {
+    val bytes = png(8, 6)
+    val m = Multimodal.asMedia(Seq((1L, bytes)).toDF("media_id", "payload"),
+      "media_id", "payload", "image/png")
+    val f = Multimodal.extractFeatures(spark, m).collect().head
+    assert(f.width == 8 && f.height == 6)
+    assert(f.byte_len == bytes.length)
+    assert(f.sharpness > 0.0 && f.sharpness <= 1.0)
+    // a flat image is perfectly unsharp — the measure is real, not hashed
+    val flat = new java.awt.image.BufferedImage(8, 6,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flat, "png", baos)
+    val mFlat = Multimodal.asMedia(
+      Seq((2L, baos.toByteArray)).toDF("media_id", "payload"),
+      "media_id", "payload", "image/png")
+    assert(Multimodal.extractFeatures(spark, mFlat).collect().head.sharpness == 0.0)
+  }
+
+  test("corrupt image payload falls back to zeroed features, not task failure") {
+    val m = Multimodal.asMedia(
+      Seq((3L, "not a png at all".getBytes("UTF-8")))
+        .toDF("media_id", "payload"),
+      "media_id", "payload", "image/png")
+    val f = Multimodal.extractFeatures(spark, m).collect().head
+    assert(f.width == 0 && f.height == 0 && f.sharpness == 0.0)
+    assert(f.byte_len == 16)
+  }
+
+  test("image resize really rescales: thumb decodes back at target size") {
+    val m = Multimodal.asMedia(Seq((4L, png(16, 12))).toDF("media_id", "payload"),
+      "media_id", "payload", "image/png")
+    val r = Multimodal.resize(spark, m, 4, 3).collect().head
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.thumb))
+    assert(back.getWidth == 4 && back.getHeight == 3)
+  }
 }

@@ -1,0 +1,54 @@
+package graft.plans
+
+import graft.{SparkEntry, TestSpark}
+import graft.tools.PlanAudit
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plan audit as a CI gate: every driver-contract query's FINAL
+  * adaptive plan must be free of unexpected nested-loop/cartesian joins and
+  * unpruned scans. A plan regression (broadcast that degrades to BNLJ, a
+  * projection that stops pruning) fails the build, not a dev glance.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ground-truth baselines that are pairwise BY DECLARED DESIGN (broadcast
+  // queries × one corpus pass); their scale-safe siblings (lshTopK/ivfTopK,
+  // embeddingPairs) are audited like everything else
+  private val bnljByDesign = Set("ann_cosine_topk", "dedup_embedding_exact")
+
+  test("no query plan has an unexpected nested-loop or cartesian join, " +
+       "and every scan is column-pruned") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val a = PlanAudit.audit(fn(spark, sf))
+      val flags = if (bnljByDesign(name)) a.flags.filterNot(_ == "NESTED_LOOP")
+                  else a.flags
+      if (flags.isEmpty) None
+      else Some(s"$name: ${flags.mkString(",")} (scans=${a.scanWidths.mkString("/")})")
+    }
+    assert(bad.isEmpty, s"\nplan audit failures:\n  ${bad.mkString("\n  ")}")
+  }
+
+  test("a deliberately degenerate plan (non-equi join) fails the audit") {
+    import spark.implicits._
+    val a = Seq((1, 2), (3, 4)).toDF("x", "y")
+    val b = Seq((1, 2), (3, 4)).toDF("u", "v")
+    val broken = a.join(b, a("x") < b("u"))
+    val flagged = PlanAudit.audit(broken).flags
+    assert(flagged.contains("NESTED_LOOP") || flagged.contains("CARTESIAN"),
+      s"auditor must flag a non-equi join, got $flagged")
+  }
+
+  test("filters on headline scans reach the parquet reader (PushedFilters)") {
+    val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val a = PlanAudit.audit(q1)
+    assert(a.pushedFilters.exists(_.contains("l_shipdate")),
+      s"q1's l_shipdate filter must push into the scan, got ${a.pushedFilters}")
+    val q3 = SparkEntry.queries("q3_top_revenue_orders")(spark, sf)
+    val a3 = PlanAudit.audit(q3)
+    assert(a3.pushedFilters.exists(_.contains("c_mktsegment")),
+      s"q3's c_mktsegment filter must push into the scan, got ${a3.pushedFilters}")
+  }
+}
