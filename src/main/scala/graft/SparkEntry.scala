@@ -634,6 +634,35 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy(col("event_type"))),
 
+    "q_approx_distinct_kmv" -> ((s, d) =>
+      // KMV bottom-k distinct sketch: the ORACLE-VERIFIED production sketch
+      // path. Unlike HLL (engine-specific registers → rows-only check), the
+      // k smallest md5-derived 60-bit hashes are deterministic across
+      // engines, so DuckDB replays the identical estimate. Plan shape: one
+      // mergeable bounded partial aggregate (<= k longs per group per
+      // task), no exact-distinct shuffle — only sketches move.
+      {
+        val k = 64
+        val kmv = udaf(new graft.functions.KmvSketch.KmvAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        // 60-bit hash = first 15 hex chars of md5; conv → decimal string →
+        // BIGINT. Identical bytes hash identically in DuckDB's md5.
+        val hv = expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(kmv(hv).as("mins"))
+          .select(col("event_type"),
+            when(size(col("mins")) < k, size(col("mins")).cast("long"))
+              .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+                / element_at(col("mins"), k)))
+              .as("n_users_est"),
+            size(col("mins")).cast("long").as("n_tracked"),
+            when(size(col("mins")) === k, element_at(col("mins"), k))
+              .as("kth_hash"))
+          .orderBy(col("event_type"))
+      }),
+
     "q_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1721,6 +1750,28 @@ object SparkEntry {
         | true AS users_within_5pct,
         | true AS events_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the KMV sketch exactly: same 60-bit md5 hash, k-th smallest
+    // distinct value, same IEEE estimate arithmetic (floor(63 * 2^60 / h_k))
+    "q_approx_distinct_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT event_type,
+        |  CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT)
+        |       ELSE CAST(floor(63 * power(2, 60)
+        |         / max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT) END
+        |    AS n_users_est,
+        |  CAST(least(max(nd), 64) AS BIGINT) AS n_tracked,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS kth_hash
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mm_features_stub" ->
       """WITH m AS (

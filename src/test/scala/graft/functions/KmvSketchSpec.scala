@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KmvSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def agg(k: Int) = new KmvSketch.KmvAgg(k)
+
+  test("reduce keeps the k smallest distinct values, sorted") {
+    val a = agg(4)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 1L).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(buf).toSeq == Seq(1L, 2L, 3L, 7L))
+  }
+
+  test("sub-k input stays exact and deduped") {
+    val a = agg(64)
+    val buf = Seq(5L, 5L, 1L, 9L).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(buf).toSeq == Seq(1L, 5L, 9L))
+    assert(KmvSketch.estimate(a.finish(buf), 64) == 3L)
+  }
+
+  test("merge == reduce over the concatenation (mergeable partial agg law)") {
+    val a = agg(8)
+    val xs = (0 until 200).map(i => (i * 2654435761L) % 1000)
+    val (l, r) = xs.splitAt(97)
+    val merged = a.merge(l.foldLeft(a.zero)(a.reduce), r.foldLeft(a.zero)(a.reduce))
+    val direct = xs.foldLeft(a.zero)(a.reduce)
+    assert(a.finish(merged).toSeq == a.finish(direct).toSeq)
+  }
+
+  test("estimate within 3/sqrt(k) of exact on uniform hashes") {
+    val k = 64
+    val n = 5000
+    // md5-like uniform 60-bit hashes via a splitmix-style scramble
+    val hs = (1 to n).map { i =>
+      var z = i * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      (z ^ (z >>> 27)) & ((1L << 60) - 1)
+    }.distinct
+    val a = agg(k)
+    val est = KmvSketch.estimate(a.finish(hs.foldLeft(a.zero)(a.reduce)), k).toDouble
+    val err = math.abs(est - hs.size) / hs.size
+    assert(err <= 3.0 / math.sqrt(k.toDouble), s"est=$est exact=${hs.size} err=$err")
+  }
+
+  test("q_approx_distinct_kmv estimate tracks exact distinct on events") {
+    val out = graft.SparkEntry.queries("q_approx_distinct_kmv")(spark, TestSpark.sf0001)
+      .collect()
+    val exact = Tables(spark, TestSpark.sf0001, "events")
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (ty, est) = (r.getString(0), r.getAs[Long]("n_users_est"))
+      val e = exact(ty).toDouble
+      // saturated groups: KMV stderr ~ 1/sqrt(k-2); unsaturated: exact
+      assert(math.abs(est - e) / e <= 3.0 / math.sqrt(62.0),
+        s"$ty: est=$est exact=$e")
+    }
+  }
+}
