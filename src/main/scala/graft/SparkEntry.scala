@@ -924,6 +924,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_recall_audit" -> ((s, d) => {
+      // the first question a user asks of an ANN index: what's its recall?
+      // Answered as a first-class query — per-query recall@10 of the LSH
+      // index against in-engine brute-force ground truth, both sides the
+      // exact pipelines of ann_cosine_topk / ann_lsh_topk (oracle replays
+      // both and recomputes the same join). Scale: both inputs are bounded
+      // per-query top-k lists (k rows per query), so the audit join and
+      // aggregate touch k*|queries| rows regardless of corpus size.
+      // NOTE on absolute values: the synthetic embeddings are isotropic
+      // random vectors, so all cosines concentrate near 0 and the "true"
+      // top-10 is noise — recall here is structurally low and that is the
+      // honest answer for this data. SimilaritySpec asserts high recall on
+      // clustered vectors, where neighborhoods actually exist.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val bf = SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+      val lsh = SimilaritySearch.lshTopK(q, e, "vec_id", "embedding",
+          k = 10, planes = 8, probes = 4, tables = 4, md5Tag = Some("lsh"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"), lit(1L).as("hit"))
+      bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+        .select(col("query_id"), col("n_matched"),
+          (col("n_matched") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     "ann_ivf_topk" -> ((s, d) => {
       // hash-deterministic coarse quantizer (md5-smallest ids as centroids)
       // — same one-pass assignment + nprobe equi-join shape as the trained
@@ -1666,41 +1696,8 @@ object SparkEntry {
     // multi-probe masks {0,1,2,4,8} (identity + single-bit flips of the
     // first 4 planes), OR-amplified candidate dedup, then exact-cosine
     // ranking with the neighbor_id tie-break.
-    "ann_lsh_topk" ->
-      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
-        |w AS (
-        |  SELECT t, p, d,
-        |    CASE WHEN (CAST(concat('0x',
-        |        substr(md5('lsh' || t || ':' || p || ':' || (d // 60)), 1, 15))
-        |      AS BIGINT) >> (d % 60)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS wt
-        |  FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)),
-        |proj AS (
-        |  SELECT v.vec_id, w.t, w.p, sum(v.e[w.d + 1] * w.wt) AS pr
-        |  FROM v, w GROUP BY 1, 2, 3),
-        |bkt AS (
-        |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
-        |      AS BIGINT) AS bucket
-        |  FROM proj GROUP BY 1, 2),
-        |qb AS (
-        |  SELECT b.vec_id AS query_id, b.t, xor(b.bucket, m.m) AS bucket
-        |  FROM bkt b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) m(m)
-        |  WHERE b.vec_id < 10),
-        |cand AS (
-        |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
-        |  FROM qb q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
-        |  WHERE q.query_id <> c.vec_id),
-        |sc AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    list_cosine_similarity(CAST(qv.e AS DOUBLE[]),
-        |      CAST(cv.e AS DOUBLE[])) AS cosine
-        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
-        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
-        |SELECT CAST(query_id AS BIGINT) AS query_id,
-        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_lsh_topk" -> annLshOracle,
+
 
     // replays ivfTopKSeeded: the 16 centroids are the corpus vectors with
     // the smallest md5(CAST(id AS VARCHAR)) (string-id tie-break), cell ids
@@ -1808,18 +1805,20 @@ object SparkEntry {
         |  CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
         |FROM r WHERE rn <= 8 ORDER BY media_id, frame_no""".stripMargin,
 
-    "ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
-        |      FROM q JOIN c ON qid <> nid),
-        |r AS (SELECT qid, nid,
-        |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
-        |      FROM s)
-        |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
-        |       CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_cosine_topk" -> annCosineOracle,
+
+    // recall@10 of the LSH index vs brute force, both replayed from their
+    // already-verified oracle bodies — the index's headline quality metric
+    // is itself a hash-checked query, not just a spec assertion
+    "ann_recall_audit" ->
+      s"""WITH bf AS ($annCosineOracle),
+         |lshr AS ($annLshOracle)
+         |SELECT bf.query_id,
+         |  CAST(count(lshr.neighbor_id) AS BIGINT) AS n_matched,
+         |  count(lshr.neighbor_id) / 10.0 AS recall_at_10
+         |FROM bf LEFT JOIN lshr
+         |  ON bf.query_id = lshr.query_id AND bf.neighbor_id = lshr.neighbor_id
+         |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin,
 
     "text_stats" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -1866,6 +1865,55 @@ object SparkEntry {
       |    len(list_intersect(a.s, b.s)) AS i,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val annCosineOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+      |      FROM q JOIN c ON qid <> nid),
+      |r AS (SELECT qid, nid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+      |      FROM s)
+      |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
+      |       CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  private val annLshOracle: String =
+    """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+      |w AS (
+      |  SELECT t, p, d,
+      |    CASE WHEN (CAST(concat('0x',
+      |        substr(md5('lsh' || t || ':' || p || ':' || (d // 60)), 1, 15))
+      |      AS BIGINT) >> (d % 60)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS wt
+      |  FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)),
+      |proj AS (
+      |  SELECT v.vec_id, w.t, w.p, sum(v.e[w.d + 1] * w.wt) AS pr
+      |  FROM v, w GROUP BY 1, 2, 3),
+      |bkt AS (
+      |  SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+      |      AS BIGINT) AS bucket
+      |  FROM proj GROUP BY 1, 2),
+      |qb AS (
+      |  SELECT b.vec_id AS query_id, b.t, xor(b.bucket, m.m) AS bucket
+      |  FROM bkt b, (VALUES (CAST(0 AS BIGINT)), (1), (2), (4), (8)) m(m)
+      |  WHERE b.vec_id < 10),
+      |cand AS (
+      |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      |  FROM qb q JOIN bkt c ON q.t = c.t AND q.bucket = c.bucket
+      |  WHERE q.query_id <> c.vec_id),
+      |sc AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    list_cosine_similarity(CAST(qv.e AS DOUBLE[]),
+      |      CAST(cv.e AS DOUBLE[])) AS cosine
+      |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+      |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+      |SELECT CAST(query_id AS BIGINT) AS query_id,
+      |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      |FROM sc QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   private val ngramJaccardOracle: String =
     s"""WITH $ngramPairsCtes

@@ -257,8 +257,10 @@ object Dedup {
     // undirected adjacency; materialized ONCE (localCheckpoint) — without it
     // every round re-executes the whole upstream pair-generation pipeline
     // (measured 5x slowdown on the ngram operator at sf0.1)
+    // lazy checkpoint: the stats aggregate just below is the materializing
+    // action, so checkpoint + probe cost ONE job instead of two
     val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // ids must be numeric: cast("long") maps a non-numeric id to null, which
     // would silently vanish from the label table — fail fast instead. One
     // aggregate doubles as the bad-id probe and the initial convergence sum.
@@ -294,11 +296,13 @@ object Dedup {
         .groupBy("node").agg(min(col("cand")).as("label"))
       // pointer jumping: label := label(label). Every label is itself a
       // node id, so the self-join always resolves.
+      // lazy checkpoint — the per-round convergence probe (labelSum) is the
+      // materializing action: one job per round, not checkpoint + probe
       val next = propagated
         .join(propagated.select(col("node").as("label"), col("label").as("label2")),
           "label")
         .select(col("node"), col("label2").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

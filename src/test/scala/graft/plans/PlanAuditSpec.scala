@@ -16,8 +16,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // ground-truth baselines that are pairwise BY DECLARED DESIGN (broadcast
   // queries × one corpus pass); their scale-safe siblings (lshTopK/ivfTopK,
-  // embeddingPairs) are audited like everything else
-  private val bnljByDesign = Set("ann_cosine_topk", "dedup_embedding_exact")
+  // embeddingPairs) are audited like everything else. ann_recall_audit
+  // embeds the brute-force ground truth as one of its two sides — same
+  // declared-design exemption, same bounded broadcast shape.
+  private val bnljByDesign =
+    Set("ann_cosine_topk", "dedup_embedding_exact", "ann_recall_audit")
 
   test("no query plan has an unexpected nested-loop or cartesian join, " +
        "and every scan is column-pruned") {
