@@ -278,15 +278,24 @@ object SparkEntry {
           sum(q).as("sq"), sum(q * q).as("sqq"),
           sum(p).as("sp"), sum(p * p).as("spp"),
           sum(q * p).as("sqp"))
-        .select(col("l_returnflag"), col("n"),
-          ((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")).as("var_qty"),
-          sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double") /
-            (col("n") * (col("n") - 1)).cast("double")).as("stddev_qty"),
-          ((col("n") * col("sqp") - col("sq") * col("sp")).cast("double") /
-            (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double")) *
-              sqrt((col("n") * col("spp") - col("sp") * col("sp")).cast("double"))))
-            .as("corr_qty_price"))
+        .select({
+          // each exact decimal sum → double ONCE, then a pure IEEE double
+          // expression tree mirrored verbatim in the oracle. Decimal
+          // products like n*sqq need ~50 digits at sf>=0.1 — past Spark's
+          // decimal(38) cap they round, and DuckDB's overflow path rounds
+          // differently (a real last-ulp corr mismatch at sf0.1). Double
+          // ops on identical inputs are bit-identical cross-engine.
+          val nd = col("n").cast("double")
+          val sqd = col("sq").cast("double"); val sqqd = col("sqq").cast("double")
+          val spd = col("sp").cast("double"); val sppd = col("spp").cast("double")
+          val sqpd = col("sqp").cast("double")
+          val varQ = (nd * sqqd - sqd * sqd) / (nd * (nd - lit(1.0)))
+          Seq(col("l_returnflag"), col("n"),
+            varQ.as("var_qty"), sqrt(varQ).as("stddev_qty"),
+            ((nd * sqpd - sqd * spd) /
+              (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd)))
+              .as("corr_qty_price"))
+        }: _*)
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1351,14 +1360,20 @@ object SparkEntry {
         |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
         |    SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS spp,
         |    SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp
-        |  FROM lineitem GROUP BY l_returnflag)
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sqd,
+        |    CAST(sqq AS DOUBLE) AS sqqd, CAST(sp AS DOUBLE) AS spd,
+        |    CAST(spp AS DOUBLE) AS sppd, CAST(sqp AS DOUBLE) AS sqpd
+        |  FROM m)
         |SELECT l_returnflag, n,
-        |  CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS var_qty,
-        |  sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS stddev_qty,
-        |  CAST(n * sqp - sq * sp AS DOUBLE) /
-        |    (sqrt(CAST(n * sqq - sq * sq AS DOUBLE)) * sqrt(CAST(n * spp - sp * sp AS DOUBLE)))
+        |  (nd * sqqd - sqd * sqd) / (nd * (nd - 1.0)) AS var_qty,
+        |  sqrt((nd * sqqd - sqd * sqd) / (nd * (nd - 1.0))) AS stddev_qty,
+        |  (nd * sqpd - sqd * spd) /
+        |    (sqrt(nd * sqqd - sqd * sqd) * sqrt(nd * sppd - spd * spd))
         |    AS corr_qty_price
-        |FROM m ORDER BY l_returnflag""".stripMargin,
+        |FROM d ORDER BY l_returnflag""".stripMargin,
 
     "q_in_subquery" ->
       """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
