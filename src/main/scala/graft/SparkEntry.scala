@@ -672,6 +672,46 @@ object SparkEntry {
           .orderBy(col("event_type"))
       }),
 
+    "q_kmv_overlap" -> ((s, d) =>
+      // KMV sketch ALGEBRA: per-pair distinct-set overlap (union size,
+      // Jaccard, intersection size) of user populations across event types,
+      // computed entirely from the per-group bottom-k sketches — no exact
+      // distinct, no row-level self-join. Estimator (Beyer et al., SIGMOD
+      // 2007): K = bottom-k of the merged sketches; J ≈ |K ∩ SA ∩ SB| /
+      // |K|; |A∪B| from K's k-th value; |A∩B| ≈ J·|A∪B|. At 100 TB the
+      // rows are touched ONCE (the sketch aggregate); the pair stage runs
+      // on |groups| sketch rows — here a 5x5 bounded cross of 512-byte
+      // arrays, all codegen'd array ops. Deterministic md5 hashes → the
+      // DuckDB oracle replays every estimate exactly.
+      {
+        val k = 64
+        val kmv = udaf(new graft.functions.KmvSketch.KmvAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val hv = expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+        val sk = t(s, d, "events").groupBy(col("event_type")).agg(kmv(hv).as("mins"))
+        val a = sk.select(col("event_type").as("type_a"), col("mins").as("ma"))
+        val b = sk.select(col("event_type").as("type_b"), col("mins").as("mb"))
+        val merged = slice(array_sort(array_union(col("ma"), col("mb"))), 1, k)
+        val paired = a.join(b, col("type_a") < col("type_b"))
+          .withColumn("ku", merged)
+          .withColumn("n_u", size(col("ku")).cast("long"))
+          .withColumn("n_both",
+            size(array_intersect(array_intersect(col("ku"), col("ma")), col("mb")))
+              .cast("long"))
+          .withColumn("union_est",
+            when(col("n_u") < k, col("n_u"))
+              .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+                / element_at(col("ku"), k))))
+          .withColumn("jaccard_est",
+            col("n_both").cast("double") / col("n_u").cast("double"))
+        paired.select(col("type_a"), col("type_b"), col("n_u"), col("n_both"),
+            col("union_est"), col("jaccard_est"),
+            floor(col("jaccard_est") * col("union_est").cast("double"))
+              .as("inter_est"))
+          .orderBy(col("type_a"), col("type_b"))
+      }),
+
     "q_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1784,6 +1824,54 @@ object SparkEntry {
         |  CAST(least(max(nd), 64) AS BIGINT) AS n_tracked,
         |  max(CASE WHEN rn = 64 THEN hv END) AS kth_hash
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // replays the KMV set-algebra estimator: per-type bottom-64 sketches,
+    // merged bottom-64 per pair, membership against both tracked sets
+    "q_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb
+        |  FROM (SELECT DISTINCT event_type FROM h) a
+        |  JOIN (SELECT DISTINCT event_type FROM h) b ON a.event_type < b.event_type),
+        |u AS (
+        |  SELECT p.ta, p.tb, s.hv
+        |  FROM p JOIN s ON s.event_type IN (p.ta, p.tb)
+        |  GROUP BY p.ta, p.tb, s.hv),
+        |ur AS (
+        |  SELECT ta, tb, hv,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+        |  FROM u),
+        |ku AS (SELECT ta, tb, hv FROM ur WHERE rn <= 64),
+        |m AS (
+        |  SELECT ku.ta, ku.tb, ku.hv,
+        |    CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL THEN 1 ELSE 0 END
+        |      AS both_flag
+        |  FROM ku
+        |  LEFT JOIN s sa ON sa.event_type = ku.ta AND sa.hv = ku.hv
+        |  LEFT JOIN s sb ON sb.event_type = ku.tb AND sb.hv = ku.hv),
+        |g AS (
+        |  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_u,
+        |    CAST(sum(both_flag) AS BIGINT) AS n_both, max(hv) AS kth
+        |  FROM m GROUP BY ta, tb),
+        |e AS (
+        |  SELECT ta, tb, n_u, n_both,
+        |    CASE WHEN n_u < 64 THEN n_u
+        |         ELSE CAST(floor(63 * power(2, 60) / kth) AS BIGINT) END AS union_est,
+        |    CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est
+        |  FROM g)
+        |SELECT ta AS type_a, tb AS type_b, n_u, n_both, union_est, jaccard_est,
+        |  CAST(floor(jaccard_est * CAST(union_est AS DOUBLE)) AS BIGINT)
+        |    AS inter_est
+        |FROM e ORDER BY type_a, type_b""".stripMargin,
 
     "mm_features_stub" ->
       """WITH m AS (

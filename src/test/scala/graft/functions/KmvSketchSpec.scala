@@ -46,6 +46,26 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(err <= 3.0 / math.sqrt(k.toDouble), s"est=$est exact=${hs.size} err=$err")
   }
 
+  test("sketch-algebra overlap estimate tracks a known 50%-overlap pair") {
+    // A = [0, 2000), B = [1000, 3000): |A∩B| = 1000, |A∪B| = 3000, J = 1/3
+    val rows = (0L until 2000L).map(i => ("A", i)) ++
+      (1000L until 3000L).map(i => ("B", i))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-ov").toString
+    spark.createDataFrame(rows).toDF("event_type", "user_id")
+      .withColumn("ts", org.apache.spark.sql.functions.current_timestamp())
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.SparkEntry.queries("q_kmv_overlap")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    val (j, u, i) = (r.getAs[Double]("jaccard_est"),
+      r.getAs[Long]("union_est"), r.getAs[Long]("inter_est"))
+    // KMV k=64: union stderr ~ 1/sqrt(k-2); Jaccard adds hypergeometric
+    // noise on the k-sample — generous 2x envelopes, deterministic values
+    assert(math.abs(j - 1.0 / 3) <= 0.15, s"jaccard_est=$j")
+    assert(math.abs(u - 3000.0) / 3000.0 <= 0.3, s"union_est=$u")
+    assert(math.abs(i - 1000.0) / 1000.0 <= 0.5, s"inter_est=$i")
+  }
+
   test("q_approx_distinct_kmv estimate tracks exact distinct on events") {
     val out = graft.SparkEntry.queries("q_approx_distinct_kmv")(spark, TestSpark.sf0001)
       .collect()

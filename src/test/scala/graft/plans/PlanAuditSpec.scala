@@ -19,8 +19,12 @@ class PlanAuditSpec extends AnyFunSuite {
   // embeddingPairs) are audited like everything else. ann_recall_audit
   // embeds the brute-force ground truth as one of its two sides — same
   // declared-design exemption, same bounded broadcast shape.
+  // q_kmv_overlap's type_a < type_b pairing is a |groups|^2 cross of
+  // POST-AGGREGATE sketch rows (5x5 of 512-byte arrays) — bounded by group
+  // cardinality, not data size
   private val bnljByDesign =
-    Set("ann_cosine_topk", "dedup_embedding_exact", "ann_recall_audit")
+    Set("ann_cosine_topk", "dedup_embedding_exact", "ann_recall_audit",
+      "q_kmv_overlap")
 
   test("no query plan has an unexpected nested-loop or cartesian join, " +
        "and every scan is column-pruned") {
