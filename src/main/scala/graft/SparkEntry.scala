@@ -1003,6 +1003,20 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "ann_pq_topk" -> ((s, d) => {
+      // product-quantization ANN: corpus compressed to m=4 codes/vector
+      // (32x smaller than the 64-float embeddings), ADC scan over codes,
+      // then exact re-rank of the ADC top-32 (bounded equi-join back to
+      // vectors) — DuckDB replays encode + ADC + re-rank exactly
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.pqTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10, m = 4, ncode = 16, rerank = 32)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_ivf_topk" -> ((s, d) => {
       // hash-deterministic coarse quantizer (md5-smallest ids as centroids)
       // — same one-pass assignment + nprobe equi-join shape as the trained
@@ -1752,6 +1766,50 @@ object SparkEntry {
     // first 4 planes), OR-amplified candidate dedup, then exact-cosine
     // ranking with the neighbor_id tie-break.
     "ann_lsh_topk" -> annLshOracle,
+
+    // replays PQ end to end: md5-picked codebook rows, per-subspace L2
+    // argmin encode (ties to lowest codeword, matching the kernel's strict
+    // <), ADC scoring, top-32 candidate cut, exact-cosine re-rank
+    "ann_pq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pick AS (
+        |  SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    CAST(vec_id AS VARCHAR)) AS rn
+        |  FROM v QUALIFY rn <= 16),
+        |cb AS (
+        |  SELECT s.s, p.rn - 1 AS c, i.i, p.e[s.s * 16 + i.i + 1] AS w
+        |  FROM pick p, range(4) s(s), range(16) i(i)),
+        |d AS (
+        |  SELECT v.vec_id, cb.s, cb.c,
+        |    sum((v.e[cb.s * 16 + cb.i + 1] - cb.w)
+        |      * (v.e[cb.s * 16 + cb.i + 1] - cb.w)) AS dist
+        |  FROM v CROSS JOIN cb GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, s, c FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY dist, c) = 1),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+        |    sum(q.e[cb.s * 16 + cb.i + 1] * cb.w) AS adc
+        |  FROM (SELECT * FROM v WHERE vec_id < 10) q
+        |  CROSS JOIN enc
+        |  JOIN cb ON cb.s = enc.s AND cb.c = enc.c
+        |  WHERE q.vec_id <> enc.vec_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc DESC, neighbor_id) <= 32),
+        |rr AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qv.e, cv.e) AS cosine
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM rr QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
 
     // replays ivfTopKSeeded: the 16 centroids are the corpus vectors with

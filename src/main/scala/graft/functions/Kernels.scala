@@ -478,6 +478,60 @@ object Kernels {
   private def mixA(k: Int, seed: Long): Array[Long] = perms(k, seed)._1
   private def mixB(k: Int, seed: Long): Array[Long] = perms(k, seed)._2
 
+  /** Product-quantization encode: for each of `m` subspaces (contiguous
+    * `dsub`-dim slices), the index of the L2-nearest codeword. Codebook
+    * layout: `cb[((s*ncode)+c)*dsub + i]`. Strict `<` with ascending scan
+    * keeps the LOWEST index on ties — mirrored by the oracle's
+    * `ORDER BY dist, c`. Dims past the vector's length read as 0
+    * (ragged-input guard, same convention as [[nearestCentroid]]).
+    */
+  def pqEncode(vec: ArrayData, cb: Array[Double], m: Int, dsub: Int,
+               ncode: Int): GenericArrayData = {
+    val n = vec.numElements()
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0; var bestDist = Double.PositiveInfinity
+      var c = 0
+      while (c < ncode) {
+        val off = ((s * ncode) + c) * dsub
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val vi = s * dsub + i
+          val x = (if (vi < n) vec.getFloat(vi).toDouble else 0.0) - cb(off + i)
+          d += x * x; i += 1
+        }
+        if (d < bestDist) { bestDist = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance (ADC) score: the query's dot product against the
+    * RECONSTRUCTED corpus vector — `Σ_s Σ_i q[s*dsub+i] · cb[s, codes[s], i]`
+    * — so the corpus side rides as `m` ints, never the original floats.
+    */
+  def pqAdcScore(codes: ArrayData, q: ArrayData, cb: Array[Double], m: Int,
+                 dsub: Int, ncode: Int): Double = {
+    val nq = q.numElements()
+    var score = 0.0
+    var s = 0
+    while (s < m) {
+      val off = ((s * ncode) + codes.getInt(s)) * dsub
+      var i = 0
+      while (i < dsub) {
+        val qi = s * dsub + i
+        if (qi < nq) score += q.getFloat(qi).toDouble * cb(off + i)
+        i += 1
+      }
+      s += 1
+    }
+    score
+  }
+
   /** Canonical text normalization: unicode NFC, lowercase, trim, collapse
     * runs of whitespace to single spaces. ASCII fast path avoids the
     * Normalizer + regex allocations for the common case.

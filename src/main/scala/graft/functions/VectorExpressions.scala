@@ -224,6 +224,48 @@ case class ProbeCentroids(child: Expression, cents: Array[Double],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Product-quantization encode: array<int> of `m` codeword indices (see
+  * [[Kernels.pqEncode]]). The flat codebook rides as a codegen reference
+  * object — `m*ncode*dsub` doubles is KBs, serialized once with the plan.
+  */
+case class PqEncode(child: Expression, cb: Array[Double], m: Int, dsub: Int,
+                    ncode: Int)
+    extends UnaryExpression {
+  require(m > 0 && dsub > 0 && ncode > 0 && cb.length == m * ncode * dsub,
+    "cb must be a flat (m x ncode x dsub) codebook")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Kernels.pqEncode(v.asInstanceOf[ArrayData], cb, m, dsub, ncode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Kernels.pqEncode($c, $cbRef, $m, $dsub, $ncode)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** ADC score of a query vector against a PQ code array (see
+  * [[Kernels.pqAdcScore]]): the corpus side contributes `m` ints, not
+  * `m*dsub` floats.
+  */
+case class PqAdcScore(left: Expression, right: Expression, cb: Array[Double],
+                      m: Int, dsub: Int, ncode: Int)
+    extends BinaryExpression {
+  require(m > 0 && dsub > 0 && ncode > 0 && cb.length == m * ncode * dsub,
+    "cb must be a flat (m x ncode x dsub) codebook")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    Kernels.pqAdcScore(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      cb, m, dsub, ncode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCb", cb, "double[]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.Kernels.pqAdcScore($c, $q, $cbRef, $m, $dsub, $ncode)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -260,6 +302,14 @@ object VectorFunctions {
   def probeCentroids(vec: Column, cents: Array[Double], norms: Array[Double],
                      dim: Int, nprobe: Int): Column =
     column(ProbeCentroids(expression(vec), cents, norms, dim, nprobe))
+
+  def pqEncode(vec: Column, cb: Array[Double], m: Int, dsub: Int,
+               ncode: Int): Column =
+    column(PqEncode(expression(vec), cb, m, dsub, ncode))
+
+  def pqAdcScore(codes: Column, q: Column, cb: Array[Double], m: Int,
+                 dsub: Int, ncode: Int): Column =
+    column(PqAdcScore(expression(codes), expression(q), cb, m, dsub, ncode))
 
   def minhashShingled(tokens: Column, n: Int, k: Int, seed: Long = 42L): Column =
     column(MinHashShingled(expression(tokens), n, k, seed))

@@ -208,6 +208,84 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Product-quantization ANN (the FAISS-style MEMORY scale path): each
+    * corpus vector is compressed to `m` codeword indices (one per
+    * contiguous `dim/m`-dim subspace), and queries score candidates by
+    * asymmetric distance (ADC) against the reconstructed codewords — the
+    * original corpus floats are DROPPED after the one-pass encode, so the
+    * search pass moves `m` ints per row instead of `dim` floats (32x
+    * smaller at m=4/dim=64, amortizing to ~1-3% of raw vector bytes at
+    * production dims).
+    *
+    * Codebook: the `ncode` corpus vectors with the smallest
+    * md5(CAST(id AS STRING)) (id tie-break), sliced per subspace — a
+    * deterministic uniform sample a SQL oracle reproduces exactly (same
+    * scheme as [[ivfTopKSeeded]]); k-means codebooks buy tighter cells,
+    * not different mechanics. Like [[bruteForceTopK]] the scan shape is
+    * broadcast-queries × one corpus pass (declared-design BNLJ) — compose
+    * with the IVF cell join when candidate pruning is also needed.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, ncode: Int,
+             rerank: Int = 0): DataFrame = {
+    val picked = corpus
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id")), col("_id"))
+      .limit(ncode).collect()
+    require(picked.nonEmpty, "pqTopK: empty corpus")
+    val dim = picked.head.getSeq[Float](1).length
+    require(dim % m == 0, s"pqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // flat (m x ncode x dsub) codebook; ragged codeword vectors pad with 0.0
+    val cb = new Array[Double](m * ncode * dsub)
+    var c = 0
+    while (c < picked.length) {
+      val v = picked(c).getSeq[Float](1)
+      var s = 0
+      while (s < m) {
+        var i = 0
+        while (i < dsub) {
+          val vi = s * dsub + i
+          if (vi < v.length)
+            cb(((s * ncode) + c) * dsub + i) = v(vi).toDouble
+          i += 1
+        }
+        s += 1
+      }
+      c += 1
+    }
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.pqEncode(col(vecCol), cb, m, dsub, ncode).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        VectorFunctions.pqAdcScore(col("codes"), col("qv"), cb, m, dsub, ncode))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val adcTop = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcTop.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    else {
+      // exact re-rank of the ADC top-R: quantization collapses
+      // WITHIN-cell ordering (cluster members share codes → tied scores),
+      // so the compressed scan finds the right neighborhood and a bounded
+      // equi-join back to the vectors restores the fine ordering. R·|queries|
+      // rows re-read vectors — corpus-size-independent.
+      val r = math.max(rerank, k)
+      val cand = adcTop.filter(col("rank") <= r)
+        .select("query_id", "neighbor_id", "qv")
+      val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val exact = cand.join(cv, "neighbor_id")
+        .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    }
+  }
+
   private def normalized(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }

@@ -31,6 +31,35 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(a.finish(merged).toSeq == a.finish(direct).toSeq)
   }
 
+  test("laws: merge is commutative, associative, idempotent; reduce-order-free") {
+    import org.scalacheck.{Gen, rng}
+    val k = 6
+    val a = agg(k)
+    val genHashes: Gen[List[Long]] = for {
+      n <- Gen.choose(0, 60)
+      hs <- Gen.listOfN(n, Gen.choose(0L, 200L)) // small domain forces dups
+    } yield hs
+    def sketch(hs: Seq[Long]) = hs.foldLeft(a.zero)(a.reduce)
+    def fin(b: KmvSketch.Buf) = a.finish(b).toSeq
+    (1 to 12).foreach { seed =>
+      val p = Gen.Parameters.default
+      val (x, y, z) = (
+        genHashes(p, rng.Seed(seed.toLong)).get,
+        genHashes(p, rng.Seed(seed + 100L)).get,
+        genHashes(p, rng.Seed(seed + 200L)).get)
+      val (sx, sy, sz) = (sketch(x), sketch(y), sketch(z))
+      assert(fin(a.merge(sx, sy)) == fin(a.merge(sy, sx)), s"commut seed=$seed")
+      assert(fin(a.merge(a.merge(sx, sy), sz)) ==
+        fin(a.merge(sx, a.merge(sy, sz))), s"assoc seed=$seed")
+      assert(fin(a.merge(sx, sx)) == fin(sx), s"idem seed=$seed")
+      // partial-aggregation soundness: any split point gives the same sketch
+      assert(fin(a.merge(sketch(x.take(x.length / 2)),
+        sketch(x.drop(x.length / 2)))) == fin(sx), s"split seed=$seed")
+      // replay (at-least-once) folds to the same sketch
+      assert(fin(sketch(x ++ x)) == fin(sx), s"replay seed=$seed")
+    }
+  }
+
   test("estimate within 3/sqrt(k) of exact on uniform hashes") {
     val k = 64
     val n = 5000

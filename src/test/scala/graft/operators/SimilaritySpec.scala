@@ -132,4 +132,49 @@ class SimilaritySpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(ivf == bf)
   }
+
+  test("PQ: ADC finds the neighborhood; exact re-rank restores the order") {
+    val q = clustered.filter(col("vec_id") < 8)
+    val bf = SimilaritySearch.bruteForceTopK(q, clustered, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // pure ADC: quantization collapses WITHIN-cluster ordering (members
+    // share codes → tied scores), so recall@10 against a 30-member cluster
+    // is structurally ~1/3 — the compressed scan still lands in the right
+    // cluster, which is what the re-rank stage builds on
+    val adc = SimilaritySearch.pqTopK(q, clustered, "vec_id", "embedding",
+        k = 10, m = 3, ncode = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (adc intersect bf).size.toDouble / bf.size
+    assert(adcRecall >= 0.3, s"adc recall=$adcRecall")
+    // ADC top-30 + exact re-rank: the production shape, near-exact here
+    val rr = SimilaritySearch.pqTopK(q, clustered, "vec_id", "embedding",
+        k = 10, m = 3, ncode = 16, rerank = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rrRecall = (rr intersect bf).size.toDouble / bf.size
+    assert(rrRecall >= 0.9, s"rerank recall=$rrRecall")
+  }
+
+  test("PQ encode is deterministic, bounded, and rank-consistent") {
+    val q = clustered.filter(col("vec_id") < 4)
+    val a = SimilaritySearch.pqTopK(q, clustered, "vec_id", "embedding", 5, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val b = SimilaritySearch.pqTopK(q, clustered, "vec_id", "embedding", 5, 3, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(a == b)
+    // full k per query, ranks consecutive from 1
+    val byQ = a.groupBy(_._1).values.map(_.map(_._3).sorted.toSeq)
+    assert(byQ.forall(_ == (1 to 5)))
+    // codes really are m ints per row (the compression contract)
+    val picked = clustered
+      .select(col("vec_id").cast("string").as("_id"), col("embedding").as("_v"))
+      .orderBy(org.apache.spark.sql.functions.md5(col("_id")), col("_id"))
+      .limit(16).collect()
+    val dim = picked.head.getSeq[Float](1).length
+    val cb = new Array[Double](3 * 16 * (dim / 3))
+    val codes = clustered.select(
+        graft.functions.VectorFunctions.pqEncode(col("embedding"), cb, 3, dim / 3, 16)
+          .as("codes"))
+      .select(size(col("codes"))).as[Int].collect()
+    assert(codes.forall(_ == 3))
+  }
 }

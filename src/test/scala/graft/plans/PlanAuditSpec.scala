@@ -22,9 +22,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // q_kmv_overlap's type_a < type_b pairing is a |groups|^2 cross of
   // POST-AGGREGATE sketch rows (5x5 of 512-byte arrays) — bounded by group
   // cardinality, not data size
+  // ann_pq_topk: compressed brute force — broadcast queries x one pass
+  // over m-int codes (not vectors); same declared-design scan shape
   private val bnljByDesign =
     Set("ann_cosine_topk", "dedup_embedding_exact", "ann_recall_audit",
-      "q_kmv_overlap")
+      "q_kmv_overlap", "ann_pq_topk")
 
   test("no query plan has an unexpected nested-loop or cartesian join, " +
        "and every scan is column-pruned") {
