@@ -1017,6 +1017,20 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivfpq_topk" -> ((s, d) => {
+      // the composed FAISS-IVFADC shape: nprobe cell pruning (equi-join,
+      // no BNLJ) + ADC over m-int PQ codes + exact re-rank of the top-32.
+      // One corpus pass emits (cell, codes); the floats leave the pipeline
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.ivfPqTopK(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", k = 10, nlist = 16, nprobe = 4,
+          m = 4, ncode = 16, rerank = 32)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_ivf_topk" -> ((s, d) => {
       // hash-deterministic coarse quantizer (md5-smallest ids as centroids)
       // — same one-pass assignment + nprobe equi-join shape as the trained
@@ -1852,6 +1866,69 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
         |FROM ranked QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // composed IVFADC replay: seeded centroids (= first 16 md5-picked rows)
+    // for assignment/probing, the same picked rows sliced as the PQ
+    // codebook, ADC over codes for cell candidates, exact re-rank
+    "ann_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |pick AS (
+        |  SELECT e, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |    CAST(vec_id AS VARCHAR)) AS rn
+        |  FROM v QUALIFY rn <= 16),
+        |cent AS (
+        |  SELECT rn - 1 AS cell, e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM pick),
+        |sc0 AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc0
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cell FROM sc0 WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) <= 4),
+        |cb AS (
+        |  SELECT s.s, p.rn - 1 AS c, i.i, p.e[s.s * 16 + i.i + 1] AS w
+        |  FROM pick p, range(4) s(s), range(16) i(i)),
+        |d AS (
+        |  SELECT v.vec_id, cb.s, cb.c,
+        |    sum((v.e[cb.s * 16 + cb.i + 1] - cb.w)
+        |      * (v.e[cb.s * 16 + cb.i + 1] - cb.w)) AS dist
+        |  FROM v CROSS JOIN cb GROUP BY 1, 2, 3),
+        |enc AS (
+        |  SELECT vec_id, s, c FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+        |    ORDER BY dist, c) = 1),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.vec_id),
+        |adc AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    sum(qv.e[cb.s * 16 + cb.i + 1] * cb.w) AS adc
+        |  FROM cand
+        |  JOIN enc ON enc.vec_id = cand.neighbor_id
+        |  JOIN cb ON cb.s = enc.s AND cb.c = enc.c
+        |  JOIN v qv ON qv.vec_id = cand.query_id
+        |  GROUP BY 1, 2),
+        |cand2 AS (
+        |  SELECT query_id, neighbor_id FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc DESC, neighbor_id) <= 32),
+        |rr AS (
+        |  SELECT cand2.query_id, cand2.neighbor_id,
+        |    list_cosine_similarity(qv.e, cv.e) AS cosine
+        |  FROM cand2 JOIN v qv ON qv.vec_id = cand2.query_id
+        |  JOIN v cv ON cv.vec_id = cand2.neighbor_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM rr QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type,

@@ -286,6 +286,95 @@ object SimilaritySearch {
     }
   }
 
+  /** IVF + PQ — the full FAISS-IVFADC shape, composed from the two scale
+    * paths: the md5-seeded coarse quantizer prunes candidates to `nprobe`
+    * cells (equi-join on cell id — unlike [[pqTopK]] there is NO
+    * nested-loop scan), and candidates are scored by ADC over `m`-int PQ
+    * codes, never the original floats. One corpus pass emits (cell, codes)
+    * — after it, the 100 TB of embedding floats is out of the pipeline
+    * entirely; re-ranking re-reads vectors only for the bounded ADC top-R.
+    *
+    * Simplification vs FAISS: codes quantize the RAW vectors (IVFFlat-PQ),
+    * not per-cell residuals — residual encoding buys accuracy, not a
+    * different plan shape, and raw-vector codes keep the oracle replay to
+    * one codebook.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, nprobe: Int,
+                m: Int, ncode: Int, rerank: Int = 0): DataFrame = {
+    val picked = corpus
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id")), col("_id"))
+      .limit(math.max(nlist, ncode)).collect()
+    require(picked.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = picked.head.getSeq[Float](1).length
+    require(dim % m == 0, s"ivfPqTopK: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    // coarse centroids: the first nlist picked rows (same zero-pad /
+    // zero-norm contract as ivfTopKSeeded)
+    val nCells = math.min(nlist, picked.length)
+    val flat = new Array[Double](nCells * dim)
+    val norms = new Array[Double](nCells)
+    var c = 0
+    while (c < nCells) {
+      val v = picked(c).getSeq[Float](1)
+      var s = 0.0; var i = 0
+      while (i < math.min(dim, v.length)) {
+        val x = v(i).toDouble; flat(c * dim + i) = x; s += x * x; i += 1
+      }
+      require(s > 0.0, s"ivfPqTopK: zero-norm centroid vector ${picked(c).getString(0)}")
+      norms(c) = math.sqrt(s)
+      c += 1
+    }
+    // PQ codebook: the first ncode picked rows, sliced per subspace
+    val nCode = math.min(ncode, picked.length)
+    val cb = new Array[Double](m * nCode * dsub)
+    c = 0
+    while (c < nCode) {
+      val v = picked(c).getSeq[Float](1)
+      var s = 0
+      while (s < m) {
+        var i = 0
+        while (i < dsub) {
+          val vi = s * dsub + i
+          if (vi < v.length) cb(((s * nCode) + c) * dsub + i) = v(vi).toDouble
+          i += 1
+        }
+        s += 1
+      }
+      c += 1
+    }
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"),
+      VectorFunctions.pqEncode(col(vecCol), cb, m, dsub, nCode).as("codes"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(VectorFunctions.probeCentroids(col("qv"), flat, norms, dim, nprobe)))
+    val scored = enc.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc",
+        VectorFunctions.pqAdcScore(col("codes"), col("qv"), cb, m, dsub, nCode))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val adcTop = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcTop.filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    else {
+      val r = math.max(rerank, k)
+      val cand = adcTop.filter(col("rank") <= r)
+        .select("query_id", "neighbor_id", "qv")
+      val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      val exact = cand.join(cv, "neighbor_id")
+        .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w2))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    }
+  }
+
   private def normalized(v: Array[Double]): Array[Double] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }

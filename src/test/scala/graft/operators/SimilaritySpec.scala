@@ -154,6 +154,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rrRecall >= 0.9, s"rerank recall=$rrRecall")
   }
 
+  test("IVF+PQ (cell pruning + ADC + re-rank) has high recall on clustered data") {
+    val q = clustered.filter(col("vec_id") < 8)
+    val bf = SimilaritySearch.bruteForceTopK(q, clustered, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = SimilaritySearch.ivfPqTopK(q, clustered, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 3, m = 3, ncode = 16, rerank = 30)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivfpq intersect bf).size.toDouble / bf.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
   test("PQ encode is deterministic, bounded, and rank-consistent") {
     val q = clustered.filter(col("vec_id") < 4)
     val a = SimilaritySearch.pqTopK(q, clustered, "vec_id", "embedding", 5, 3, 16)
