@@ -17,6 +17,22 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has an oracle, or is on the documented rows-only list") {
+    // the round-4 failure mode: a query shipped without an oracle entry and
+    // the driver silently downgraded it to a rows-only check. Any rows-only
+    // query must be DECLARED here with its reason.
+    val rowsOnlyByDesign = Set(
+      "q_approx_distinct_sketch" // HLL registers are engine-private; the
+                                 // oracle-verified sketch path is the KMV
+                                 // family (q_approx_distinct_kmv/_overlap)
+    )
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnlyByDesign,
+      s"queries without oracle SQL (add an oracle or declare rows-only): " +
+        s"${unoracled -- rowsOnlyByDesign}; " +
+        s"stale rows-only declarations: ${rowsOnlyByDesign -- unoracled}")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name executes with rows at sf0.001") {
       assert(fn(spark, TestSpark.sf0001).count() > 0, s"$name returned 0 rows")
