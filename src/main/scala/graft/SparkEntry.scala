@@ -509,6 +509,14 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    "dedup_containment" -> ((s, d) =>
+      // directed partial-duplicate pairs: >= 80% of A's winnow fingerprints
+      // appear in B (df-capped inverted-index join — the asymmetric
+      // boilerplate/partial-copy detector; exact copies score 1.0 both ways)
+      Dedup.winnowContainmentPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, w = 4, maxDf = 20, thresh = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "dedup_groups" -> ((s, d) => {
       // full dedup deliverable: near-dup pairs -> connected-component
       // canonical ids (pointer-jumping min-label propagation)
@@ -1691,28 +1699,29 @@ object SparkEntry {
         |WHERE bit_count(xor(a.fp, b2.fp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "text_winnow" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, len(words) AS m,
-        |    unnest(range(0, greatest(len(words) - 3, 0) + 1)) AS s, words
-        |  FROM t),
-        |h AS (
-        |  SELECT doc_id, s, greatest(m - 3, 0) + 1 AS eff,
-        |    CAST(concat('0x',
-        |      substr(md5(array_to_string(words[s+1 : s+3], ' ')), 1, 15))
-        |      AS BIGINT) AS h
-        |  FROM g),
-        |wm AS (
-        |  SELECT doc_id, s, eff,
-        |    min(h) OVER (PARTITION BY doc_id ORDER BY s
-        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-        |  FROM h)
-        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
-        |FROM wm WHERE s <= eff - 4 OR s = 0
-        |ORDER BY doc_id, fp""".stripMargin,
+    "text_winnow" -> winnowFpOracle,
+
+    // containment over the same winnow fingerprint sets: df-capped inverted
+    // index join, per-(a,b) overlap count / |A's informative fingerprints|
+    "dedup_containment" ->
+      s"""WITH wfp AS ($winnowFpOracle),
+         |dfc AS (SELECT fp, count(*) AS docs FROM wfp GROUP BY fp),
+         |rare AS (
+         |  SELECT w.doc_id, w.fp FROM wfp w
+         |  JOIN dfc ON dfc.fp = w.fp WHERE dfc.docs <= 20),
+         |denom AS (SELECT doc_id, count(*) AS n_fp_a FROM rare GROUP BY doc_id),
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT pair.doc_a, pair.doc_b, pair.n_common,
+         |    CAST(pair.n_common AS DOUBLE) / CAST(denom.n_fp_a AS DOUBLE)
+         |      AS containment
+         |  FROM pair JOIN denom ON denom.doc_id = pair.doc_a)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  CAST(n_common AS BIGINT) AS n_common, containment
+         |FROM c WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH sh AS (
@@ -2103,6 +2112,29 @@ object SparkEntry {
       |    len(list_intersect(a.s, b.s)) AS i,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val winnowFpOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, len(words) AS m,
+      |    unnest(range(0, greatest(len(words) - 3, 0) + 1)) AS s, words
+      |  FROM t),
+      |h AS (
+      |  SELECT doc_id, s, greatest(m - 3, 0) + 1 AS eff,
+      |    CAST(concat('0x',
+      |      substr(md5(array_to_string(words[s+1 : s+3], ' ')), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM g),
+      |wm AS (
+      |  SELECT doc_id, s, eff,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY s
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM h)
+      |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
+      |FROM wm WHERE s <= eff - 4 OR s = 0
+      |ORDER BY doc_id, fp""".stripMargin
 
   private val annCosineOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

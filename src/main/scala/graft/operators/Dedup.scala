@@ -341,4 +341,48 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         sum(col("_score")).as("score_sum"))
   }
+
+  /** DIRECTED partial-duplicate detection (the MOSS shape): doc A is
+    * "contained in" doc B when ≥ `thresh` of A's winnow fingerprints also
+    * appear in B — the asymmetric complement to the symmetric Jaccard/
+    * MinHash/SimHash pair operators, catching boilerplate reuse and
+    * quote-heavy partial copies that a symmetric measure dilutes away on
+    * unequal-size docs.
+    *
+    * Mechanics: winnow fingerprint sets (the [[graft.functions.Kernels
+    * .winnow]] n-gram/window scheme, md5 hash family so a SQL oracle
+    * replays it), a DOCUMENT-FREQUENCY CAP dropping fingerprints shared by
+    * more than `maxDf` docs from BOTH the join and the denominator
+    * (containment over informative fingerprints — unbiased, and it bounds
+    * the per-key fanout of the inverted-index join at 100 TB exactly like
+    * the ngram prefix filter's df pruning), then an equi-join on
+    * fingerprint + per-(a,b) count. Both directions emit independently;
+    * exact copies score 1.0 both ways.
+    */
+  def winnowContainmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, w: Int, maxDf: Int,
+                             thresh: Double): DataFrame = {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val fps = docs.select(col(idCol).cast("long").as("doc_id"),
+        explode(VectorFunctions.winnowMd5(TextFunctions.tokens(col(textCol)),
+          n, w)).as("fp"))
+      .distinct()
+    val rare = fps
+      .join(fps.groupBy("fp").agg(count(lit(1)).as("_df")), "fp")
+      .filter(col("_df") <= maxDf)
+      .select("doc_id", "fp")
+    val denom = rare.groupBy(col("doc_id").as("doc_a"))
+      .agg(count(lit(1)).as("n_fp_a"))
+    val a = rare.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = rare.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(denom, "doc_a")
+      .withColumn("containment",
+        col("n_common").cast("double") / col("n_fp_a").cast("double"))
+      .filter(col("containment") >= thresh)
+      .select("doc_a", "doc_b", "n_common", "containment")
+  }
 }

@@ -151,6 +151,27 @@ class DedupSpec extends AnyFunSuite {
     assert(spread > 1L, "hot doc's candidate rows all hashed to one salt")
   }
 
+  test("winnowContainmentPairs is asymmetric: prefix-copy contained one way only") {
+    // doc 2 = doc 1's text plus a long distinct tail: nearly all of doc 1's
+    // fingerprints appear in doc 2 (contained), but doc 2's tail
+    // fingerprints don't appear in doc 1 (not contained the other way).
+    // doc 3 is unrelated noise.
+    val base = (1 to 60).map(i => s"tok${i * 7 % 97}").mkString(" ")
+    val tail = (1 to 60).map(i => s"ext${i * 13 % 89}").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " " + tail),
+      (3L, (1 to 80).map(i => s"zzz${i * 17 % 83}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowContainmentPairs(docs, "doc_id", "text",
+        n = 3, w = 4, maxDf = 20, thresh = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"1 should be contained in 2, got $got")
+    assert(!got.contains((2L, 1L)), s"2 must NOT be contained in 1, got $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc 3 must not pair, got $got")
+  }
+
   test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2
