@@ -78,4 +78,17 @@ class StreamingKmvSpec extends AnyFunSuite {
     val replayed = runStream(data, replayLast = true)
     assert(replayed == once, s"replay changed estimates: $replayed vs $once")
   }
+
+  test("sketch state round-trips through the RocksDB provider (100 TB path)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      graft.GraftSession.RocksDbProvider)
+    try {
+      // cross-batch convergence proves the Buf (array state) serialized and
+      // deserialized through RocksDB's byte store, not just the in-heap map
+      val streamed = runStream(data, replayLast = false)
+      val batch = batchEstimate(data.flatten)
+      assert(streamed == batch, s"rocksdb: streamed=$streamed batch=$batch")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
