@@ -1,19 +1,23 @@
 package graft
 
 import graft.cdc.{CdcConfig, DebeziumConfigGen, Routing}
-import graft.streaming.CdcStream
+import graft.streaming.{CdcStream, RedisStreamsSink}
 import org.apache.spark.sql.types._
 
 /** CLI — the engine's equivalent of the reference's Spring Shell commands
   * (Application.java + WatchStream.watch + DebeziumConfiguration.generate):
   *
-  *   watch    --config <cfg> --in <dir-or-url> --out <parquet-dir>
+  *   watch    --config <cfg> --in <dir-or-url> [--out <parquet-dir>]
   *            --checkpoint <dir> [--once] [--source graft-cdc|json|redis]
+  *            [--sink parquet|redis] [--target-url <url>]
   *            runs the streaming CDC plane. Sources are pluggable on the
   *            shared `id, table, envelope` contract: the segment-directory
   *            source (CI default), a plain json file source, or the Redis
   *            Streams connector (`--source redis`, production parity with
-  *            the reference's XREADGROUP/XACK/XDEL plane).
+  *            the reference's XREADGROUP/XACK/XDEL plane). Sinks: per-epoch
+  *            parquet (default, needs --out) or the reference's XADD output
+  *            plane (`--sink redis`, RedisStreamsSink, WatchStream.java
+  *            :261-295).
   *   generate --config <cfg>
   *            prints Debezium Server properties derived from the config.
   */
@@ -25,7 +29,7 @@ object Main {
 
     case Some("watch") =>
       val cfg = CdcConfig.load(opt(args, "--config").getOrElse("./config.yaml"))
-      val in = req(args, "--in"); val out = req(args, "--out")
+      val in = req(args, "--in")
       val ckpt = req(args, "--checkpoint")
       val spark = GraftSession.local()
       spark.sparkContext.setLogLevel("WARN")
@@ -67,9 +71,26 @@ object Main {
         case other =>
           System.err.println(s"unknown --source $other (graft-cdc|json|redis)"); sys.exit(2)
       }
-      val q = CdcStream.start(records, Routing.routesDf(spark, cfg),
-        cfg.buffers.target.size, out, ckpt,
-        windowMillis = cfg.buffers.dedupe.time)
+      val q = opt(args, "--sink").getOrElse("parquet") match {
+        case "parquet" =>
+          CdcStream.start(records, Routing.routesDf(spark, cfg),
+            cfg.buffers.target.size, req(args, "--out"), ckpt,
+            windowMillis = cfg.buffers.dedupe.time)
+        case "redis" =>
+          // the reference's actual output plane: XADD id-array entries to
+          // <target.prefix><target> with startup priming (WatchStream
+          // .java:261-295). --target-url overrides the config for tests.
+          val turl = opt(args, "--target-url").getOrElse(
+            s"redis://${cfg.target.connection.host}:${cfg.target.connection.port}")
+          RedisStreamsSink.prime(turl, cfg.target.prefix,
+            cfg.routes.map(_.target).distinct)
+          CdcStream.startWith(records, Routing.routesDf(spark, cfg),
+            cfg.buffers.target.size, ckpt,
+            windowMillis = cfg.buffers.dedupe.time)(
+            RedisStreamsSink.writer(turl, cfg.target.prefix))
+        case other =>
+          System.err.println(s"unknown --sink $other (parquet|redis)"); sys.exit(2)
+      }
       if (args.contains("--once")) { q.processAllAvailable(); q.stop() }
       else q.awaitTermination()
       spark.stop()
