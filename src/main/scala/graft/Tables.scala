@@ -37,7 +37,11 @@ object Tables {
     */
   def balance(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // toRdd: physical-plan partition count without df.rdd's row-conversion
+    // lineage (no job runs either way; this skips the deserializer layer)
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** `events.ts` is written with parquet TIMESTAMP(NANOS), which Spark reads

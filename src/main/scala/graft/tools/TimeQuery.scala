@@ -3,8 +3,8 @@ package graft.tools
 import graft._
 import org.apache.spark.sql.SparkSession
 
-/** Dev: time named queries (warmup + min of 2, noop sink) at a given sf dir.
-  * Usage: runMain graft.tools.TimeQuery <query>... [-- <sfdir>]
+/** Dev: time named queries (warmup + median of 3, noop sink) at a given sf
+  * dir. Usage: runMain graft.tools.TimeQuery <query>... [-- <sfdir>]
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
@@ -19,12 +19,12 @@ object TimeQuery {
       def run(): Unit =
         fn(spark, dir).write.format("noop").mode("overwrite").save()
       run() // warmup
-      val best = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"TIME $name $best%.2f s")
+      }.sorted
+      println(f"TIME $name ${times(1)}%.2f s (min ${times.head}%.2f max ${times.last}%.2f)")
     }
     spark.stop()
   }
