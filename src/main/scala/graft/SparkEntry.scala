@@ -1011,6 +1011,34 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "ann_ivf_recall_audit" -> ((s, d) => {
+      // recall@10 of the TRAINED (Lloyd) IVF path — the variant users run
+      // for cell balance — against brute force. md5Init + sampleMod=1 +
+      // iters=2 make every stage (init pick, per-cell means, spherical
+      // renormalize, assignment, probing, ranking) DuckDB-replayable, so a
+      // training-loop regression now fails the driver's hash check instead
+      // of being invisible (the seeded variant alone verified none of the
+      // Lloyd code). Accepted risk, same class as the PQ/LSH oracles: the
+      // per-cell avg sums floats in engine-specific order, so a last-ulp
+      // drift at an assignment tie could flip a candidate set; isotropic
+      // random doubles make an exact tie ~impossible.
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val bf = SimilaritySearch.bruteForceTopK(q, e, "vec_id", "embedding", k = 10)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+      val ivf = SimilaritySearch.ivfTopK(q, e, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4, iters = 2, md5Init = true)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"), lit(1L).as("hit"))
+      bf.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_matched"))
+        .select(col("query_id"), col("n_matched"),
+          (col("n_matched") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("query_id"))
+    }),
+
     "ann_pq_topk" -> ((s, d) => {
       // product-quantization ANN: corpus compressed to m=4 codes/vector
       // (32x smaller than the 64-float embeddings), ADC scan over codes,
@@ -2067,6 +2095,19 @@ object SparkEntry {
          |  ON bf.query_id = lshr.query_id AND bf.neighbor_id = lshr.neighbor_id
          |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin,
 
+    // recall@10 of the TRAINED (Lloyd) IVF vs brute force — the full
+    // training loop replayed in SQL (annIvfTrainedOracle), composed with the
+    // already-verified brute-force oracle
+    "ann_ivf_recall_audit" ->
+      s"""WITH bf AS ($annCosineOracle),
+         |ivfr AS ($annIvfTrainedOracle)
+         |SELECT bf.query_id,
+         |  CAST(count(ivfr.neighbor_id) AS BIGINT) AS n_matched,
+         |  count(ivfr.neighbor_id) / 10.0 AS recall_at_10
+         |FROM bf LEFT JOIN ivfr
+         |  ON bf.query_id = ivfr.query_id AND bf.neighbor_id = ivfr.neighbor_id
+         |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin,
+
     "text_stats" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
@@ -2135,6 +2176,75 @@ object SparkEntry {
       |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id, fp
       |FROM wm WHERE s <= eff - 4 OR s = 0
       |ORDER BY doc_id, fp""".stripMargin
+
+  /** Full replay of the trained IVF pipeline (ivfTopK with md5Init,
+    * iters=2, nlist=16, nprobe=4): md5-smallest init, two unrolled Lloyd
+    * iterations (argmax-dot assignment → per-cell/per-dim mean → spherical
+    * renormalize, empty cells keep their centroid), then the same
+    * assignment/probe/rank stages as the seeded-IVF oracle. Dots run in
+    * index order on both engines (bit-identical); only the per-cell avg is
+    * order-sensitive (accepted last-ulp risk, see the query comment).
+    */
+  private val annIvfTrainedOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |c0 AS (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+      |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+      |    list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS ce
+      |  FROM (SELECT vec_id, e FROM v
+      |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+      |        LIMIT 16)),
+      |a0 AS (
+      |  SELECT v.vec_id, c0.cell FROM v, c0
+      |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.e, c0.ce) DESC, c0.cell) = 1),
+      |m0 AS (
+      |  SELECT a0.cell, i.i, avg(v.e[i.i + 1]) AS m
+      |  FROM a0 JOIN v USING (vec_id), range(64) i(i)
+      |  GROUP BY 1, 2),
+      |n0 AS (
+      |  SELECT cell, lst, sqrt(list_dot_product(lst, lst)) AS nrm
+      |  FROM (SELECT cell, list(m ORDER BY i) AS lst FROM m0 GROUP BY cell)),
+      |c1 AS (
+      |  SELECT c0.cell,
+      |    coalesce(list_transform(n0.lst, x -> x / n0.nrm), c0.ce) AS ce
+      |  FROM c0 LEFT JOIN n0 USING (cell)),
+      |a1 AS (
+      |  SELECT v.vec_id, c1.cell FROM v, c1
+      |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.e, c1.ce) DESC, c1.cell) = 1),
+      |m1 AS (
+      |  SELECT a1.cell, i.i, avg(v.e[i.i + 1]) AS m
+      |  FROM a1 JOIN v USING (vec_id), range(64) i(i)
+      |  GROUP BY 1, 2),
+      |n1 AS (
+      |  SELECT cell, lst, sqrt(list_dot_product(lst, lst)) AS nrm
+      |  FROM (SELECT cell, list(m ORDER BY i) AS lst FROM m1 GROUP BY cell)),
+      |c2 AS (
+      |  SELECT c1.cell,
+      |    coalesce(list_transform(n1.lst, x -> x / n1.nrm), c1.ce) AS ce
+      |  FROM c1 LEFT JOIN n1 USING (cell)),
+      |assign AS (
+      |  SELECT v.vec_id, c2.cell FROM v, c2
+      |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.e, c2.ce) DESC, c2.cell) = 1),
+      |probe AS (
+      |  SELECT v.vec_id AS query_id, c2.cell FROM v, c2 WHERE v.vec_id < 10
+      |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+      |    ORDER BY list_dot_product(v.e, c2.ce) DESC, c2.cell) <= 4),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probe p JOIN assign a ON p.cell = a.cell
+      |  WHERE p.query_id <> a.vec_id),
+      |ranked AS (
+      |  SELECT cand.query_id, cand.neighbor_id,
+      |    list_cosine_similarity(qv.e, cv.e) AS cosine
+      |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+      |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+      |SELECT query_id, neighbor_id,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id) AS rnk
+      |FROM ranked QUALIFY rnk <= 10""".stripMargin
 
   private val annCosineOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

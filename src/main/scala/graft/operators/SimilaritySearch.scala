@@ -99,15 +99,22 @@ object SimilaritySearch {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int,
-              iters: Int = 3, sampleMod: Int = 1, seed: Long = 42L): DataFrame = {
+              iters: Int = 3, sampleMod: Int = 1, seed: Long = 42L,
+              md5Init: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     val sample = (if (sampleMod <= 1) corpus
       else corpus.filter(pmod(xxhash64(col(idCol), lit(seed)), lit(sampleMod)) === 0))
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
 
-    // init: nlist hash-deterministic seed vectors, L2-normalized
-    var centroids: Array[Array[Double]] = sample
-      .orderBy(xxhash64(col("_id"), lit(seed + 1)))
+    // init: nlist hash-deterministic seed vectors, L2-normalized. md5Init
+    // picks the md5-smallest ids (ivfTopKSeeded's scheme) instead of
+    // xxhash64 order so a SQL oracle can replay the whole Lloyd loop —
+    // DuckDB has md5 but not xxhash64.
+    val ordered =
+      if (md5Init) sample.orderBy(md5(col("_id").cast("string")),
+        col("_id").cast("string"))
+      else sample.orderBy(xxhash64(col("_id"), lit(seed + 1)))
+    var centroids: Array[Array[Double]] = ordered
       .limit(nlist).select("_v").collect()
       .map(r => normalized(r.getSeq[Float](0).toArray.map(_.toDouble)))
 

@@ -24,9 +24,11 @@ class PlanAuditSpec extends AnyFunSuite {
   // cardinality, not data size
   // ann_pq_topk: compressed brute force — broadcast queries x one pass
   // over m-int codes (not vectors); same declared-design scan shape
+  // ann_ivf_recall_audit: like ann_recall_audit, embeds the brute-force
+  // ground truth as the audit's reference side
   private val bnljByDesign =
     Set("ann_cosine_topk", "dedup_embedding_exact", "ann_recall_audit",
-      "q_kmv_overlap", "ann_pq_topk")
+      "q_kmv_overlap", "ann_pq_topk", "ann_ivf_recall_audit")
 
   test("no query plan has an unexpected nested-loop or cartesian join, " +
        "and every scan is column-pruned") {
