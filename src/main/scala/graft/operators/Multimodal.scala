@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * decode/feature-extract stage.
   *
   * Image decode is REAL ([[ImageIoCodec]], pure-JDK javax.imageio —
-  * PNG/JPEG/GIF/BMP). Audio/video decode remains a STUB ([[FakeCodec]], no
-  * such codecs ship in the JDK): deterministic pseudo-features from the
-  * payload hash keep the Spark-side contract — schema, per-partition
-  * batching, null/corrupt-payload behavior, partitioning — fully real and
-  * testable; a real demuxer swaps in behind the same signatures.
+  * PNG/JPEG/GIF/BMP). Audio decode is REAL ([[WavCodec]], pure-JDK
+  * javax.sound.sampled — WAV/AIFF/AU headers + PCM, true duration/sample
+  * rate/channels and an RMS-loudness feature). Video decode remains a STUB
+  * ([[FakeCodec]], no video codec ships in the JDK): deterministic
+  * pseudo-features from the payload hash keep the Spark-side contract —
+  * schema, per-partition batching, null/corrupt-payload behavior,
+  * partitioning — fully real and testable; a real demuxer swaps in behind
+  * the same signatures.
   *
   * Scale: decode is the canonical CPU-heavy map stage. `mapPartitions` keeps
   * codec initialization per-partition (not per-row), payloads never shuffle
@@ -144,11 +147,99 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec over `javax.sound.sampled` (pure JDK — WAV/AIFF/AU
+    * containers with PCM/uLaw/aLaw payloads): true sample rate, channel
+    * count and frame-derived duration from the header, plus an RMS-loudness
+    * feature from one pass over the samples (normalized to 16-bit signed,
+    * RMS in [0, 1]). Corrupt/undecodable payloads yield None, zeroed
+    * features downstream — same contract as [[ImageIoCodec]]. Video stays
+    * stubbed (no video codec in the JDK).
+    */
+  object WavCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    case class AudioMeta(sampleRate: Double, channels: Int, frames: Long,
+                         durationMs: Long, rms: Double)
+
+    def decodeAudio(payload: Array[Byte]): Option[AudioMeta] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val durationMs =
+            if (fmt.getFrameRate > 0 && frames >= 0)
+              math.round(frames * 1000.0 / fmt.getFrameRate)
+            else 0L
+          // one RMS pass over samples normalized to 16-bit signed LE PCM
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          val buf = new Array[Byte](8192)
+          var sumSq = 0.0; var n = 0L
+          var read = pcm.read(buf)
+          while (read > 0) {
+            var i = 0
+            while (i + 1 < read) {
+              val s = (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort.toDouble
+              sumSq += s * s; n += 1; i += 2
+            }
+            read = pcm.read(buf)
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0
+          Some(AudioMeta(fmt.getSampleRate.toDouble, fmt.getChannels,
+            frames, durationMs, rms))
+        } finally in.close()
+      } catch { case _: Exception => None } // UnsupportedAudioFile | IO
+
+    /** [[MediaFeatures]]-contract mapping for the shared extract pass:
+      * width := sample rate (Hz), height := channels, sharpness := RMS
+      * loudness — the three degrees of freedom the fixed schema offers.
+      * Use [[Multimodal.extractAudioFeatures]] for properly-named columns.
+      */
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = if (r.payload == null) 0 else r.payload.length
+      decodeAudio(r.payload) match {
+        case None => MediaFeatures(r.media_id, r.mime, len, 0, 0, 0.0)
+        case Some(a) => MediaFeatures(r.media_id, r.mime, len,
+          math.round(a.sampleRate).toInt, a.channels, a.rms)
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, mime: String, byte_len: Int,
+                           sample_rate: Double, channels: Int,
+                           duration_ms: Long, rms: Double)
+
+  /** Typed audio feature extraction — the audio sibling of
+    * [[extractFeatures]] with properly-named columns. Non-audio or
+    * undecodable payloads yield zeroed features.
+    */
+  def extractAudioFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val len = if (r.payload == null) 0 else r.payload.length
+          WavCodec.decodeAudio(r.payload) match {
+            case Some(a) => AudioFeatures(r.media_id, r.mime, len,
+              a.sampleRate, a.channels, a.durationMs, a.rms)
+            case None => AudioFeatures(r.media_id, r.mime, len, 0.0, 0, 0L, 0.0)
+          }
+        }
+      }
+  }
+
   /** Partition-batched decode/feature-extract. One codec "session" per
     * partition (the `iter =>` prologue is where a stateful codec would
-    * init); dispatch is per-mime — `image/<any>` mimes decode for REAL via
-    * [[ImageIoCodec]], other modalities go through the stub. Corrupt/null
-    * payloads yield zeroed features instead of failing the task.
+    * init); dispatch is per-mime — `image/<any>` decodes for REAL via
+    * [[ImageIoCodec]], `audio/<any>` for REAL via [[WavCodec]], other
+    * modalities go through the stub. Corrupt/null payloads yield zeroed
+    * features instead of failing the task.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -157,6 +248,7 @@ object Multimodal {
         // stateful codec init would happen here, once per partition
         iter.map { r =>
           if (r.mime != null && r.mime.startsWith("image/")) ImageIoCodec.decode(r)
+          else if (r.mime != null && r.mime.startsWith("audio/")) WavCodec.decode(r)
           else FakeCodec.decode(r)
         }
       }

@@ -115,4 +115,69 @@ class MultimodalSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(r.thumb))
     assert(back.getWidth == 4 && back.getHeight == 3)
   }
+
+  /** Real 16-bit signed mono PCM WAV: a sine at `amp` (of full scale),
+    * written through javax.sound.sampled itself.
+    */
+  private def wav(sampleRate: Float, seconds: Double, amp: Double,
+                  freqHz: Double = 440.0): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val n = math.round(sampleRate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = math.round(amp * 32767.0 *
+        math.sin(2 * math.Pi * freqHz * i / sampleRate)).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("audio/* decodes for REAL via javax.sound.sampled: true sample rate, " +
+       "channels, duration and sine RMS") {
+    val bytes = wav(sampleRate = 8000f, seconds = 0.25, amp = 0.5)
+    val m = Multimodal.asMedia(Seq((1L, bytes)).toDF("media_id", "payload"),
+      "media_id", "payload", "audio/wav")
+    val a = Multimodal.extractAudioFeatures(spark, m).collect().head
+    assert(a.sample_rate == 8000.0 && a.channels == 1)
+    assert(a.duration_ms == 250L)
+    // RMS of a sine at amplitude 0.5 is 0.5/sqrt(2) ~ 0.3536
+    assert(math.abs(a.rms - 0.5 / math.sqrt(2.0)) < 0.01, s"rms=${a.rms}")
+    assert(a.byte_len == bytes.length)
+    // silence really measures 0 — the feature is computed, not hashed
+    val silent = Multimodal.extractAudioFeatures(spark,
+      Multimodal.asMedia(
+        Seq((2L, wav(8000f, 0.1, amp = 0.0))).toDF("media_id", "payload"),
+        "media_id", "payload", "audio/wav")).collect().head
+    assert(silent.rms == 0.0 && silent.duration_ms == 100L)
+  }
+
+  test("audio/* rides the shared extractFeatures pass (rate/channels/rms " +
+       "under the MediaFeatures contract)") {
+    val bytes = wav(sampleRate = 16000f, seconds = 0.125, amp = 0.25)
+    val m = Multimodal.asMedia(Seq((5L, bytes)).toDF("media_id", "payload"),
+      "media_id", "payload", "audio/wav")
+    val f = Multimodal.extractFeatures(spark, m).collect().head
+    assert(f.width == 16000 && f.height == 1) // := sample rate, channels
+    assert(math.abs(f.sharpness - 0.25 / math.sqrt(2.0)) < 0.01) // := rms
+  }
+
+  test("corrupt audio payload yields zeroed features, not task failure") {
+    val m = Multimodal.asMedia(
+      Seq((6L, "definitely not a wav".getBytes("UTF-8")))
+        .toDF("media_id", "payload"),
+      "media_id", "payload", "audio/wav")
+    val a = Multimodal.extractAudioFeatures(spark, m).collect().head
+    assert(a.sample_rate == 0.0 && a.channels == 0 && a.rms == 0.0)
+    assert(a.byte_len == 20)
+    val f = Multimodal.extractFeatures(spark, m).collect().head
+    assert(f.width == 0 && f.height == 0 && f.sharpness == 0.0)
+  }
 }
