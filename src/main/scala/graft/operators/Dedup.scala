@@ -28,21 +28,53 @@ object Dedup {
   def shingleSet(text: Column, n: Int): Column =
     VectorFunctions.shingleSet(TextFunctions.tokens(text), n)
 
+  /** `saltVerify` sentinel: derive the verify-join salt from the observed
+    * candidate-pair skew (the default — at 100 TB the person who needs
+    * salting is the one who didn't read the parameter list).
+    */
+  val AutoSalt: Int = 0
+
+  /** Salt factor from candidate skew: the hottest doc's candidate count vs
+    * the mean. Hot/mean ≤ 4 derives 1 (no salting, no plan change);
+    * otherwise the salt spreads the hottest key to ≈4× the mean rows per
+    * task, capped at 64 set-side replicas. The probe is one bounded
+    * aggregate over the (already small) pair list.
+    */
+  private[operators] def deriveVerifySalt(cands: DataFrame): Int = {
+    val row = cands
+      .select(explode(array(col(cands.columns.head),
+        col(cands.columns(1)))).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)).as("mx"),
+        coalesce(avg(col("c")), lit(0.0)).as("av")).head()
+    val mx = row.getLong(0).toDouble
+    val av = math.max(row.getDouble(1), 1.0)
+    math.max(1, math.min(64, math.ceil(mx / (4.0 * av)).toInt))
+  }
+
   /** Candidate-pair verify join: attach each side's shingle set to the
-    * (doc_a, doc_b) candidate list. With `salt > 1` both attach joins run
+    * (doc_a, doc_b) candidate list. With salt > 1 both attach joins run
     * through [[SaltedJoin]] — a viral doc in millions of candidate pairs
     * otherwise pins one reducer, and AQE's skew split does not cover the
     * shuffle-HASH joins these compile to. The sets side has exactly one row
     * per doc, so its ×salt replication is cheap; the skewed pair rows are
-    * what get spread.
+    * what get spread. [[AutoSalt]] (the operators' default) materializes the
+    * pair list once (`localCheckpoint` — the skew probe and the verify join
+    * then both read it without re-running candidate generation) and derives
+    * the salt via [[deriveVerifySalt]].
     */
-  private def attachSets(cands: DataFrame, sets: DataFrame, setCol: String,
+  private def attachSets(cands0: DataFrame, sets: DataFrame, setCol: String,
                          salt: Int): DataFrame = {
+    val (cands, s) =
+      if (salt == AutoSalt) {
+        val c = cands0.localCheckpoint()
+        (c, deriveVerifySalt(c))
+      } else (cands0, salt)
     val a = sets.select(col("doc").as("doc_a"), col(setCol).as("sa"))
     val b = sets.select(col("doc").as("doc_b"), col(setCol).as("sb"))
-    if (salt <= 1) cands.join(a, "doc_a").join(b, "doc_b")
-    else SaltedJoin.inner(SaltedJoin.inner(cands, a, Seq("doc_a"), salt),
-      b, Seq("doc_b"), salt)
+    if (s <= 1) cands.join(a, "doc_a").join(b, "doc_b")
+    else SaltedJoin.inner(SaltedJoin.inner(cands, a, Seq("doc_a"), s),
+      b, Seq("doc_b"), s)
   }
 
   /** Exact dedupe: group by content hash (md5 here; xxhash64 is cheaper but
@@ -69,7 +101,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        saltVerify: Int = 1): DataFrame = {
+                        saltVerify: Int = AutoSalt): DataFrame = {
     // materialize (doc, shingle set) ONCE: the set feeds the prefix-filter
     // branch AND both sides of the verify join — without the checkpoint each
     // consumer re-scans the corpus and re-runs the shingle kernel (3 full
@@ -117,7 +149,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, k: Int, bands: Int, threshold: Double,
-                      seed: Long = 42L, saltVerify: Int = 1): DataFrame = {
+                      seed: Long = 42L, saltVerify: Int = AutoSalt): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // ids + band hashes ONLY cross the LSH join — texts never shuffle with

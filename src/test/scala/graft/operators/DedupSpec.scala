@@ -151,6 +151,38 @@ class DedupSpec extends AnyFunSuite {
     assert(spread > 1L, "hot doc's candidate rows all hashed to one salt")
   }
 
+  test("verify salt derives automatically from candidate skew — no caller parameter") {
+    // the heuristic: one viral doc in every candidate pair must derive > 1
+    val hot = (1L to 100L).map(b => (0L, b)).toDF("doc_a", "doc_b")
+    val sHot = Dedup.deriveVerifySalt(hot)
+    assert(sHot > 1, s"viral candidate list must derive salt > 1, got $sHot")
+    // designed bound: hottest key spread to ≈4× the mean rows per task
+    // (mean degree = 200 appearances / 101 docs)
+    assert(100.0 / sHot <= 4.0 * (200.0 / 101.0) + 1.0,
+      s"salt $sHot leaves the hot key above the 4×mean bound")
+    // uniform candidates derive 1 — the plan is unchanged when skew is absent
+    val uniform = (0 until 50).map(i => (2L * i, 2L * i + 1))
+      .toDF("doc_a", "doc_b")
+    assert(Dedup.deriveVerifySalt(uniform) == 1)
+    assert(Dedup.deriveVerifySalt(uniform.limit(0)) == 1) // empty-safe
+
+    // end to end: the no-argument default (auto) equals explicit unsalted
+    // results on a corpus with a viral doc in half of all pairs
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("ash", "oak", "elm", "fir", "yew", "bay")
+    val viral = Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = ((0 until 40).map(i => (i.toLong, viral)) ++
+      (100 until 140).map(i => (i.toLong,
+        Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))))
+      .toDF("doc_id", "text")
+    val auto = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val unsalted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
+        saltVerify = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto == unsalted && auto.nonEmpty)
+  }
+
   test("winnowContainmentPairs is asymmetric: prefix-copy contained one way only") {
     // doc 2 = doc 1's text plus a long distinct tail: nearly all of doc 1's
     // fingerprints appear in doc 2 (contained), but doc 2's tail
