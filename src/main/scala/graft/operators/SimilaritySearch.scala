@@ -48,20 +48,45 @@ object SimilaritySearch {
     * id) is `tables`× the id column — the classic L-table LSH size tradeoff,
     * all map-side; vectors never ride through the candidate join.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int, probes: Int,
-              tables: Int = 1, seed: Long = 42L,
-              md5Tag: Option[String] = None): DataFrame = {
-    require(planes <= 64 && tables >= 1 && probes <= planes)
-    // per-table sketches as struct(t, bucket); compile-time unrolled.
-    // md5Tag switches to the md5-derived plane family ("<tag><t>" per table)
-    // so a SQL oracle can rebuild the exact buckets.
-    def sketches(v: org.apache.spark.sql.Column) = array((0 until tables).map { t =>
+  /** Per-table sketches as struct(t, bucket); compile-time unrolled.
+    * md5Tag switches to the md5-derived plane family ("<tag><t>" per table)
+    * so a SQL oracle can rebuild the exact buckets.
+    */
+  private def lshSketches(v: org.apache.spark.sql.Column, planes: Int,
+                          tables: Int, seed: Long,
+                          md5Tag: Option[String]): org.apache.spark.sql.Column =
+    array((0 until tables).map { t =>
       struct(lit(t).as("t"), (md5Tag match {
         case Some(tag) => VectorFunctions.hyperplaneSketchMd5(v, planes, s"$tag$t")
         case None => VectorFunctions.hyperplaneSketch(v, planes, seed + t * 7919L)
       }).as("b"))
     }: _*)
+
+  /** Per-(table, bucket) occupancy of the LSH index over `corpus` — the
+    * candidate-COST metric for [[lshTopK]]: each probe of (t, bucket) joins
+    * against exactly that bucket's rows, so `max(n)` bounds per-probe work
+    * and `sum over probed buckets` is the candidate volume. A healthy
+    * hyperplane family keeps occupancy near |corpus| / 2^planes; a
+    * degenerate family (constant sketch — e.g. zero vectors, or collinear
+    * planes) collapses the corpus into one bucket and silently turns the
+    * "pruned" join quadratic. SimilaritySpec asserts the bound in CI; run
+    * this before trusting a new plane family or corpus at scale.
+    */
+  def lshBucketStats(corpus: DataFrame, idCol: String, vecCol: String,
+                     planes: Int, tables: Int = 1, seed: Long = 42L,
+                     md5Tag: Option[String] = None): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+      .groupBy(col("s.t").as("t"), col("s.b").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int, probes: Int,
+              tables: Int = 1, seed: Long = 42L,
+              md5Tag: Option[String] = None): DataFrame = {
+    require(planes <= 64 && tables >= 1 && probes <= planes)
+    def sketches(v: org.apache.spark.sql.Column) =
+      lshSketches(v, planes, tables, seed, md5Tag)
     val c = corpus.select(col(idCol).as("neighbor_id"),
         explode(sketches(col(vecCol))).as("s"))
       .select(col("neighbor_id"), col("s.t"), col("s.b").as("bucket"))

@@ -91,6 +91,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranks.forall(r => r == (1 to r.length)))
   }
 
+  test("LSH bucket occupancy is bounded on the shipped plane family and " +
+       "catches a degenerate family") {
+    // a bigger isotropic corpus so the per-bucket expectation is meaningful
+    val rnd = new scala.util.Random(23)
+    val n = 1024
+    val big = (0 until n).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val planes = 6 // expected occupancy = n / 2^6 = 16
+    def maxBucket(df: org.apache.spark.sql.DataFrame): Long =
+      SimilaritySearch.lshBucketStats(df, "vec_id", "embedding",
+          planes = planes, tables = 4)
+        .agg(max(col("n"))).as[Long].head()
+    val expected = n.toDouble / (1 << planes)
+    // the candidate-cost gate: a probed bucket may cost a few times the
+    // uniform expectation (hyperplanes through correlated data are never
+    // perfectly balanced) but NOT a corpus-sized scan
+    val bound = (8 * expected).toLong
+    assert(maxBucket(big) <= bound,
+      s"shipped plane family exceeds the occupancy bound $bound")
+
+    // degenerate family: zero vectors sketch to one constant bucket —
+    // the same gate must fail, loudly, instead of the join silently going
+    // quadratic
+    val zeros = (0 until n).map(i => (i.toLong, Array.fill(12)(0f)))
+      .toDF("vec_id", "embedding")
+    assert(maxBucket(zeros) == n.toLong,
+      "degenerate sketch must collapse into a single full bucket")
+    assert(maxBucket(zeros) > bound,
+      "the occupancy gate must catch the degenerate family")
+  }
+
   // clustered corpus: 8 well-separated directions + small noise, so an IVF
   // quantizer must recover the clusters and recall is deterministic-high
   private lazy val clustered = {
