@@ -1820,7 +1820,13 @@ object SparkEntry {
 
     // replays PQ end to end: md5-picked codebook rows, per-subspace L2
     // argmin encode (ties to lowest codeword, matching the kernel's strict
-    // <), ADC scoring, top-32 candidate cut, exact-cosine re-rank
+    // <), ADC scoring, top-32 candidate cut, exact-cosine re-rank.
+    // ACCEPTED RISK (here and ann_ivfpq_topk): DuckDB's unordered sum()
+    // vs the kernel's fixed-index-order accumulation can differ by last-ulp
+    // at two cut points (per-subspace argmin, ADC top-32) and flip candidate
+    // sets on near-tied data — same class as the LSH projection sum. Not
+    // observed at sf0.01/sf0.1 (hash-verified since r5); the exact-cosine
+    // re-rank absorbs interior drift, only exact ties AT the cut can flip.
     "ann_pq_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |pick AS (

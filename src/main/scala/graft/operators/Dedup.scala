@@ -395,7 +395,17 @@ object Dedup {
                              n: Int, w: Int, maxDf: Int,
                              thresh: Double): DataFrame = {
     import graft.functions.{TextFunctions, VectorFunctions}
-    val fps = docs.select(col(idCol).cast("long").as("doc_id"),
+    // ids must be numeric — same contract as duplicateGroups: a non-numeric
+    // id casts to null and every null-id doc would silently collapse into
+    // one doc_id group. Fail fast, but LAZILY (the check rides the scan as
+    // an expression; duplicateGroups' aggregate probe was only free there
+    // because it piggybacked on an existing materializing action).
+    val idCast = col(idCol).try_cast("long")
+    val checkedId = when(idCast.isNull, raise_error(lit(
+        s"winnowContainmentPairs: non-numeric or null id in '$idCol' " +
+          "(cast to long gave null)")))
+      .otherwise(idCast)
+    val fps = docs.select(checkedId.as("doc_id"),
         explode(VectorFunctions.winnowMd5(TextFunctions.tokens(col(textCol)),
           n, w)).as("fp"))
       .distinct()

@@ -256,6 +256,11 @@ object SimilaritySearch {
     * not different mechanics. Like [[bruteForceTopK]] the scan shape is
     * broadcast-queries × one corpus pass (declared-design BNLJ) — compose
     * with the IVF cell join when candidate pruning is also needed.
+    *
+    * Output: (query_id, neighbor_id, rank, score). `score` is the ADC
+    * dot-product against reconstructed codewords when `rerank <= 0`, and
+    * the exact cosine of the re-ranked pair when `rerank > 0` — the two
+    * are NOT comparable across calls that toggle `rerank`; only `rank` is.
     */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int, ncode: Int,
@@ -297,7 +302,8 @@ object SimilaritySearch {
     val adcTop = scored.withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       adcTop.filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc").as("score"))
     else {
       // exact re-rank of the ADC top-R: quantization collapses
       // WITHIN-cell ordering (cluster members share codes → tied scores),
@@ -314,7 +320,8 @@ object SimilaritySearch {
         .orderBy(col("cosine").desc, col("neighbor_id"))
       exact.withColumn("rank", row_number().over(w2))
         .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cosine").as("score"))
     }
   }
 
@@ -330,6 +337,10 @@ object SimilaritySearch {
     * not per-cell residuals — residual encoding buys accuracy, not a
     * different plan shape, and raw-vector codes keep the oracle replay to
     * one codebook.
+    *
+    * Output: (query_id, neighbor_id, rank, score) — same `score` contract
+    * as [[pqTopK]]: ADC dot-product when `rerank <= 0`, exact cosine when
+    * `rerank > 0`; comparable only within one `rerank` setting.
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int, nprobe: Int,
@@ -391,7 +402,8 @@ object SimilaritySearch {
     val adcTop = scored.withColumn("rank", row_number().over(w))
     if (rerank <= 0)
       adcTop.filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "adc")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("adc").as("score"))
     else {
       val r = math.max(rerank, k)
       val cand = adcTop.filter(col("rank") <= r)
@@ -403,7 +415,8 @@ object SimilaritySearch {
         .orderBy(col("cosine").desc, col("neighbor_id"))
       exact.withColumn("rank", row_number().over(w2))
         .filter(col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cosine").as("score"))
     }
   }
 

@@ -45,6 +45,11 @@ object StreamingKmv {
       .select(col(keyCol).cast("string").as("k"),
         expr(s"cast(conv(substring(md5(cast($valueCol as string)), 1, 15), " +
           "16, 10) as bigint)").as("h"))
+      // a null key or null value (md5(null) -> null) would hit the
+      // non-nullable (String, Long) encoder and kill the query at runtime;
+      // null contributes no distinct value, so dropping matches batch KMV
+      // (SQL count(distinct) ignores NULLs)
+      .na.drop(Seq("k", "h"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

@@ -204,6 +204,21 @@ class DedupSpec extends AnyFunSuite {
       s"unrelated doc 3 must not pair, got $got")
   }
 
+  test("winnowContainmentPairs rejects non-numeric ids instead of collapsing them") {
+    // without the check, "x" and "y" both cast to null and collapse into ONE
+    // doc_id group — the same silent-merge failure duplicateGroups guards
+    val text = (1 to 60).map(i => s"tok${i * 7 % 97}").mkString(" ")
+    val docs = Seq(("x", text), ("y", text)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.winnowContainmentPairs(docs, "doc_id", "text",
+        n = 3, w = 4, maxDf = 20, thresh = 0.8).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("winnowContainmentPairs")),
+      s"expected the fail-fast message, got: $e")
+  }
+
   test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2

@@ -79,6 +79,36 @@ class StreamingKmvSpec extends AnyFunSuite {
     assert(replayed == once, s"replay changed estimates: $replayed vs $once")
   }
 
+  test("null keys and null values are dropped, not query-killing") {
+    // (String, String) tuples can carry real nulls; md5(null) -> null hash.
+    // Without the na.drop the non-nullable (String, Long) encoder throws and
+    // the streaming query dies mid-batch.
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val latest = scala.collection.mutable.Map[String, (Int, Long)]()
+    val ckpt = Files.createTempDirectory("graft-kmv-null").toString
+    val q = StreamingKmv.distinctEstimates(
+        mem.toDF().toDF("grp", "uid"), "grp", "uid", k)
+      .writeStream.outputMode(StreamingKmv.outputMode)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingKmv.Estimate], _: Long) =>
+          val rows = b.collect()
+          latest.synchronized {
+            rows.foreach(e => latest(e.key) = (e.n_tracked, e.estimate))
+          }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      mem.addData(("a", "1"), ("a", null), (null, "2"), ("a", "3"), (null, null))
+      q.processAllAvailable()
+    } finally q.stop()
+    // nulls contribute no distinct value (count(distinct) semantics); the
+    // null key never becomes a state key
+    assert(latest.toMap == Map("a" -> (2, 2L)), s"got $latest")
+  }
+
   test("sketch state round-trips through the RocksDB provider (100 TB path)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.GraftSession.RocksDbProvider)
