@@ -981,6 +981,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_lsh_bucket_stats" -> ((s, d) => {
+      // operational metric for the LSH index: per-(table, bucket) occupancy
+      // — the candidate-COST distribution of ann_lsh_topk's equi-join
+      // (max(n) bounds per-probe work; a degenerate plane family shows up
+      // as one corpus-sized bucket). Same md5 plane families as
+      // ann_lsh_topk, so the oracle hash-verifies the index SHAPE itself,
+      // not just query results over it.
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.lshBucketStats(e, "vec_id", "embedding",
+          planes = 8, tables = 4, md5Tag = Some("lsh"))
+        .select(col("t").cast("long").as("t"),
+          col("bucket").cast("long").as("bucket"),
+          col("n").cast("long").as("n"))
+        .orderBy(col("t"), col("bucket"))
+    }),
+
     "ann_recall_audit" -> ((s, d) => {
       // the first question a user asks of an ANN index: what's its recall?
       // Answered as a first-class query — per-query recall@10 of the LSH
@@ -1817,6 +1833,28 @@ object SparkEntry {
     // first 4 planes), OR-amplified candidate dedup, then exact-cosine
     // ranking with the neighbor_id tie-break.
     "ann_lsh_topk" -> annLshOracle,
+
+    // same w/proj/bkt replay as annLshOracle, aggregated to the
+    // per-(table, bucket) occupancy histogram
+    "ann_lsh_bucket_stats" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),
+        |w AS (
+        |  SELECT t, p, d,
+        |    CASE WHEN (CAST(concat('0x',
+        |        substr(md5('lsh' || t || ':' || p || ':' || (d // 60)), 1, 15))
+        |      AS BIGINT) >> (d % 60)) & 1 = 1 THEN 1.0 ELSE -1.0 END AS wt
+        |  FROM range(4) tt(t), range(8) pp(p), range(64) dd(d)),
+        |proj AS (
+        |  SELECT v.vec_id, w.t, w.p, sum(v.e[w.d + 1] * w.wt) AS pr
+        |  FROM v, w GROUP BY 1, 2, 3),
+        |bkt AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+        |      AS BIGINT) AS bucket
+        |  FROM proj GROUP BY 1, 2)
+        |SELECT CAST(t AS BIGINT) AS t, CAST(bucket AS BIGINT) AS bucket,
+        |  COUNT(*) AS n
+        |FROM bkt GROUP BY 1, 2 ORDER BY t, bucket""".stripMargin,
 
     // replays PQ end to end: md5-picked codebook rows, per-subspace L2
     // argmin encode (ties to lowest codeword, matching the kernel's strict
