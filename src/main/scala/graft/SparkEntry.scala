@@ -517,6 +517,34 @@ object SparkEntry {
           n = 3, w = 4, maxDf = 20, thresh = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "dedup_lines" -> ((s, d) => {
+      // CCNet/C4 line-level boilerplate removal over a derived multi-line
+      // view (the flat synthetic docs have no newlines, so "lines" are the
+      // non-overlapping 8-token chunks — same replay as text_chunks): lines
+      // in > 2 distinct docs drop; surviving lines rebuild in position.
+      // Near-dup/exact-dup clusters share chunk lines, so the heavy set is
+      // non-trivial at both sf.
+      val docs = t(s, d, "documents")
+      val multi = docs.select(col("doc_id"), concat_ws("\n",
+        transform(TF.chunks(col("text"), 8, 8), c => c("chunk"))).as("text"))
+      Dedup.lineDedupe(multi, "doc_id", "text", maxDf = 2)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          md5(col("clean_text")).as("clean_hash"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_semantic" -> ((s, d) =>
+      // SemDeDup: md5-seeded coarse-quantizer cells (same 16 centroids the
+      // ann_ivf_topk oracle replays) + within-cell exact-cosine filter at
+      // the dedup_embedding threshold
+      Dedup.semanticDedupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = 16, threshold = 0.4)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"),
+          col("cell").cast("long").as("cell"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     "dedup_groups" -> ((s, d) => {
       // full dedup deliverable: near-dup pairs -> connected-component
       // canonical ids (pointer-jumping min-label propagation)
@@ -1106,6 +1134,21 @@ object SparkEntry {
         length(col("text")).cast("long").as("len_chars"),
         TF.meanTokenLen(col("text")).as("mean_token_len"),
         TF.alphaRatio(col("text")).as("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_repetition" -> ((s, d) => {
+      // Gopher-style within-doc repetition metrics over the same derived
+      // multi-line view as dedup_lines (8-token chunk lines); the 2-gram
+      // share is over the full token stream (chunking partitions tokens,
+      // so re-tokenizing the view reproduces the original grams)
+      val docs = t(s, d, "documents")
+      val multi = docs.select(col("doc_id"), concat_ws("\n",
+        transform(TF.chunks(col("text"), 8, 8), c => c("chunk"))).as("text"))
+      graft.operators.CorpusOps.repetitionStats(multi, "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_lines"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("top_2gram_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1791,6 +1834,69 @@ object SparkEntry {
         | COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
 
+    // replays the chunk-line view (text_chunks' 8/8 slicing), distinct-doc
+    // line df, the > maxDf heavy-hitter drop, and the order-preserving
+    // md5(rebuilt text); all-dropped docs keep md5('')
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    unnest(range(0,
+        |      1 + CAST(ceil(greatest(len(words) - 8, 0) / 8.0) AS INT))) AS cn
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id, cn AS pos,
+        |    array_to_string(words[cn*8 + 1 : cn*8 + 8], ' ') AS line
+        |  FROM c),
+        |hv AS (
+        |  SELECT line FROM (SELECT DISTINCT doc_id, line FROM lines)
+        |  GROUP BY line HAVING COUNT(*) > 2),
+        |kept AS (
+        |  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hv)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY 1),
+        |reb AS (
+        |  SELECT doc_id,
+        |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_hash,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY 1)
+        |SELECT CAST(tot.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(reb.clean_hash, md5('')) AS clean_hash,
+        |  CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(tot.n_lines - coalesce(reb.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup replay: seeded centroids + assignment exactly as the
+    // ann_ivf_topk oracle, then within-cell pairs filtered by exact cosine
+    // (float boundary accepted as in dedup_embedding)
+    "dedup_semantic" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(va.e, vb.e) >= 0.4)
+        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(cell AS BIGINT) AS cell
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
+
     "dedup_embedding_exact" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
         |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
@@ -2161,6 +2267,49 @@ object SparkEntry {
         | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
         |   / CAST(length(text) AS DOUBLE) AS alpha_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition replay over the same chunk-line view as dedup_lines;
+    // 2-grams come straight from the original token stream (8/8 chunking
+    // partitions tokens, so the view re-tokenizes to the same words).
+    // Fractions are exact-integer IEEE divisions — identical trees both
+    // engines (cast numerator to DOUBLE, divide by the raw count).
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, words,
+        |    unnest(range(0,
+        |      1 + CAST(ceil(greatest(len(words) - 8, 0) / 8.0) AS INT))) AS cn
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id,
+        |    array_to_string(words[cn*8 + 1 : cn*8 + 8], ' ') AS line
+        |  FROM c),
+        |pl AS (
+        |  SELECT doc_id, line, COUNT(*) AS c, max(len(line)) AS l
+        |  FROM lines GROUP BY 1, 2),
+        |la AS (
+        |  SELECT doc_id, sum(c) AS n_lines, sum(c) - COUNT(*) AS n_dup,
+        |    sum((c - 1) * l) AS dup_chars, sum(c * l) AS total_chars
+        |  FROM pl GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, CASE WHEN len(words) >= 2
+        |      THEN list_transform(range(1, len(words)),
+        |        i -> words[i] || ' ' || words[i + 1])
+        |      ELSE [array_to_string(words, ' ')] END AS grams
+        |  FROM t),
+        |gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM gr GROUP BY 1, 2),
+        |ga AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams FROM pg GROUP BY 1)
+        |SELECT CAST(la.doc_id AS BIGINT) AS doc_id,
+        |  CAST(la.n_lines AS BIGINT) AS n_lines,
+        |  CAST(la.n_dup AS DOUBLE) / CAST(la.n_lines AS BIGINT) AS dup_line_frac,
+        |  CASE WHEN la.total_chars > 0
+        |    THEN CAST(la.dup_chars AS DOUBLE) / CAST(la.total_chars AS BIGINT)
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  CAST(ga.top_c AS DOUBLE) / CAST(ga.n_grams AS BIGINT) AS top_2gram_frac
+        |FROM la JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
 

@@ -151,4 +151,46 @@ object CorpusOps {
       }
       .toDF(groupCol, idCol, "n_tokens", "bin_id")
   }
+
+  /** Gopher-style within-document repetition metrics (Rae et al. 2021,
+    * arXiv:2112.11446, Table A1): the quality-filter signals that flag
+    * template/spam documents without any cross-doc state —
+    *  - `dup_line_frac`: fraction of line occurrences that are repeats of
+    *    an earlier identical line in the same doc;
+    *  - `dup_line_char_frac`: fraction of characters inside those repeated
+    *    occurrences;
+    *  - `top_2gram_frac`: occurrence share of the doc's most frequent word
+    *    2-gram (ties break to the more frequent count only — the max is
+    *    over counts, so ties don't matter).
+    *
+    * Shape: one explode + two hash aggs per metric family, joined on
+    * doc_id; nothing is quadratic, nothing sorts per doc (the top gram is
+    * a max over counts, not a window). All arithmetic is exact-integer
+    * ratios emitted as doubles — deterministic IEEE division both engines
+    * reproduce bit-for-bit.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      delim: String = "\n"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), delim)).as("line"))
+    val perLine = lines.groupBy("doc_id", "line")
+      .agg(count(lit(1)).as("c"), max(length(col("line"))).as("len"))
+    val lineAgg = perLine.groupBy("doc_id").agg(
+      sum(col("c")).as("n_lines"),
+      (sum(col("c")) - count(lit(1))).as("n_dup_lines"),
+      sum((col("c") - 1) * col("len")).as("dup_chars"),
+      sum(col("c") * col("len")).as("total_chars"))
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), 2)).as("g"))
+    val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val gramAgg = perGram.groupBy("doc_id").agg(
+      max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))
+    lineAgg.join(gramAgg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_dup_lines").cast("double") / col("n_lines")).as("dup_line_frac"),
+        coalesce(when(col("total_chars") > 0,
+            col("dup_chars").cast("double") / col("total_chars")),
+          lit(0.0)).as("dup_line_char_frac"),
+        (col("top_c").cast("double") / col("n_grams")).as("top_2gram_frac"))
+  }
 }

@@ -427,4 +427,77 @@ object Dedup {
       .filter(col("containment") >= thresh)
       .select("doc_a", "doc_b", "n_common", "containment")
   }
+
+  /** Line-level boilerplate removal (the CCNet/C4 pass): drop every line
+    * that occurs in more than `maxDf` DISTINCT documents — nav menus,
+    * cookie banners, license headers — keeping each surviving line in its
+    * original position. The within-doc complement of the whole-doc dedup
+    * operators: those drop documents, this cleans the ones that stay.
+    *
+    * Scale: the anti-join's build side holds ONLY the heavy-hitter lines
+    * (df > maxDf), a set bounded by total_lines / maxDf — at web scale
+    * that's the small side (boilerplate is by definition repeated), so the
+    * join broadcasts or stays a cheap shuffled anti-join while the corpus
+    * text streams through once. Line df is one map-side-combined hash agg
+    * over (doc, line)-distinct rows; order-preserving reassembly is one
+    * hash agg (sort_array over (pos, line) structs — positions, not a
+    * per-doc window sort). Nothing is quadratic.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_dropped); a doc whose every
+    * line was boilerplate survives with clean_text = "".
+    */
+  def lineDedupe(docs: DataFrame, idCol: String, textCol: String,
+                 maxDf: Int, delim: String = "\n"): DataFrame = {
+    require(maxDf >= 1, "lineDedupe: maxDf must be >= 1")
+    val lines = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+    val heavy = lines.select("doc_id", "line").distinct()
+      .groupBy("line").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf).select("line")
+    val kept = lines.join(heavy, Seq("line"), "left_anti")
+    val total = lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy("doc_id").agg(
+      array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), delim).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    total.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): two docs are semantic duplicates when they land in
+    * the SAME coarse-quantizer cell and their exact cosine clears
+    * `threshold`. Complements [[embeddingPairs]]' hyperplane blocking —
+    * cells follow the corpus's own density (centroids are corpus vectors)
+    * where hyperplanes cut direction-uniformly, so the two blockings catch
+    * different near-miss distributions; the paper's pipeline prunes within
+    * fixed k-means clusters exactly this way.
+    *
+    * Centroids are the md5-seeded pick ([[SimilaritySearch.seedCentroids]])
+    * so a SQL oracle replays the cells; assignment is the codegen'd
+    * map-side `nearestCentroid` pass (the corpus never shuffles for it).
+    * The candidate stage is a within-cell self-equi-join: Σ|cell|² work,
+    * bounded by growing `nlist` with the corpus — the SemDeDup tradeoff.
+    * Cosine stays internal (floats cross engines only as a filter, the
+    * same accepted boundary as [[embeddingPairs]]).
+    *
+    * Output: (id_a, id_b, cell) with id_a < id_b; feed into
+    * [[duplicateGroups]] / [[canonicalRepresentatives]] for keep decisions.
+    */
+  def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, threshold: Double): DataFrame = {
+    val (flat, norms, dim) = SimilaritySearch.seedCentroids(
+      emb, idCol, vecCol, nlist, "semanticDedupPairs")
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"))
+  }
 }

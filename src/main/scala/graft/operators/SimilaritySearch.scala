@@ -192,11 +192,26 @@ object SimilaritySearch {
     */
   def ivfTopKSeeded(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val (flat, norms, dim) =
+      seedCentroids(corpus, idCol, vecCol, nlist, "ivfTopKSeeded")
+    searchCells(queries, corpus, idCol, vecCol, k, nprobe, flat, norms, dim)
+  }
+
+  /** md5-seeded coarse-quantizer centroids: the `nlist` corpus vectors with
+    * the smallest md5(CAST(id AS STRING)) (id tie-break) — a deterministic
+    * uniform sample a SQL oracle reproduces exactly. Shared by
+    * [[ivfTopKSeeded]] and [[graft.operators.Dedup.semanticDedupPairs]].
+    * Returns (flat row-major centroids, norms, dim); bounded nlist×dim
+    * driver collect.
+    */
+  private[graft] def seedCentroids(corpus: DataFrame, idCol: String,
+                                   vecCol: String, nlist: Int,
+                                   caller: String): (Array[Double], Array[Double], Int) = {
     val picked = corpus
       .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
       .orderBy(md5(col("_id")), col("_id"))
       .limit(nlist).collect()
-    require(picked.nonEmpty, "ivfTopKSeeded: empty corpus")
+    require(picked.nonEmpty, s"$caller: empty corpus")
     val dim = picked.head.getSeq[Float](1).length
     val flat = new Array[Double](picked.length * dim)
     val norms = new Array[Double](picked.length)
@@ -210,11 +225,11 @@ object SimilaritySearch {
       while (i < math.min(dim, v.length)) {
         val x = v(i).toDouble; flat(c * dim + i) = x; s += x * x; i += 1
       }
-      require(s > 0.0, s"ivfTopKSeeded: zero-norm centroid vector ${picked(c).getString(0)}")
+      require(s > 0.0, s"$caller: zero-norm centroid vector ${picked(c).getString(0)}")
       norms(c) = math.sqrt(s)
       c += 1
     }
-    searchCells(queries, corpus, idCol, vecCol, k, nprobe, flat, norms, dim)
+    (flat, norms, dim)
   }
 
   /** Shared IVF search stage: codegen'd map-side cell assignment over the

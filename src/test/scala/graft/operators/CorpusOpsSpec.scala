@@ -104,4 +104,21 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(ids.toSeq == (0L until ids.size))
     }
   }
+
+  test("repetitionStats computes Gopher repetition fractions exactly") {
+    val docs = Seq(
+      // 4 lines, "spam spam" repeated 3x: dup_line_frac = 2/4;
+      // chars: line len 9, dup chars 2*9=18 of total 9*3+4=31;
+      // 2-grams: "spam spam" x3 within lines... grams are over the WHOLE
+      // text (newline is whitespace to the tokenizer): tokens =
+      // [spam,spam,spam,spam,spam,spam,rare] -> 6 grams, top "spam spam" x5
+      (1L, "spam spam\nspam spam\nspam spam\nrare"),
+      // no repetition at all: fracs 0, top gram 1 of 3
+      (2L, "alpha beta\ngamma delta")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 4L, 2.0 / 4, 18.0 / 31, 5.0 / 6)))
+    assert(got(1) == ((2L, 2L, 0.0, 0.0, 1.0 / 3)))
+  }
 }

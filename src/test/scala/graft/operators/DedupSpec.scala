@@ -219,6 +219,54 @@ class DedupSpec extends AnyFunSuite {
       s"expected the fail-fast message, got: $e")
   }
 
+  test("lineDedupe drops corpus-frequent lines, keeps order, counts honestly") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique one\nNAV MENU\nunique two"),
+      (2L, "COOKIE BANNER\nother text\nNAV MENU"),
+      (3L, "NAV MENU\nCOOKIE BANNER\nthird body"),
+      (4L, "COOKIE BANNER\nCOOKIE BANNER")  // all lines boilerplate
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedupe(docs, "doc_id", "text", maxDf = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // COOKIE BANNER df=4, NAV MENU df=3 -> dropped; everything else df=1
+    assert(got(0) == ((1L, "unique one\nunique two", 2L, 2L)))
+    assert(got(1) == ((2L, "other text", 1L, 2L)))
+    assert(got(2) == ((3L, "third body", 1L, 2L)))
+    // doc 4: repeated line counts once for df but BOTH occurrences drop
+    assert(got(3) == ((4L, "", 0L, 2L)))
+  }
+
+  test("lineDedupe within-doc repeats below the df cap survive in position") {
+    val docs = Seq((1L, "a\nb\na"), (2L, "c")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupe(docs, "doc_id", "text", maxDf = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // "a" appears twice in doc 1 but in only ONE distinct doc -> df=1 -> kept
+    assert(got(0) == ((1L, "a\nb\na", 3L, 0L)))
+    assert(got(1) == ((2L, "c", 1L, 0L)))
+  }
+
+  test("semanticDedupPairs finds same-cell near-dups and nothing cross-cell") {
+    // two tight, well-separated directions + one planted near-dup per
+    // direction; any sane cell assignment separates the two directions
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * eps)
+    val a = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val b = a.map(-_)
+    val vecs = (
+      (0 until 6).map(i => (i.toLong, jitter(a, 0.05f))) ++
+      (6 until 12).map(i => (i.toLong, jitter(b, 0.05f)))
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+        nlist = 4, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.nonEmpty, "tight same-direction pairs must be found")
+    // opposite directions can never clear cosine 0.98 — no cross pairs
+    assert(got.forall { case (x, y) => (x < 6) == (y < 6) }, s"got $got")
+    // ordering contract
+    assert(got.forall { case (x, y) => x < y })
+  }
+
   test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2
