@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * Image decode is REAL ([[ImageIoCodec]], pure-JDK javax.imageio —
   * PNG/JPEG/GIF/BMP). Audio decode is REAL ([[WavCodec]], pure-JDK
   * javax.sound.sampled — WAV/AIFF/AU headers + PCM, true duration/sample
-  * rate/channels and an RMS-loudness feature). Video decode remains a STUB
-  * ([[FakeCodec]], no video codec ships in the JDK): deterministic
-  * pseudo-features from the payload hash keep the Spark-side contract —
-  * schema, per-partition batching, null/corrupt-payload behavior,
-  * partitioning — fully real and testable; a real demuxer swaps in behind
-  * the same signatures.
+  * rate/channels and an RMS-loudness feature). Video CONTAINER parsing is
+  * REAL ([[Mp4Codec]], hand-rolled ISO BMFF atom walk — true duration,
+  * timescale, presentation dimensions, track count from moov/mvhd/tkhd);
+  * only frame DECODE remains a STUB ([[FakeCodec.splitFrames]], no video
+  * codec ships in the JDK): deterministic windows keep the Spark-side
+  * contract — schema, per-partition batching, null/corrupt-payload
+  * behavior, partitioning — fully real and testable; a real codec swaps in
+  * behind the same signatures.
   *
   * Scale: decode is the canonical CPU-heavy map stage. `mapPartitions` keeps
   * codec initialization per-partition (not per-row), payloads never shuffle
@@ -210,6 +212,129 @@ object Multimodal {
     }
   }
 
+  /** REAL video CONTAINER parser for ISO BMFF (MP4/QuickTime/M4V — the
+    * `video/mp4` family): a bounds-checked atom walk extracting true
+    * movie metadata from `moov` — timescale + duration from `mvhd`
+    * (version 0 and 1), presentation width/height from the first visual
+    * track's `tkhd` (16.16 fixed point), track count. Pure JDK, no
+    * external demuxer. Frame DECODE stays stubbed (no video codec ships
+    * in the JDK) — this closes the metadata half of the video modality
+    * the same way imageio/sampled closed images and audio.
+    *
+    * Atom grammar per ISO/IEC 14496-12: [u32 size][4cc type][payload],
+    * size==1 → u64 largesize follows, size==0 → to end of enclosing box.
+    * Corrupt/truncated/non-BMFF payloads yield None (no moov ⇒ not a
+    * movie), never a task failure.
+    */
+  object Mp4Codec {
+    case class VideoMeta(timescale: Long, durationMs: Long, width: Int,
+                         height: Int, nTracks: Int)
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+
+    /** Child atoms of [start, end): (type, payloadStart, payloadEnd).
+      * Stops at the first malformed header instead of throwing.
+      */
+    private def atoms(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        var size = be32(b, o)
+        var hdr = 8
+        if (size == 1L && o + 16 <= end) { size = be64(b, o + 8); hdr = 16 }
+        else if (size == 0L) size = (end - o).toLong
+        if (size < hdr || size > end - o) ok = false // corrupt: stop the walk
+        else {
+          val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+          out += ((typ, o + hdr, o + size.toInt))
+          o += size.toInt
+        }
+      }
+      out.result()
+    }
+
+    /** (timescale, durationMs) from an mvhd payload, versions 0/1. */
+    private def parseMvhd(b: Array[Byte], s: Int, e: Int): Option[(Long, Long)] = {
+      if (e - s < 20) return None
+      val v = b(s) & 0xff
+      val (ts, dur) =
+        if (v == 1) { if (e - s < 32) return None; (be32(b, s + 20), be64(b, s + 24)) }
+        else (be32(b, s + 12), be32(b, s + 16))
+      if (ts <= 0) None else Some((ts, dur * 1000L / ts))
+    }
+
+    /** (width, height) from a tkhd payload (16.16 fixed), versions 0/1. */
+    private def parseTkhd(b: Array[Byte], s: Int, e: Int): Option[(Int, Int)] = {
+      if (e - s < 4) return None
+      val off = if ((b(s) & 0xff) == 1) 88 else 76
+      if (e - s < off + 8) None
+      else Some(((be32(b, s + off) >> 16).toInt, (be32(b, s + off + 4) >> 16).toInt))
+    }
+
+    def decodeVideo(payload: Array[Byte]): Option[VideoMeta] =
+      if (payload == null || payload.length < 8) None
+      else try {
+        atoms(payload, 0, payload.length).find(_._1 == "moov").flatMap {
+          case (_, ms, me) =>
+            val kids = atoms(payload, ms, me)
+            val traks = kids.filter(_._1 == "trak")
+            val dims = traks.iterator.flatMap { case (_, ts, te) =>
+              atoms(payload, ts, te).find(_._1 == "tkhd")
+                .flatMap(k => parseTkhd(payload, k._2, k._3))
+            }.find(d => d._1 > 0 && d._2 > 0)
+            kids.find(_._1 == "mvhd")
+              .flatMap(k => parseMvhd(payload, k._2, k._3))
+              .map { case (scale, durMs) =>
+                VideoMeta(scale, durMs, dims.map(_._1).getOrElse(0),
+                  dims.map(_._2).getOrElse(0), traks.size)
+              }
+        }
+      } catch { case _: Exception => None }
+
+    /** [[MediaFeatures]]-contract mapping: width/height are the visual
+      * track's presentation size, sharpness := duration in SECONDS (the
+      * schema's third degree of freedom, as RMS is for audio). Use
+      * [[Multimodal.extractVideoFeatures]] for properly-named columns.
+      */
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = if (r.payload == null) 0 else r.payload.length
+      decodeVideo(r.payload) match {
+        case None => MediaFeatures(r.media_id, r.mime, len, 0, 0, 0.0)
+        case Some(m) => MediaFeatures(r.media_id, r.mime, len,
+          m.width, m.height, m.durationMs / 1000.0)
+      }
+    }
+  }
+
+  case class VideoFeatures(media_id: Long, mime: String, byte_len: Int,
+                           width: Int, height: Int, duration_ms: Long,
+                           timescale: Long, n_tracks: Int)
+
+  /** Typed video metadata extraction — the video sibling of
+    * [[extractAudioFeatures]]. Non-BMFF or corrupt payloads yield zeroed
+    * features.
+    */
+  def extractVideoFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { iter =>
+        iter.map { r =>
+          val len = if (r.payload == null) 0 else r.payload.length
+          Mp4Codec.decodeVideo(r.payload) match {
+            case Some(m) => VideoFeatures(r.media_id, r.mime, len,
+              m.width, m.height, m.durationMs, m.timescale, m.nTracks)
+            case None => VideoFeatures(r.media_id, r.mime, len, 0, 0, 0L, 0L, 0)
+          }
+        }
+      }
+  }
+
   case class AudioFeatures(media_id: Long, mime: String, byte_len: Int,
                            sample_rate: Double, channels: Int,
                            duration_ms: Long, rms: Double)
@@ -249,6 +374,7 @@ object Multimodal {
         iter.map { r =>
           if (r.mime != null && r.mime.startsWith("image/")) ImageIoCodec.decode(r)
           else if (r.mime != null && r.mime.startsWith("audio/")) WavCodec.decode(r)
+          else if (r.mime != null && r.mime.startsWith("video/")) Mp4Codec.decode(r)
           else FakeCodec.decode(r)
         }
       }

@@ -180,4 +180,90 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(spark, m).collect().head
     assert(f.width == 0 && f.height == 0 && f.sharpness == 0.0)
   }
+
+  // --- minimal ISO BMFF builders for the Mp4Codec tests ---
+  private def beInt(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def atom(typ: String, payload: Array[Byte]): Array[Byte] =
+    beInt(8 + payload.length) ++ typ.getBytes("ISO-8859-1") ++ payload
+
+  /** mvhd v0: ver/flags, ctime, mtime, timescale, duration (trailing
+    * rate/volume/matrix fields omitted — the parser only needs 20 bytes). */
+  private def mvhdV0(timescale: Int, duration: Int): Array[Byte] =
+    atom("mvhd", beInt(0) ++ beInt(0) ++ beInt(0) ++
+      beInt(timescale) ++ beInt(duration))
+
+  /** tkhd v0 up to width/height (16.16 fixed) at payload offsets 76/80. */
+  private def tkhdV0(w: Int, h: Int): Array[Byte] =
+    atom("tkhd", Array.fill[Byte](76)(0) ++ beInt(w << 16) ++ beInt(h << 16))
+
+  private def minimalMp4: Array[Byte] =
+    atom("ftyp", "isom".getBytes("ISO-8859-1") ++ beInt(512)) ++
+      atom("moov", mvhdV0(600, 3000) ++ atom("trak", tkhdV0(640, 360)))
+
+  test("video/mp4 container parses for REAL: true duration, dims, tracks " +
+       "from moov/mvhd/tkhd") {
+    val meta = Multimodal.Mp4Codec.decodeVideo(minimalMp4).get
+    assert(meta.timescale == 600L)
+    assert(meta.durationMs == 5000L) // 3000 / 600 ticks = 5 s
+    assert(meta.width == 640 && meta.height == 360)
+    assert(meta.nTracks == 1)
+  }
+
+  test("mvhd version 1 (64-bit duration) parses too") {
+    val mvhd1 = atom("mvhd", Array[Byte](1, 0, 0, 0) ++
+      Array.fill[Byte](16)(0) ++ // ctime + mtime, 8 bytes each
+      beInt(1000) ++ beInt(0) ++ beInt(90000)) // timescale, duration u64
+    val bytes = atom("moov", mvhd1 ++ atom("trak", tkhdV0(1920, 1080)))
+    val meta = Multimodal.Mp4Codec.decodeVideo(bytes).get
+    assert(meta.durationMs == 90000L && meta.width == 1920)
+  }
+
+  test("video/* rides the shared extractFeatures pass; corrupt payloads " +
+       "yield zeroed features") {
+    val m = Multimodal.asMedia(
+      Seq((7L, minimalMp4), (8L, "not a movie at all".getBytes("UTF-8")))
+        .toDF("media_id", "payload"),
+      "media_id", "payload", "video/mp4")
+    val fs = Multimodal.extractFeatures(spark, m).collect()
+      .sortBy(_.media_id)
+    assert(fs(0).width == 640 && fs(0).height == 360 && fs(0).sharpness == 5.0)
+    assert(fs(1).width == 0 && fs(1).height == 0 && fs(1).sharpness == 0.0)
+    val v = Multimodal.extractVideoFeatures(spark, m).collect()
+      .sortBy(_.media_id)
+    assert(v(0).duration_ms == 5000L && v(0).timescale == 600L && v(0).n_tracks == 1)
+    assert(v(1).duration_ms == 0L && v(1).n_tracks == 0)
+  }
+
+  test("truncated moov stops the atom walk without throwing") {
+    val good = minimalMp4
+    // cut mid-moov: still parses the intact prefix or yields None, never throws
+    val cut = good.take(good.length - 10)
+    val r = Multimodal.Mp4Codec.decodeVideo(cut)
+    assert(r.isEmpty || r.get.timescale == 600L)
+  }
+
+  test("law: the atom walk is total — arbitrary bytes and arbitrary " +
+       "truncations of a valid file never throw") {
+    import org.scalacheck.{Gen, rng}
+    val genBytes = Gen.choose(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (1 to 32).foreach { seed =>
+      val bytes = genBytes(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .get.toArray
+      Multimodal.Mp4Codec.decodeVideo(bytes) // must not throw
+    }
+    val good = minimalMp4
+    (0 until good.length).foreach { n =>
+      Multimodal.Mp4Codec.decodeVideo(good.take(n)) // every prefix is safe
+    }
+    // adversarial sizes: size==0 (to-end), size==1 without largesize room,
+    // size overflowing the buffer, negative-looking size (high bit set)
+    Seq(beInt(0), beInt(1), beInt(Int.MaxValue), beInt(0x80000001.toInt))
+      .foreach { sz =>
+        val b = sz ++ "moov".getBytes("ISO-8859-1") ++ Array.fill[Byte](16)(7)
+        Multimodal.Mp4Codec.decodeVideo(b) // must not throw
+      }
+  }
 }
