@@ -67,8 +67,13 @@ object Dedup {
                          salt: Int): DataFrame = {
     val (cands, s) =
       if (salt == AutoSalt) {
+        val t0 = System.nanoTime()
         val c = cands0.localCheckpoint()
-        (c, deriveVerifySalt(c))
+        val t1 = System.nanoTime()
+        val derived = deriveVerifySalt(c)
+        if (sys.props.contains("graft.debug.cc"))
+          System.err.println(f"[salt] ckpt ${(t1 - t0) / 1e9}%.3f s probe ${(System.nanoTime() - t1) / 1e9}%.3f s -> $derived")
+        (c, derived)
       } else (cands0, salt)
     val a = sets.select(col("doc").as("doc_a"), col(setCol).as("sa"))
     val b = sets.select(col("doc").as("doc_b"), col(setCol).as("sb"))
@@ -335,7 +340,10 @@ object Dedup {
           "label")
         .select(col("node"), col("label2").as("label"))
         .localCheckpoint(false)
+      val t0 = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.props.contains("graft.debug.cc"))
+        System.err.println(f"[cc] round $round ${(System.nanoTime() - t0) / 1e9}%.3f s")
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
