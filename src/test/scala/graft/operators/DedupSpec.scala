@@ -245,6 +245,40 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1) == ((2L, "c", 1L, 0L)))
   }
 
+  test("law: lineDedupe equals the sequential reference on random corpora") {
+    import org.scalacheck.{Gen, rng}
+    val genCorpus: Gen[(Int, List[(Long, String)])] = for {
+      maxDf <- Gen.choose(1, 3)
+      nDocs <- Gen.choose(1, 12)
+      docs <- Gen.sequence[List[(Long, String)], (Long, String)](
+        (0 until nDocs).map { i =>
+          for {
+            nLines <- Gen.choose(0, 6)
+            lines <- Gen.listOfN(nLines, Gen.oneOf(
+              "banner", "menu", "footer", s"uniq-$i-a", s"uniq-$i-b", ""))
+          } yield (i.toLong, lines.mkString("\n"))
+        })
+    } yield (maxDf, docs)
+    (1 to 6).foreach { seed =>
+      val (maxDf, docs) =
+        genCorpus(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      // sequential reference: df over distinct docs, drop, order-preserving
+      // rebuild. split with limit -1, matching Spark's split (keeps trailing
+      // empty lines)
+      val df = docs.flatMap { case (id, t) => t.split("\n", -1).distinct.map((_, id)) }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.size }
+      val expect = docs.map { case (id, t) =>
+        val all = t.split("\n", -1).toSeq
+        val kept = all.filter(l => df(l) <= maxDf)
+        (id, kept.mkString("\n"), kept.size.toLong, (all.size - kept.size).toLong)
+      }.toSet
+      val got = Dedup.lineDedupe(docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxDf = maxDf)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == expect, s"seed=$seed maxDf=$maxDf")
+    }
+  }
+
   test("semanticDedupPairs finds same-cell near-dups and nothing cross-cell") {
     // two tight, well-separated directions + one planted near-dup per
     // direction; any sane cell assignment separates the two directions
