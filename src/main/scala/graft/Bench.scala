@@ -139,11 +139,20 @@ object Bench {
     // self-calibration against the committed baseline (created on first run)
     val probeSec = calibrationProbe(spark)
     val calPath = java.nio.file.Paths.get("bench/calibration.json")
+    // None = the file exists but didn't parse: that must be LOUD (flag the
+    // round) — a silent probeSec fallback would pin the ratio to exactly
+    // 1.0 and permanently disarm the machine_shifted guard
+    var baselineParseFailed = false
     val baselineProbe: Double =
       if (java.nio.file.Files.exists(calPath)) {
         val txt = new String(java.nio.file.Files.readAllBytes(calPath), "UTF-8")
         """"probe_sec"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
-          .map(_.group(1).toDouble).getOrElse(probeSec)
+          .map(_.group(1).toDouble).getOrElse {
+            baselineParseFailed = true
+            System.err.println(s"[bench] WARN: $calPath exists but has no " +
+              "parseable probe_sec — flagging the round machine_shifted")
+            probeSec
+          }
       } else {
         try {
           java.nio.file.Files.createDirectories(calPath.getParent)
@@ -157,7 +166,7 @@ object Bench {
     // ratio also rides the JSON so readers can normalize medians when
     // comparing flagged-vs-unflagged rounds.
     val calibrationRatio = probeSec / baselineProbe
-    val machineShifted =
+    val machineShifted = baselineParseFailed ||
       calibrationRatio > 1.5 || calibrationRatio < 1.0 / 1.5
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -166,14 +175,15 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-      run() // warmup
+      // warmup doubles as the rows/s denominator: count() executes the same
+      // upstream plan once (the final agg differs, but codegen/scan warmup
+      // carries) — one fewer full execution per query than a separate count
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val times = (1 to timedRuns).map { _ =>
         val t0 = System.nanoTime()
         run()
         (System.nanoTime() - t0) / 1e9
       }
-      // output row count: makes the absolute time interpretable (rows/s)
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       (name, median(times), stddev(times), rows)
     }
     // The driver captures only a bounded tail of stdout and parses the JSON

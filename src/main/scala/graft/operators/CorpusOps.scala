@@ -168,11 +168,19 @@ object CorpusOps {
     * a max over counts, not a window). All arithmetic is exact-integer
     * ratios emitted as doubles — deterministic IEEE division both engines
     * reproduce bit-for-bit.
+    *
+    * `delim` affects the LINE metrics only; the 2-gram metric always
+    * tokenizes the raw text on whitespace (Gopher defines it over the word
+    * stream, independent of line structure). A non-whitespace `delim` will
+    * therefore leave delimiter characters inside gram tokens — use it for
+    * the line metrics alone.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
                       delim: String = "\n"): DataFrame = {
+    // coalesce: explode(split(null)) drops the doc entirely (same contract
+    // fix as Dedup.lineDedupe)
     val lines = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), delim)).as("line"))
+      explode(split(coalesce(col(textCol), lit("")), delim)).as("line"))
     val perLine = lines.groupBy("doc_id", "line")
       .agg(count(lit(1)).as("c"), max(length(col("line"))).as("len"))
     val lineAgg = perLine.groupBy("doc_id").agg(
@@ -181,7 +189,7 @@ object CorpusOps {
       sum((col("c") - 1) * col("len")).as("dup_chars"),
       sum(col("c") * col("len")).as("total_chars"))
     val grams = docs.select(col(idCol).as("doc_id"),
-      explode(Dedup.shingles(col(textCol), 2)).as("g"))
+      explode(Dedup.shingles(coalesce(col(textCol), lit("")), 2)).as("g"))
     val perGram = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     val gramAgg = perGram.groupBy("doc_id").agg(
       max(col("c")).as("top_c"), sum(col("c")).as("n_grams"))

@@ -68,11 +68,13 @@ object Dedup {
     val (cands, s) =
       if (salt == AutoSalt) {
         val t0 = System.nanoTime()
-        val c = cands0.localCheckpoint()
-        val t1 = System.nanoTime()
+        // lazy checkpoint: the salt probe's aggregate just below is the
+        // materializing action, so checkpoint + probe cost ONE job instead
+        // of two (the duplicateGroups adj pattern)
+        val c = cands0.localCheckpoint(false)
         val derived = deriveVerifySalt(c)
         if (sys.props.contains("graft.debug.cc"))
-          System.err.println(f"[salt] ckpt ${(t1 - t0) / 1e9}%.3f s probe ${(System.nanoTime() - t1) / 1e9}%.3f s -> $derived")
+          System.err.println(f"[salt] ckpt+probe ${(System.nanoTime() - t0) / 1e9}%.3f s -> $derived")
         (c, derived)
       } else (cands0, salt)
     val a = sets.select(col("doc").as("doc_a"), col(setCol).as("sa"))
@@ -457,8 +459,12 @@ object Dedup {
   def lineDedupe(docs: DataFrame, idCol: String, textCol: String,
                  maxDf: Int, delim: String = "\n"): DataFrame = {
     require(maxDf >= 1, "lineDedupe: maxDf must be >= 1")
+    // coalesce: split(null) is null and posexplode(null) emits NOTHING — a
+    // null-text doc would silently vanish from the output, breaking the
+    // every-doc-survives contract; as "" it contributes one empty line
     val lines = docs.select(col(idCol).as("doc_id"),
-      posexplode(split(col(textCol), delim)).as(Seq("pos", "line")))
+      posexplode(split(coalesce(col(textCol), lit("")), delim))
+        .as(Seq("pos", "line")))
     val heavy = lines.select("doc_id", "line").distinct()
       .groupBy("line").agg(count(lit(1)).as("_df"))
       .filter(col("_df") > maxDf).select("line")
@@ -500,12 +506,20 @@ object Dedup {
                          nlist: Int, threshold: Double): DataFrame = {
     val (flat, norms, dim) = SimilaritySearch.seedCentroids(
       emb, idCol, vecCol, nlist, "semanticDedupPairs")
-    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // candidate join on (id, cell) ONLY — the embedding floats must not
+    // ride the candidate shuffle (the same vectors-re-join-later pattern as
+    // [[embeddingPairs]]); cosine verification re-attaches vectors by id
+    // for candidate rows only
+    val assigned = emb.select(col(idCol).as("id"),
       VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
-    assigned.as("a").join(assigned.as("b"),
+    val cands = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .filter(VectorFunctions.cosine(col("a.v"), col("b.v")) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cell").as("cell"))
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .filter(VectorFunctions.cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("cell"))
   }
 }

@@ -46,9 +46,11 @@ object StreamingKmv {
         expr(s"cast(conv(substring(md5(cast($valueCol as string)), 1, 15), " +
           "16, 10) as bigint)").as("h"))
       // a null key or null value (md5(null) -> null) would hit the
-      // non-nullable (String, Long) encoder and kill the query at runtime;
-      // null contributes no distinct value, so dropping matches batch KMV
-      // (SQL count(distinct) ignores NULLs)
+      // non-nullable (String, Long) encoder and kill the query at runtime.
+      // Null VALUES contribute no distinct value (count(distinct) ignores
+      // NULLs). Null KEYS are dropped DELIBERATELY: a batch GROUP BY would
+      // emit a null-key group, but keyed state cannot be addressed by a
+      // null key here — reconcile against batch with a null-key filter.
       .na.drop(Seq("k", "h"))
       .as[(String, Long)]
       .groupByKey(_._1)

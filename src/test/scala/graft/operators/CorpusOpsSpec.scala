@@ -121,4 +121,12 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(0) == ((1L, 4L, 2.0 / 4, 18.0 / 31, 5.0 / 6)))
     assert(got(1) == ((2L, 2L, 0.0, 0.0, 1.0 / 3)))
   }
+
+  test("repetitionStats keeps null-text docs (no silent drop)") {
+    val docs = Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(got.length == 2, "null-text doc must survive")
+    assert(got(1) == ((2L, 1L, 0.0, 0.0, 1.0))) // one empty line, one "" gram
+  }
 }

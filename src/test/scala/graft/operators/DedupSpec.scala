@@ -236,6 +236,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3) == ((4L, "", 0L, 2L)))
   }
 
+  test("lineDedupe keeps null-text docs (empty-line contract, no silent drop)") {
+    val docs = Seq((1L, "real line"), (2L, null)).toDF("doc_id", "text")
+    val got = Dedup.lineDedupe(docs, "doc_id", "text", maxDf = 1)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 2, "null-text doc must survive")
+    assert(got(1)._1 == 2L && got(1)._3 == 1L) // one (empty) line kept
+  }
+
   test("lineDedupe within-doc repeats below the df cap survive in position") {
     val docs = Seq((1L, "a\nb\na"), (2L, "c")).toDF("doc_id", "text")
     val got = Dedup.lineDedupe(docs, "doc_id", "text", maxDf = 1)
