@@ -112,9 +112,10 @@ object Dedup {
     // materialize (doc, shingle set) ONCE: the set feeds the prefix-filter
     // branch AND both sides of the verify join — without the checkpoint each
     // consumer re-scans the corpus and re-runs the shingle kernel (3 full
-    // passes at 100 TB)
+    // passes at 100 TB). Lazy: the AutoSalt probe (or the first consumer)
+    // is the materializing action — no construction-time job.
     val sets = docs.select(col(idCol).as("doc"),
-      shingleSet(col(textCol), n).as("sh_set")).localCheckpoint()
+      shingleSet(col(textCol), n).as("sh_set")).localCheckpoint(false)
     // candidate generation runs on 64-bit shingle hashes, not the strings:
     // same global (df, hash) prefix order for every doc (completeness needs
     // only a consistent total order), ~10× fewer shuffle bytes; collisions
