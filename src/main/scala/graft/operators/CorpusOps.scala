@@ -16,6 +16,19 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
   */
 object CorpusOps {
 
+  /** Null/non-numeric ids otherwise hit the non-nullable Long slot of a
+    * tuple encoder with Spark's opaque "null value appeared in non-nullable
+    * field" — fail fast with the operator's name instead, lazily (the check
+    * rides the scan; no probe job). Same contract as duplicateGroups /
+    * winnowContainmentPairs.
+    */
+  private def checkedLongId(idCol: String, caller: String): Column = {
+    val cast = col(idCol).try_cast("long")
+    when(cast.isNull, raise_error(lit(
+      s"$caller: non-numeric or null id in '$idCol' (cast to long gave null)")))
+      .otherwise(cast).as(idCol)
+  }
+
   /** One sampled candidate: `key` is the hash sort key, `id` the row id. */
   case class Pick(key: String, id: Long)
   case class PickBuf(items: Seq[Pick])
@@ -61,7 +74,7 @@ object CorpusOps {
     import spark.implicits._
     val keyed = df
       .select(col(groupCol).cast("string"),
-        md5(col(idCol).cast("string")), col(idCol).cast("long"))
+        md5(col(idCol).cast("string")), checkedLongId(idCol, "stratifiedSample"))
       .as[(String, String, Long)]
       .map { case (g, h, id) => (g, Pick(h, id)) }
     implicit val outEnc: Encoder[(String, PickBuf)] =
@@ -90,8 +103,11 @@ object CorpusOps {
   def mixByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
                        textCol: String, quota: Long): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
+    // null text counts as 0 tokens EXPLICITLY — a null n_tokens would be
+    // skipped by the window sum and the doc would ride in quota-free
     df.select(col(groupCol), col(idCol).cast("long").as(idCol),
-        TextFunctions.nTokens(col(textCol)).cast("long").as("n_tokens"),
+        coalesce(TextFunctions.nTokens(col(textCol)).cast("long"), lit(0L))
+          .as("n_tokens"),
         md5(col(idCol).cast("string")).as("_h"))
       .withColumn("cum_before",
         coalesce(sum(col("n_tokens"))
@@ -136,8 +152,11 @@ object CorpusOps {
                     textCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
-        TextFunctions.nTokens(col(textCol)).cast("long"))
+    // null text packs as a 0-token doc; null id fails fast (encoder slots
+    // below are non-nullable Longs)
+    df.select(col(groupCol).cast("string"),
+        checkedLongId(idCol, "packSequences"),
+        coalesce(TextFunctions.nTokens(col(textCol)).cast("long"), lit(0L)))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>

@@ -82,6 +82,11 @@ object StreamingDedupe {
         VectorFunctions.simhash(TextFunctions.tokens(col(textCol))))
       .select(col(idCol).cast("long").as("id"), col("_fp"),
         explode(array(blockStructs: _*)).as("p"))
+      // a null id or null fingerprint (null text) would hit the
+      // non-nullable Long encoder slots and kill the STREAMING query
+      // mid-batch; such rows carry nothing dedupe-able — drop, same
+      // contract as StreamingKmv
+      .na.drop(Seq("id", "_fp"))
       .select(concat_ws(":", col("p.band"), col("p.bits")).as("bucket"),
         col("id"), col("_fp").as("fp"), col("p.band").as("band"))
       .as[(String, Long, Long, Int)]

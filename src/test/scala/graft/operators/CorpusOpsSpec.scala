@@ -122,6 +122,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, 0.0, 0.0, 1.0 / 3)))
   }
 
+  test("null ids fail fast with the operator's name; null text packs as 0 tokens") {
+    def msgChain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgChain(x.getCause))
+    val badIds = Seq(("en", "x", "some text")).toDF("lang", "doc_id", "text")
+    val e1 = intercept[Exception] {
+      CorpusOps.stratifiedSample(badIds, "lang", "doc_id", 5).collect()
+    }
+    assert(msgChain(e1).exists(_.contains("stratifiedSample")), s"got $e1")
+    val e2 = intercept[Exception] {
+      CorpusOps.packSequences(badIds, "lang", "doc_id", "text", 10).collect()
+    }
+    assert(msgChain(e2).exists(_.contains("packSequences")), s"got $e2")
+
+    // null text = 0 tokens, not an encoder crash / quota-free ride
+    val nullText = Seq(("en", 1L, "a b c"), ("en", 2L, null))
+      .toDF("lang", "doc_id", "text")
+    val packed = CorpusOps.packSequences(nullText, "lang", "doc_id", "text", 10)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(packed == Map(1L -> 3L, 2L -> 0L))
+    val mixed = CorpusOps.mixByTokenBudget(nullText, "lang", "doc_id", "text", 100L)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(mixed == Map(1L -> 3L, 2L -> 0L))
+  }
+
   test("repetitionStats keeps null-text docs (no silent drop)") {
     val docs = Seq((1L, "a b"), (2L, null)).toDF("doc_id", "text")
     val got = CorpusOps.repetitionStats(docs, "doc_id", "text")

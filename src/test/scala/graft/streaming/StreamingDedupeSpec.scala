@@ -84,6 +84,36 @@ class StreamingDedupeSpec extends AnyFunSuite {
     assert(byDoc(3L).forall(v => !v)) // candidate: flagged in ALL bands here
   }
 
+  test("simhashBandFlags: null-text rows are dropped, not query-killing") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Boolean)]()
+    val ckpt = Files.createTempDirectory("graft-sbn").toString
+    val q = StreamingDedupe.simhashBandFlags(docs, "doc_id", "text", maxDist = 3)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingDedupe.BandVerdict], _: Long) =>
+          val rows = b.collect().map(v => (v.doc_id, v.band, v.is_first))
+          out.synchronized { out ++= rows }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def await(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (System.currentTimeMillis() < deadline &&
+             out.synchronized(out.size) < n) Thread.sleep(100L)
+    }
+    try {
+      mem.addData((1L, textA), (2L, null))
+      await(4) // doc 1 x 4 bands; the null-text row must not kill the query
+    } finally q.stop()
+    val docsSeen = out.synchronized(out.map(_._1).toSet)
+    assert(docsSeen == Set(1L), s"got $docsSeen")
+  }
+
   test("simhashBandFlags: within-batch first arrival wins deterministically by id") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
