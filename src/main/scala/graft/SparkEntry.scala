@@ -679,6 +679,39 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
         .orderBy(col("event_type"))),
 
+    "q_kmv_value_quantiles" -> ((s, d) => {
+      // bottom-k VALUE sample (Cohen & Kaplan): the k smallest
+      // (md5-hash, value) pairs form a deterministic uniform sample of the
+      // DISTINCT user ids per type; quantiles are integer-index order
+      // statistics over the sample (zero float arithmetic), the distinct
+      // estimate is the KMV formula. One mergeable bounded partial agg —
+      // the sketch that answers "what does the distinct-id DISTRIBUTION
+      // look like" where q_approx_distinct_kmv answers only "how many".
+      val k = 64
+      val samp = udaf(new graft.functions.BottomKSample.Agg(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val hv = expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+      val m = size(col("sk.vs")).cast("long")
+      val vals = array_sort(col("sk.vs"))
+      // round-half-up((m-1)·q) as pure integer math; element_at is 1-based
+      def pick(num: Int, den: Int) =
+        element_at(vals, (((m - 1) * num + den / 2) / den).cast("int") + 1)
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(samp(hv, col("user_id").cast("long")).as("sk"))
+        .select(col("event_type"), m.as("n_tracked"),
+          when(m < k, m)
+            .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+              / element_at(col("sk.hs"), k)).cast("long"))
+            .as("est_distinct"),
+          pick(1, 2).as("p50_user_id"),
+          pick(9, 10).as("p90_user_id"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_approx_distinct_kmv" -> ((s, d) =>
       // KMV bottom-k distinct sketch: the ORACLE-VERIFIED production sketch
       // path. Unlike HLL (engine-specific registers → rows-only check), the
@@ -2127,6 +2160,34 @@ object SparkEntry {
 
     // replays the KMV sketch exactly: same 60-bit md5 hash, k-th smallest
     // distinct value, same IEEE estimate arithmetic (floor(63 * 2^60 / h_k))
+    // replays the bottom-k value sample: distinct (type, user), 60-bit md5
+    // hash of the id's decimal string, bottom-64 by (hash, value), integer
+    // order-statistic quantile picks, KMV distinct formula
+    "q_kmv_value_quantiles" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id AS v FROM events),
+        |h AS (
+        |  SELECT event_type, v,
+        |    CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM d),
+        |r AS (
+        |  SELECT event_type, v, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv, v) AS rn
+        |  FROM h),
+        |s AS (SELECT event_type, v, hv FROM r WHERE rn <= 64),
+        |a AS (
+        |  SELECT event_type, count(*) AS m, max(hv) AS hk,
+        |    list_sort(list(v)) AS vals
+        |  FROM s GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(m AS BIGINT) AS n_tracked,
+        |  CAST(CASE WHEN m < 64 THEN m
+        |       ELSE CAST(floor(63 * power(2, 60) / hk) AS BIGINT) END
+        |    AS BIGINT) AS est_distinct,
+        |  CAST(vals[(m - 1 + 1) // 2 + 1] AS BIGINT) AS p50_user_id,
+        |  CAST(vals[((m - 1) * 9 + 5) // 10 + 1] AS BIGINT) AS p90_user_id
+        |FROM a ORDER BY event_type""".stripMargin,
+
     "q_approx_distinct_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
