@@ -234,14 +234,23 @@ object Bench {
       s""""machine_shifted":$machineShifted"""
     val fullJson =
       s"""{"queries":$full,$context,"sf":"$sfDir"}""" + "\n"
-    // target/ for this run; bench/ is the committed cross-round baseline
-    for (d <- Seq("target", "bench")) {
+    // target/ for this run; bench/ is the committed cross-round baseline and
+    // only CANONICAL runs may replace it (sf0.1, full median-of-5, probe
+    // unshifted) — a quick sf0.001 smoke run or a busy-machine run that
+    // overwrote the baseline would silently poison every later round's
+    // comparison (exactly what happened to the r6 baseline before this guard)
+    val canonical = sfDir.stripSuffix("/").endsWith("sf0.1") &&
+      timedRuns >= 5 && !machineShifted
+    for (d <- Seq("target") ++ (if (canonical) Seq("bench") else Nil)) {
       try {
         val dir = java.nio.file.Paths.get(d)
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.writeString(dir.resolve("bench_full.json"), fullJson)
       } catch { case _: Throwable => () }
     }
+    if (!canonical)
+      System.err.println("[bench] non-canonical run (sf/runs/shift): " +
+        "bench/bench_full.json baseline left untouched")
     // stop() can throw on shutdown races; the bench line must print anyway
     // (a swallowed line parses as a null round)
     try spark.stop() catch { case _: Throwable => () }

@@ -1,0 +1,164 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale rehearsal: run the five most expensive corpus queries on an
+  * sf1-EQUIVALENT corpus (10x the sf0.1 documents/embeddings, synthesized
+  * deterministically) and record wall time plus per-task shuffle volume at
+  * BOTH scales. The claim under test is the 100 TB story: candidate
+  * generation is bounded equi-joins, so shuffle volume must grow ~linearly
+  * in the corpus (10x), NOT quadratically in potential pairs (100x), and no
+  * single task may blow up (max-task shuffle bytes stays a small multiple
+  * of the mean).
+  *
+  * Synthesis (all distributed, no driver materialization):
+  *  - documents: each base doc becomes `reps` docs. Replica 0 keeps the
+  *    original text, so the base corpus's natural duplicate structure
+  *    survives exactly once; replicas 1..reps-1 get a deterministic
+  *    md5-keyed word permutation (same unigram bag, destroyed n-gram
+  *    sequences), i.e. corpus-realistic "new" documents rather than extra
+  *    dup cliques. Pair OUTPUT therefore stays ~constant while the corpus
+  *    grows 10x — exactly the regime where a quadratic candidate stage
+  *    would be caught red-handed.
+  *  - embeddings: replica r is the base vector cyclically rotated by r
+  *    (distinct direction, same norm; replica 0 = original).
+  *
+  * Writes bench/scale_rehearsal.json (committed cross-round artifact) and
+  * target/scale_rehearsal.json. One-off dev tool: single timed run per
+  * (query, scale) after a shared session warmup — the numbers are for
+  * scaling RATIOS, not micro-benchmarks (see bench/bench_full.json for
+  * those).
+  */
+object ScaleRehearsal {
+
+  /** Accumulates per-task shuffle metrics between reset() and snapshot.
+    * Listener delivery is async; callers sleep briefly before reading.
+    */
+  private final class ShuffleMeter extends SparkListener {
+    val writeTotal = new AtomicLong; val writeMaxTask = new AtomicLong
+    val readTotal = new AtomicLong; val readMaxTask = new AtomicLong
+    val tasks = new AtomicLong
+    def reset(): Unit = Seq(writeTotal, writeMaxTask, readTotal, readMaxTask, tasks)
+      .foreach(_.set(0L))
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        val r = m.shuffleReadMetrics.totalBytesRead
+        writeTotal.addAndGet(w); readTotal.addAndGet(r); tasks.incrementAndGet()
+        writeMaxTask.updateAndGet(c => math.max(c, w))
+        readMaxTask.updateAndGet(c => math.max(c, r))
+      }
+    }
+  }
+
+  /** 10x the corpus into `outDir` with the same table names Tables expects. */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      reps: Int): Unit = {
+    val rep = explode(sequence(lit(0), lit(reps - 1))).as("r")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.select(col("*"), rep)
+      .select(
+        (col("doc_id") * reps + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text")).otherwise(
+          // deterministic word permutation keyed on (word, pos, doc, r):
+          // md5-tag each word, sort by tag, strip tags. array_sort on
+          // struct rows orders by the first field (the tag).
+          concat_ws(" ", transform(
+            array_sort(transform(split(col("text"), " "),
+              (w, i) => struct(
+                md5(concat_ws("", w, i.cast("string"),
+                  col("doc_id").cast("string"), col("r").cast("string")))
+                  .as("k"),
+                w.as("w")))),
+            x => x("w")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    emb.select(col("*"), rep)
+      .select(
+        (col("vec_id") * reps + col("r")).as("vec_id"),
+        when(col("r") === 0, col("embedding")).otherwise(
+          concat(
+            slice(col("embedding"), col("r") + 1,
+              size(col("embedding")) - col("r")),
+            slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  // the five most expensive queries per bench/bench_full.json — the ones
+  // whose 100 TB story the rehearsal must back with numbers
+  private val names = Seq("dedup_ngram_jaccard", "dedup_groups",
+    "dedup_canonical", "dedup_containment", "ann_lsh_topk")
+
+  private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
+    s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
+      s""""shuffle_write_bytes":${m.writeTotal.get},""" +
+      s""""shuffle_write_max_task":${m.writeMaxTask.get},""" +
+      s""""shuffle_read_bytes":${m.readTotal.get},""" +
+      s""""shuffle_read_max_task":${m.readMaxTask.get},""" +
+      s""""tasks":${m.tasks.get}}"""
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft-sf1equiv"
+    val reps = 10
+    val spark = graft.GraftSession.tune(SparkSession.builder()
+        .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    System.err.println(s"[rehearsal] synthesizing ${reps}x corpus -> $out")
+    synthesize(spark, base, out, reps)
+
+    // one shared warmup (codegen + scan paths) so neither scale pays JIT
+    graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, base)
+      .write.format("noop").mode("overwrite").save()
+
+    def timed(dir: String): Seq[String] = names.map { n =>
+      // warmup on a THROWAWAY instance: the dedup operators localCheckpoint
+      // intermediate sets/edges per Dataset instance, so timing a previously
+      // count()ed instance would reuse its materialized checkpoints and
+      // under-report both time and shuffle
+      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      Thread.sleep(1500) // drain the warmup's listener events out of the window
+      meter.reset()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // listener bus drain
+      System.err.println(f"[rehearsal] $dir $n: $sec%.1fs, $rows rows, " +
+        s"maxTaskShufW=${meter.writeMaxTask.get}")
+      fmt(n, sec, rows, meter)
+    }
+
+    val baseJson = timed(base).mkString("{", ",", "}")
+    val bigJson = timed(out).mkString("{", ",", "}")
+    val json =
+      s"""{"base_sf":"$base","scaled_reps":$reps,""" +
+        s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
+    for (d <- Seq("target", "bench")) {
+      val dir = java.nio.file.Paths.get(d)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("scale_rehearsal.json"), json)
+    }
+    try spark.stop() catch { case _: Throwable => () }
+    println(json)
+  }
+}
