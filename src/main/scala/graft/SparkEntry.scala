@@ -461,6 +461,16 @@ object SparkEntry {
           t(s, d, "documents"), "lang", "doc_id", "text", 2000L)
         .orderBy(col("lang"), col("cum_before"), col("doc_id"))),
 
+    "corpus_importance" -> ((s, d) => {
+      // DSIR-shape importance weights vs the 'fr' target domain — integer-
+      // exact base-2-quantized LLR (no cross-engine float ln), hashed
+      // unigram+bigram features, 4096 buckets
+      val docs = t(s, d, "documents")
+      graft.operators.CorpusOps.importanceWeights(
+          docs, docs.filter(col("lang") === "fr"), "doc_id", "text", 4096)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_decontaminate" -> ((s, d) =>
       // benchmark decontamination: train docs sharing an 8-gram with the
       // (broadcast) eval slice doc_id % 25 == 0
@@ -1754,6 +1764,46 @@ object SparkEntry {
         |SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, n_tokens, cum_before
         |FROM c WHERE cum_before < 2000
         |ORDER BY lang, cum_before, doc_id""".stripMargin,
+
+    // full replay of the quantized-DSIR pipeline: same md5 60-bit gram hash
+    // and bucket modulo, binary magnitude via printf('%b') string length
+    // (exact-integer floor(log2)+1 — no float ln anywhere on either engine)
+    "corpus_importance" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |dg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(w || [array_to_string(w[i:i+1], ' ')
+        |                 FOR i IN range(1, len(w))]) AS g
+        |  FROM w),
+        |db AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+        |  FROM dg),
+        |rb AS (SELECT b, count(*) AS c FROM db GROUP BY b),
+        |tb AS (SELECT b, count(*) AS c FROM db WHERE lang = 'fr' GROUP BY b),
+        |consts AS (SELECT
+        |  length(printf('%b', CAST((SELECT COALESCE(sum(c), 0) FROM rb)
+        |    + 4096 AS BIGINT))) -
+        |  length(printf('%b', CAST((SELECT COALESCE(sum(c), 0) FROM tb)
+        |    + 4096 AS BIGINT))) AS off),
+        |lw AS (
+        |  SELECT rb.b,
+        |    length(printf('%b', CAST(COALESCE(tb.c, 0) + 1 AS BIGINT))) -
+        |    length(printf('%b', CAST(rb.c + 1 AS BIGINT))) AS lwt
+        |  FROM rb LEFT JOIN tb USING (b)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_grams, sum(lwt) AS s
+        |  FROM db JOIN lw USING (b) GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  CAST(COALESCE(sc.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sc.s + sc.n_grams * (SELECT off FROM consts), 0)
+        |    AS BIGINT) AS llr2
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_decontaminate" ->
       """WITH t AS (

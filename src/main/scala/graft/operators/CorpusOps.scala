@@ -220,4 +220,84 @@ object CorpusOps {
           lit(0.0)).as("dup_line_char_frac"),
         (col("top_c").cast("double") / col("n_grams")).as("top_2gram_frac"))
   }
+
+  /** Unigrams + word bigrams WITH multiplicity — the DSIR feature stream.
+    * Empty/blank text → empty array (no grams, score 0); single-word text
+    * → just the one unigram. Built inline rather than via [[Dedup.shingles]]
+    * because shingles' short-doc convention (whole text as one gram) would
+    * double-count the unigram.
+    */
+  private def dsirGrams(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    concat(toks, bigrams)
+  }
+
+  /** Oracle-replicable 60-bit gram hash (the md5 family every dedup/ANN
+    * oracle uses), bucketed.
+    */
+  private def gramBucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** floor(log2(x)) + 1 for positive x — the integer "binary magnitude". */
+  private def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Importance weighting for domain-targeted data selection — the DSIR
+    * shape (Xie et al., arXiv:2302.03169): score every document of `raw` by
+    * a log-likelihood ratio of its hashed n-gram features (unigrams +
+    * bigrams, `buckets` hash buckets, add-1 smoothing) under the `target`
+    * domain's gram distribution vs the raw corpus's own. High score = the
+    * doc looks like the target domain; resample/filter on it to tilt a
+    * 100 TB crawl toward a quality domain.
+    *
+    * EXACTNESS: instead of float `ln`, the per-bucket log-ratio is
+    * quantized to the BASE-2 INTEGER MAGNITUDE — `blen(n) = floor(log2 n)+1`
+    * of the smoothed counts — so every score is an exact integer sum,
+    * order-independent and bit-replayable by a SQL oracle (cross-engine
+    * float `ln` differs in the last ulp; a quantized LLR cannot). The
+    * quantization costs < 1 bit of per-gram resolution against true DSIR —
+    * the ranking it induces is the point, and that survives.
+    *
+    * Scale shape: two B-bounded hash aggregations (map-side partials; B is
+    * `buckets`, thousands) + one driver collect of ≤ 2B longs (same bounded
+    * pattern as the IVF codebooks) + a pure map-side per-doc pass — the
+    * per-bucket weight table rides as a broadcast map literal, so the
+    * scoring pass never shuffles at all.
+    *
+    * Output: (doc_id, n_grams, llr2) where
+    * `llr2 = Σ_g [blen(t_b+1) − blen(r_b+1)] + n_grams·[blen(R+B) − blen(T+B)]`
+    * with t/r the per-bucket target/raw gram counts and T/R their totals.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int): DataFrame = {
+    def bucketCounts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(dsirGrams(col(textCol))).as("g"))
+        .select(gramBucket(col("g"), buckets).as("b"))
+        .groupBy("b").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawCounts = bucketCounts(raw)
+    val tgtCounts = bucketCounts(target)
+    val offset = blen(rawCounts.values.sum + buckets) -
+      blen(tgtCounts.values.sum + buckets)
+    // weight table over every bucket either corpus touched; grams of a raw
+    // doc always hit a raw-counted bucket, so lookups can't miss — the
+    // coalesce(0) below is for target-only/unseen buckets when callers
+    // score a df that isn't `raw` itself (blen(1)-blen(1) = 0 is also the
+    // correct unseen-bucket weight)
+    val lw: Map[Long, Long] = (rawCounts.keySet ++ tgtCounts.keySet).map { b =>
+      b -> (blen(tgtCounts.getOrElse(b, 0L) + 1) -
+        blen(rawCounts.getOrElse(b, 0L) + 1))
+    }.toMap
+    val lwMap = typedLit(lw)
+    val g = dsirGrams(col(textCol))
+    raw.select(checkedLongId(idCol, "importanceWeights"),
+      size(g).cast("long").as("n_grams"),
+      (aggregate(g, lit(0L),
+        (acc, x) => acc + coalesce(element_at(lwMap, gramBucket(x, buckets)),
+          lit(0L))) +
+        size(g).cast("long") * lit(offset)).as("llr2"))
+  }
 }

@@ -153,4 +153,68 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.length == 2, "null-text doc must survive")
     assert(got(1) == ((2L, 1L, 0.0, 0.0, 1.0))) // one empty line, one "" gram
   }
+
+  /** Sequential reference of the quantized-DSIR score: same md5 bucket hash,
+    * same blen quantization, computed doc-by-doc on the driver.
+    */
+  private def importanceReference(raw: Seq[(Long, String)],
+      target: Seq[(Long, String)], buckets: Int): Map[Long, (Long, Long)] = {
+    def grams(text: String): Seq[String] = {
+      val t = text.trim
+      if (t.isEmpty) Seq.empty
+      else {
+        val w = t.split("\\s+").toSeq
+        w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }
+    }
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5Hex(g).take(15), 16) % buckets
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def counts(docs: Seq[(Long, String)]): Map[Long, Long] =
+      docs.flatMap(d => grams(d._2)).groupBy(bucket).map { case (b, gs) =>
+        b -> gs.size.toLong }
+    val rc = counts(raw); val tc = counts(target)
+    val off = blen(rc.values.sum + buckets) - blen(tc.values.sum + buckets)
+    raw.map { case (id, text) =>
+      val gs = grams(text)
+      val s = gs.map { g =>
+        val b = bucket(g)
+        blen(tc.getOrElse(b, 0L) + 1) - blen(rc.getOrElse(b, 0L) + 1)
+      }.sum
+      id -> (gs.size.toLong, s + gs.size * off)
+    }.toMap
+  }
+
+  test("importanceWeights equals the sequential reference; target docs rank higher") {
+    // two sharply separated vocabularies: target-domain docs reuse the
+    // "fr"-labeled vocab, so their grams carry positive quantized LLR
+    val raw = corpus.map { case (id, _, text) => (id, text) }
+    val target = corpus.collect { case (id, "fr", text) => (id, text) }
+    val got = CorpusOps.importanceWeights(
+        corpus.toDF("doc_id", "lang", "text"),
+        corpus.toDF("doc_id", "lang", "text").filter($"lang" === "fr"),
+        "doc_id", "text", 512)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == importanceReference(raw, target, 512))
+  }
+
+  test("importanceWeights separates domains and keeps gram-free docs at 0") {
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma delta alpha"))
+    val raw = target ++ Seq(
+      (1L, "alpha beta gamma delta alpha beta"), // target-like
+      (2L, "zig zag zog zug zig zag zog"), // off-domain
+      (3L, "   ")) // no grams at all
+    val out = CorpusOps.importanceWeights(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", 512)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(3L) == ((3L, 0L, 0L)), "blank doc: zero grams, zero score")
+    // per-gram normalized comparison (doc 1 and 2 have different n_grams)
+    def perGram(id: Long): Double = out(id)._3.toDouble / out(id)._2
+    assert(perGram(1L) > perGram(2L),
+      s"target-like doc must outscore off-domain: $out")
+    assert(out == importanceReference(raw, target, 512).map { case (k, v) =>
+      k -> ((k, v._1, v._2)) }, "sequential reference equality")
+  }
 }
