@@ -235,12 +235,17 @@ object CorpusOps {
     concat(toks, bigrams)
   }
 
-  /** Oracle-replicable 60-bit gram hash (the md5 family every dedup/ANN
-    * oracle uses), bucketed.
+  /** Bucketed gram hash. md5 family: oracle-replicable 60-bit hash (the
+    * same family every dedup/ANN oracle uses) — costs one md5 per gram.
+    * Non-md5: codegen xxhash64, ~an order of magnitude cheaper per gram —
+    * the production family when no SQL oracle needs to replay the buckets
+    * (same convention as [[Dedup.simhashPairs]]' `md5` flag).
     */
-  private def gramBucket(g: Column, buckets: Int): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-      lit(buckets.toLong))
+  private def gramBucket(g: Column, buckets: Int, md5Family: Boolean): Column =
+    if (md5Family)
+      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
+        lit(buckets.toLong))
+    else pmod(xxhash64(g), lit(buckets.toLong))
 
   /** floor(log2(x)) + 1 for positive x — the integer "binary magnitude". */
   private def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
@@ -272,32 +277,39 @@ object CorpusOps {
     * with t/r the per-bucket target/raw gram counts and T/R their totals.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                        textCol: String, buckets: Int): DataFrame = {
-    def bucketCounts(df: DataFrame): Map[Long, Long] =
+                        textCol: String, buckets: Int,
+                        md5Family: Boolean = true): DataFrame = {
+    // both corpora count in ONE job: union the tagged gram streams and split
+    // the counts in the aggregate — one B-bounded shuffle and one driver
+    // round-trip instead of two (each side is still scanned exactly once)
+    def taggedBuckets(df: DataFrame, tag: Int): DataFrame =
       df.select(explode(dsirGrams(col(textCol))).as("g"))
-        .select(gramBucket(col("g"), buckets).as("b"))
-        .groupBy("b").count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rawCounts = bucketCounts(raw)
-    val tgtCounts = bucketCounts(target)
+        .select(gramBucket(col("g"), buckets, md5Family).as("b"),
+          lit(tag).as("t"))
+    val counts = taggedBuckets(raw, 0).union(taggedBuckets(target, 1))
+      .groupBy("b").agg(count(lit(1)).as("n"), sum(col("t")).as("tc"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rawCounts = counts.map { case (b, (n, tc)) => b -> (n - tc) }
+    val tgtCounts = counts.collect { case (b, (_, tc)) if tc > 0 => b -> tc }
     val offset = blen(rawCounts.values.sum + buckets) -
       blen(tgtCounts.values.sum + buckets)
-    // weight table over every bucket either corpus touched; grams of a raw
-    // doc always hit a raw-counted bucket, so lookups can't miss — the
-    // coalesce(0) below is for target-only/unseen buckets when callers
-    // score a df that isn't `raw` itself (blen(1)-blen(1) = 0 is also the
-    // correct unseen-bucket weight)
-    val lw: Map[Long, Long] = (rawCounts.keySet ++ tgtCounts.keySet).map { b =>
-      b -> (blen(tgtCounts.getOrElse(b, 0L) + 1) -
-        blen(rawCounts.getOrElse(b, 0L) + 1))
-    }.toMap
-    val lwMap = typedLit(lw)
+    // dense weight table over ALL B buckets as an ARRAY literal indexed by
+    // bucket: element_at on an array literal is O(1) positional access,
+    // where a MAP literal's lookup linear-scans its entries per gram
+    // (ArrayBasedMapData has no hash index — measured 2.6s → sub-second on
+    // the sf0.1 query from this alone). Unseen buckets get
+    // blen(1)-blen(1) = 0, the correct add-1-smoothed weight.
+    val lwArr: Array[Long] = Array.tabulate(buckets) { b =>
+      blen(tgtCounts.getOrElse(b.toLong, 0L) + 1) -
+        blen(rawCounts.getOrElse(b.toLong, 0L) + 1)
+    }
+    val lwLit = lit(lwArr)
     val g = dsirGrams(col(textCol))
     raw.select(checkedLongId(idCol, "importanceWeights"),
       size(g).cast("long").as("n_grams"),
       (aggregate(g, lit(0L),
-        (acc, x) => acc + coalesce(element_at(lwMap, gramBucket(x, buckets)),
-          lit(0L))) +
+        (acc, x) => acc + element_at(lwLit,
+          (gramBucket(x, buckets, md5Family) + 1).cast("int"))) +
         size(g).cast("long") * lit(offset)).as("llr2"))
   }
 }

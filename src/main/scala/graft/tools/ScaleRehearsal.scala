@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import java.util.concurrent.atomic.AtomicLong
 
-/** Scale rehearsal: run the five most expensive corpus queries on an
+/** Scale rehearsal: run the most expensive corpus queries on an
   * sf1-EQUIVALENT corpus (10x the sf0.1 documents/embeddings, synthesized
   * deterministically) and record wall time plus per-task shuffle volume at
   * BOTH scales. The claim under test is the 100 TB story: candidate
@@ -96,10 +96,11 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
-  // the five most expensive queries per bench/bench_full.json — the ones
-  // whose 100 TB story the rehearsal must back with numbers
+  // the most expensive queries per bench/bench_full.json — the ones whose
+  // 100 TB story the rehearsal must back with numbers
   private val names = Seq("dedup_ngram_jaccard", "dedup_groups",
-    "dedup_canonical", "dedup_containment", "ann_lsh_topk")
+    "dedup_canonical", "dedup_containment", "ann_lsh_topk",
+    "corpus_importance")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +

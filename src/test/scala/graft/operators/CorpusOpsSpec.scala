@@ -217,4 +217,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == importanceReference(raw, target, 512).map { case (k, v) =>
       k -> ((k, v._1, v._2)) }, "sequential reference equality")
   }
+
+  test("importanceWeights xxhash64 production family separates domains too") {
+    val target = Seq((100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma delta alpha"))
+    val raw = target ++ Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "zig zag zog zug zig zag zog"),
+      (3L, "   "))
+    val out = CorpusOps.importanceWeights(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", 512,
+        md5Family = false)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(3L) == ((3L, 0L, 0L)))
+    def perGram(id: Long): Double = out(id)._3.toDouble / out(id)._2
+    assert(perGram(1L) > perGram(2L),
+      s"xxhash family must preserve the domain separation: $out")
+  }
 }
