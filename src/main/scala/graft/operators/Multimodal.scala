@@ -12,12 +12,14 @@ import org.apache.spark.sql.functions._
   * javax.sound.sampled — WAV/AIFF/AU headers + PCM, true duration/sample
   * rate/channels and an RMS-loudness feature). Video CONTAINER parsing is
   * REAL ([[Mp4Codec]], hand-rolled ISO BMFF atom walk — true duration,
-  * timescale, presentation dimensions, track count from moov/mvhd/tkhd);
-  * only frame DECODE remains a STUB ([[FakeCodec.splitFrames]], no video
-  * codec ships in the JDK): deterministic windows keep the Spark-side
-  * contract — schema, per-partition batching, null/corrupt-payload
-  * behavior, partitioning — fully real and testable; a real codec swaps in
-  * behind the same signatures.
+  * timescale, presentation dimensions, track count from moov/mvhd/tkhd),
+  * and video frame DECODE is REAL for Motion-JPEG AVI ([[AviMjpegCodec]],
+  * RIFF demux + per-frame javax.imageio — the one video codec the pure JDK
+  * can decode). Frame decode for other video codecs (H.264 etc.) remains a
+  * STUB ([[FakeCodec.splitFrames]], no JDK decoder exists): deterministic
+  * windows keep the Spark-side contract — schema, per-partition batching,
+  * null/corrupt-payload behavior, partitioning — fully real and testable;
+  * a real codec swaps in behind the same signatures.
   *
   * Scale: decode is the canonical CPU-heavy map stage. `mapPartitions` keeps
   * codec initialization per-partition (not per-row), payloads never shuffle
@@ -311,6 +313,107 @@ object Multimodal {
     }
   }
 
+  /** REAL video FRAME decode for the one video codec the pure JDK can
+    * decode end-to-end: Motion-JPEG in an AVI (RIFF) container. The RIFF
+    * walk collects `##dc`/`##db` video-stream chunks in file order; each
+    * MJPEG frame is a standalone JPEG that `javax.imageio` decodes, so
+    * frame sampling and per-frame featurization run on REAL pixels for
+    * `video/x-msvideo` MJPEG payloads. Other video codecs (H.264 etc.)
+    * remain honest stubs — no decoder for them ships in the JDK.
+    *
+    * RIFF grammar: [4cc id][u32le size][data][pad byte when size is odd];
+    * `RIFF`/`LIST` chunks carry a 4cc form/list type then child chunks.
+    * `avih` (inside `LIST hdrl`) gives µs/frame, total frames, width,
+    * height (u32le at offsets 0/16/32/36). Bounds-checked and total:
+    * arbitrary, truncated, or adversarial bytes yield None/empty — never a
+    * task failure.
+    */
+  object AviMjpegCodec {
+    case class AviMeta(microsPerFrame: Long, totalFrames: Long,
+                       width: Int, height: Int)
+
+    private def le32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    def isAvi(payload: Array[Byte]): Boolean =
+      payload != null && payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+        payload(3) == 'F' && payload(8) == 'A' && payload(9) == 'V' &&
+        payload(10) == 'I' && payload(11) == ' '
+
+    private final class Acc {
+      var meta: Option[AviMeta] = None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    }
+
+    /** Chunk walk over [start, end); recurses into RIFF/LIST bodies (past
+      * their 4-byte form type), stops at the first malformed header.
+      */
+    private def walk(b: Array[Byte], start: Int, end: Int, depth: Int,
+                     acc: Acc): Unit = {
+      if (depth > 16) return // adversarial nesting bound
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        val id = new String(b, o, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val size = le32(b, o + 4)
+        val ds = o + 8
+        if (size > (end - ds).toLong) ok = false // corrupt: stop the walk
+        else {
+          val de = ds + size.toInt
+          if (id == "RIFF" || id == "LIST") {
+            if (size >= 4) walk(b, ds + 4, de, depth + 1, acc)
+          } else if (id == "avih") {
+            if (size >= 40 && acc.meta.isEmpty)
+              acc.meta = Some(AviMeta(le32(b, ds), le32(b, ds + 16),
+                le32(b, ds + 32).toInt, le32(b, ds + 36).toInt))
+          } else if (id.charAt(0) >= '0' && id.charAt(0) <= '9' &&
+              id.charAt(1) >= '0' && id.charAt(1) <= '9' &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            if (size > 0)
+              acc.frames += java.util.Arrays.copyOfRange(b, ds, de)
+          }
+          o = de + (size.toInt & 1) // chunks pad to even offsets
+        }
+      }
+    }
+
+    /** (container metadata if an avih was present, video frames in file
+      * order). Non-AVI payloads → (None, empty).
+      */
+    def parse(payload: Array[Byte]): (Option[AviMeta], Array[Array[Byte]]) =
+      if (!isAvi(payload)) (None, Array.empty)
+      else {
+        val acc = new Acc
+        try walk(payload, 0, payload.length, 0, acc)
+        catch { case _: Exception => () } // totality belt over the bounds braces
+        (acc.meta, acc.frames.toArray)
+      }
+
+    def splitFrames(payload: Array[Byte]): Array[Array[Byte]] = parse(payload)._2
+
+    /** [[MediaFeatures]]-contract mapping: dimensions from `avih` (falling
+      * back to the first decodable frame's bitmap), sharpness = the first
+      * decodable frame's Laplacian focus measure — REAL pixels, unlike the
+      * metadata-only [[Mp4Codec.decode]].
+      */
+    def decode(r: MediaRow): MediaFeatures = {
+      val len = if (r.payload == null) 0 else r.payload.length
+      val (meta, frames) = parse(r.payload)
+      val firstImg = frames.iterator
+        .flatMap(f => ImageIoCodec.decodeImage(f).iterator).take(1).toList
+        .headOption
+      val (w, h) = meta.map(m => (m.width, m.height))
+        .filter(d => d._1 > 0 && d._2 > 0)
+        .orElse(firstImg.map(i => (i.getWidth, i.getHeight)))
+        .getOrElse((0, 0))
+      MediaFeatures(r.media_id, r.mime, len, w, h,
+        firstImg.map(ImageIoCodec.sharpness).getOrElse(0.0))
+    }
+  }
+
   case class VideoFeatures(media_id: Long, mime: String, byte_len: Int,
                            width: Int, height: Int, duration_ms: Long,
                            timescale: Long, n_tracks: Int)
@@ -374,7 +477,11 @@ object Multimodal {
         iter.map { r =>
           if (r.mime != null && r.mime.startsWith("image/")) ImageIoCodec.decode(r)
           else if (r.mime != null && r.mime.startsWith("audio/")) WavCodec.decode(r)
-          else if (r.mime != null && r.mime.startsWith("video/")) Mp4Codec.decode(r)
+          else if (r.mime != null && r.mime.startsWith("video/"))
+            // MJPEG-AVI decodes REAL pixels; other containers get the real
+            // BMFF metadata walk (frame decode impossible without a codec)
+            if (AviMjpegCodec.isAvi(r.payload)) AviMjpegCodec.decode(r)
+            else Mp4Codec.decode(r)
           else FakeCodec.decode(r)
         }
       }
@@ -388,9 +495,11 @@ object Multimodal {
     * decision at scale — sampling BEFORE any shuffle (flatMap over the scan,
     * output rows carry only the sampled frame bytes, never the full video),
     * so downstream per-frame featurization parallelizes past the per-video
-    * skew. The frame split itself is stubbed (no codecs in this container):
-    * deterministic fixed-size windows over the payload stand in for decoded
-    * frames; a real demuxer swaps into `splitFrames` only.
+    * skew. MJPEG-AVI payloads demux REAL frames ([[AviMjpegCodec]] — each
+    * one a decodable JPEG) with timestamps from the container's µs/frame;
+    * other payloads keep the deterministic stub windows (no JDK codec), and
+    * the stub arm's byte-exact behavior is pinned by the `mm_frame_sample`
+    * oracle.
     */
   def sampleFrames(spark: SparkSession, media: DataFrame, stride: Int,
                    maxFrames: Int, fps: Double = 30.0): Dataset[Frame] = {
@@ -398,9 +507,18 @@ object Multimodal {
     require(stride > 0 && maxFrames > 0)
     media.select("media_id", "mime", "payload").as[MediaRow]
       .flatMap { r =>
-        val frames = FakeCodec.splitFrames(r.payload)
-        Iterator.range(0, frames.length, stride).take(maxFrames).map { i =>
-          Frame(r.media_id, i, math.round(i * 1000.0 / fps), frames(i))
+        if (AviMjpegCodec.isAvi(r.payload)) {
+          val (meta, frames) = AviMjpegCodec.parse(r.payload)
+          val usPerFrame = meta.map(_.microsPerFrame).filter(_ > 0)
+            .getOrElse(math.round(1e6 / fps))
+          Iterator.range(0, frames.length, stride).take(maxFrames).map { i =>
+            Frame(r.media_id, i, i * usPerFrame / 1000, frames(i))
+          }
+        } else {
+          val frames = FakeCodec.splitFrames(r.payload)
+          Iterator.range(0, frames.length, stride).take(maxFrames).map { i =>
+            Frame(r.media_id, i, math.round(i * 1000.0 / fps), frames(i))
+          }
         }
       }
   }

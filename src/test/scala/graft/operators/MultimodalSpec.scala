@@ -266,4 +266,109 @@ class MultimodalSpec extends AnyFunSuite {
         Multimodal.Mp4Codec.decodeVideo(b) // must not throw
       }
   }
+
+  // --- minimal RIFF/AVI builders for the AviMjpegCodec tests ---
+  private def leInt(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  /** RIFF chunk: id + u32le size + data + pad byte when size is odd. */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("ISO-8859-1") ++ leInt(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+  private def riffList(listType: String, kids: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ kids)
+  private def avih(usPerFrame: Int, totalFrames: Int, w: Int, h: Int): Array[Byte] =
+    riffChunk("avih", leInt(usPerFrame) ++ Array.fill[Byte](12)(0) ++
+      leInt(totalFrames) ++ Array.fill[Byte](12)(0) ++ leInt(w) ++ leInt(h) ++
+      Array.fill[Byte](16)(0))
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+  private def mjpegAvi(usPerFrame: Int, frames: Seq[Array[Byte]],
+                       w: Int, h: Int): Array[Byte] =
+    riffChunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++
+      riffList("hdrl", avih(usPerFrame, frames.size, w, h)) ++
+      riffList("movi", frames.flatMap(f => riffChunk("00dc", f)).toArray))
+
+  test("MJPEG-AVI frames decode for REAL: demuxed chunks are decodable " +
+       "JPEGs with true dimensions") {
+    val f0 = jpegBytes(32, 24)
+    val f1 = jpegBytes(32, 24).dropRight(0) // second frame, distinct content
+    val avi = mjpegAvi(40000, Seq(f0, f1), 32, 24)
+    val (meta, frames) = Multimodal.AviMjpegCodec.parse(avi)
+    assert(meta.get == Multimodal.AviMjpegCodec.AviMeta(40000L, 2L, 32, 24))
+    assert(frames.length == 2)
+    assert(frames(0).toSeq == f0.toSeq, "demux must return byte-exact frames")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frames(0)))
+    assert(img.getWidth == 32 && img.getHeight == 24)
+    // odd-size frame chunks must respect RIFF even-padding
+    val odd = Array.tabulate[Byte](33)(_.toByte)
+    val avi2 = riffChunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++
+      riffList("movi", riffChunk("00dc", odd) ++ riffChunk("01db", odd)))
+    val fs2 = Multimodal.AviMjpegCodec.splitFrames(avi2)
+    assert(fs2.length == 2 && fs2.forall(_.toSeq == odd.toSeq))
+  }
+
+  test("video/* dispatch sniffs AVI: real per-frame pixels in " +
+       "extractFeatures, real demux + container timestamps in sampleFrames") {
+    val avi = mjpegAvi(40000, Seq(jpegBytes(48, 32), jpegBytes(48, 32),
+      jpegBytes(48, 32)), 48, 32)
+    val m = Multimodal.asMedia(
+      Seq((1L, avi), (2L, minimalMp4)).toDF("media_id", "payload"),
+      "media_id", "payload", "video/avi")
+    val fs = Multimodal.extractFeatures(spark, m).collect().sortBy(_.media_id)
+    assert(fs(0).width == 48 && fs(0).height == 32,
+      "AVI dims from the avih header")
+    assert(fs(0).sharpness > 0.0, "sharpness from REAL decoded pixels")
+    assert(fs(1).width == 640, "non-AVI video still rides the BMFF walk")
+    val frames = Multimodal.sampleFrames(spark, m, stride = 1, maxFrames = 8)
+      .collect().filter(_.media_id == 1L).sortBy(_.frame_no)
+    assert(frames.length == 3)
+    assert(frames.map(_.ts_ms).toSeq == Seq(0L, 40L, 80L),
+      "timestamps from the container's us/frame, not the fps default")
+    assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      frames(1).frame_payload)).getWidth == 48)
+  }
+
+  test("law: the RIFF walk is total — arbitrary bytes, every truncation " +
+       "prefix, and adversarial sizes never throw; non-AVI keeps the stub") {
+    import org.scalacheck.{Gen, rng}
+    val genBytes = Gen.choose(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    (1 to 32).foreach { seed =>
+      val bytes = genBytes(Gen.Parameters.default, rng.Seed(seed.toLong))
+        .get.toArray
+      Multimodal.AviMjpegCodec.parse(bytes) // must not throw
+    }
+    val good = mjpegAvi(33333, Seq(jpegBytes(8, 8)), 8, 8)
+    (0 until good.length).foreach { n =>
+      Multimodal.AviMjpegCodec.parse(good.take(n)) // every prefix is safe
+    }
+    // adversarial chunk sizes: overflow, high bit, zero; deep LIST nesting
+    Seq(leInt(Int.MaxValue), leInt(0x80000001.toInt), leInt(0)).foreach { sz =>
+      val b = "RIFF".getBytes("ISO-8859-1") ++ leInt(100) ++
+        "AVI ".getBytes("ISO-8859-1") ++ "00dc".getBytes("ISO-8859-1") ++
+        sz ++ Array.fill[Byte](64)(7)
+      Multimodal.AviMjpegCodec.parse(b) // must not throw
+    }
+    val deep = (1 to 64).foldLeft(riffChunk("avih", Array.fill[Byte](56)(1))) {
+      (inner, _) => riffList("hdrl", inner) }
+    Multimodal.AviMjpegCodec.parse(
+      riffChunk("RIFF", "AVI ".getBytes("ISO-8859-1") ++ deep)) // depth-capped
+    // a non-AVI video payload must keep the byte-exact stub windows
+    val stub = Multimodal.sampleFrames(spark,
+      Multimodal.asMedia(Seq((9L, Array.tabulate[Byte](600)(_.toByte)))
+        .toDF("media_id", "payload"), "media_id", "payload", "video/mp4"),
+      stride = 1, maxFrames = 8).collect().sortBy(_.frame_no)
+    assert(stub.length == 3 && stub(0).frame_payload.length == 256)
+    assert(stub.map(_.ts_ms).toSeq == Seq(0L, 33L, 67L),
+      "stub arm keeps the round(i*1000/fps) timestamps the oracle replays")
+  }
 }
