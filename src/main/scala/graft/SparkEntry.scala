@@ -544,6 +544,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_substrings" -> ((s, d) =>
+      // exact repeated-substring spans (Lee et al. 2021 shape): maximal
+      // token spans covered by >= 8-token substrings occurring >= 2 times
+      // corpus-wide (within-doc repeats count)
+      Dedup.repeatedSubstringSpans(t(s, d, "documents"), "doc_id", "text",
+          n = 8, minCount = 2)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     "dedup_semantic" -> ((s, d) =>
       // SemDeDup: md5-seeded coarse-quantizer cells (same 16 centroids the
       // ann_ivf_topk oracle replays) + within-cell exact-cosine filter at
@@ -1953,6 +1961,41 @@ object SparkEntry {
     // SemDeDup replay: seeded centroids + assignment exactly as the
     // ann_ivf_topk oracle, then within-cell pairs filtered by exact cosine
     // (float boundary accepted as in dedup_embedding)
+    // exact replay of the repeated-substring span pipeline: same md5 60-bit
+    // gram hash, same >= minCount repeat rule, same overlap/abut merge via
+    // a running max-end window
+    "dedup_substrings" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(range(0, len(words) - 7)) AS p, words FROM t),
+        |h AS (
+        |  SELECT doc_id, p,
+        |    CAST(concat('0x', substr(md5(
+        |      array_to_string(words[p+1 : p+8], ' ')), 1, 15)) AS BIGINT) AS h
+        |  FROM g),
+        |rep AS (SELECT h FROM h GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT doc_id, p FROM h JOIN rep USING (h)),
+        |s AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR p > max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM m),
+        |grp AS (
+        |  SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM s)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(p) AS BIGINT) AS span_start,
+        |  CAST(max(p) + 8 AS BIGINT) AS span_end,
+        |  CAST(max(p) + 8 - min(p) AS BIGINT) AS span_tokens
+        |FROM grp GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
+
     "dedup_semantic" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cent AS (

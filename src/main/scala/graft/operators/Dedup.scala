@@ -523,4 +523,70 @@ object Dedup {
       .filter(VectorFunctions.cosine(col("_va"), col("_vb")) >= threshold)
       .select(col("id_a"), col("id_b"), col("cell"))
   }
+
+  /** EXACT repeated-substring spans — the "deduplicating training data"
+    * primitive (Lee et al. 2021, arXiv:2107.06499): find every maximal
+    * token span covered by substrings of ≥ `n` tokens that occur at least
+    * `minCount` times in the corpus (within-doc repeats count, as in the
+    * paper). The span-level complement of [[lineDedupe]] (line granularity)
+    * and [[winnowContainmentPairs]] (doc granularity): the caller cuts
+    * `[span_start, span_end)` out of the token stream to deduplicate at
+    * the substring level.
+    *
+    * Why grams are EXACT here (not approximate): a substring of length ≥ n
+    * repeats iff every — in particular some — rolling n-token gram inside
+    * it repeats, and conversely a repeated n-gram IS a repeated n-token
+    * substring. So marking positions whose n-gram frequency ≥ minCount and
+    * merging overlapping/abutting marks yields exactly the repeated-span
+    * cover, with no suffix array and no quadratic stage.
+    *
+    * Scale: one gram pass (map-side hash, md5 family so a SQL oracle
+    * replays it), one B≈corpus-bounded gram-count hash agg, one semi-join
+    * of positions against repeated grams (build side = repeated grams
+    * only, bounded by corpus/minCount), one per-doc window over marked
+    * positions (partition = doc, bounded by doc length). Nothing
+    * quadratic, nothing driver-side.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) — token indices,
+    * end exclusive; docs with no repeated span emit nothing.
+    */
+  def repeatedSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, "repeatedSubstringSpans: n must be >= 1")
+    require(minCount >= 2L, "repeatedSubstringSpans: minCount must be >= 2")
+    val idCast = col(idCol).try_cast("long")
+    val checkedId = when(idCast.isNull, raise_error(lit(
+        s"repeatedSubstringSpans: non-numeric or null id in '$idCol' " +
+          "(cast to long gave null)")))
+      .otherwise(idCast)
+    val toks = TextFunctions.tokens(col(textCol))
+    // (start position, 60-bit md5 gram hash) per rolling n-gram
+    val grams = when(size(toks) < n,
+        array().cast("array<struct<p:int,h:bigint>>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+        struct(i.cast("int").as("p"),
+          conv(substring(md5(array_join(slice(toks, i + 1, lit(n)), " ")),
+            1, 15), 16, 10).cast("long").as("h"))))
+    val occ = docs.select(checkedId.as("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
+    val repeated = occ.groupBy("h").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select("h")
+    val marks = occ.join(repeated, Seq("h"), "left_semi")
+    // merge overlapping/abutting [p, p+n) marks into maximal spans: a mark
+    // starts a new span when it begins past every previous mark's end
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + n)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    marks
+      .withColumn("_brk",
+        when(prevEnd.isNull || col("p") > prevEnd, 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("_grp"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + n).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        (col("span_end") - col("span_start")).cast("long").as("span_tokens"))
+  }
 }

@@ -320,4 +320,53 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((1L, 2L, 3L, 23L), (7L, 7L, 2L, 8L)))
   }
+
+  test("repeatedSubstringSpans finds exactly the planted repeated spans") {
+    // w0..w19 are all distinct, so the ONLY repeated 4-grams are planted
+    def w(i: Int) = s"w$i"
+    val shared = (0 until 6).map(w).mkString(" ") // 6-token shared substring
+    val d1 = shared + " " + (10 until 20).map(w).mkString(" ")
+    val d2 = (20 until 24).map(w).mkString(" ") + " " + shared
+    val d3 = (30 until 34).map(w).mkString(" ") + " " +
+      (40 until 44).map(w).mkString(" ") + " " + (40 until 44).map(w).mkString(" ")
+    val got = Dedup.repeatedSubstringSpans(
+        Seq((1L, d1), (2L, d2), (3L, d3), (4L, "too short"))
+          .toDF("doc_id", "text"), "doc_id", "text", n = 4, minCount = 2)
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // d1: shared at tokens [0,6); d2: shared at [4,10);
+    // d3: "w40..w43 w40..w43" repeats the 4-gram w40 w41 w42 w43 at
+    // positions 4 and 8 -> marks [4,8) and [8,12) abut -> one span [4,12)
+    assert(got == Seq((1L, 0L, 6L, 6L), (2L, 4L, 10L, 6L), (3L, 4L, 12L, 8L)))
+  }
+
+  test("law: repeated-substring spans are sorted, disjoint, >= n tokens, " +
+       "in bounds, and cover every repeated n-gram position") {
+    val n = 3
+    val spans = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", n, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(spans.nonEmpty, "the planted dup docs must produce spans")
+    for ((id, ss) <- spans; s <- ss) {
+      assert(s._4 == s._3 - s._2 && s._4 >= n, s"span too short: $s")
+      assert(s._2 >= 0 && s._3 <= texts(id).split("\\s+").length.toLong,
+        s"span out of bounds: $s")
+    }
+    for ((_, ss) <- spans; Seq(a, b) <- ss.sliding(2) if ss.size > 1)
+      assert(a._3 < b._2, s"spans must be disjoint and non-abutting: $a $b")
+    // completeness: every position whose n-gram repeats corpus-wide lies
+    // inside some span (sequential reference over the whole corpus)
+    val gramCounts = texts.toSeq.flatMap { case (_, t) =>
+      t.split("\\s+").sliding(n).filter(_.length == n).map(_.mkString(" "))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    for ((id, t) <- texts) {
+      val toks = t.split("\\s+")
+      toks.sliding(n).zipWithIndex.filter(_._1.length == n).foreach {
+        case (g, p) if gramCounts(g.mkString(" ")) >= 2 =>
+          assert(spans.get(id).exists(_.exists(s => s._2 <= p && p + n <= s._3)),
+            s"repeated gram at doc $id pos $p not covered")
+        case _ => ()
+      }
+    }
+  }
 }
