@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.{Batcher, CdcPipeline, Dedupe}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, RecordLinkage, Search, SimilaritySearch, TextMining, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1238,7 +1238,53 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("sharpness"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    "search_bm25" -> ((s, d) => {
+      // inverted-index keyword retrieval: fixed query set over the corpus
+      // vocabulary, fixed-point rational-BM25 ranking (Search scaladoc)
+      import s.implicits._
+      val qs = Seq(
+        (1L, "hash"), (1L, "join"), (2L, "window"), (2L, "scan"),
+        (3L, "stream"), (3L, "batch"), (3L, "dup"),
+        (4L, "sort"), (4L, "merge"), (4L, "join"),
+        (5L, "spark"), (5L, "table")).toDF("query_id", "term")
+      Search.bm25TopK(t(s, d, "documents"), "doc_id", "text", qs, 10)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "match_fuzzy" -> ((s, d) => {
+      // record linkage: plant one deterministic single-char deletion per
+      // customer name (position c_custkey % len), then recover the links
+      // with the deletion-neighborhood blocking join — same plant-then-
+      // prove construction as text_redact
+      val names = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("id"), col("c_name").as("name"))
+      val p = (col("id") % length(col("name"))) + 1
+      val dirty = names.select(col("id"),
+        concat(col("name").substr(lit(1), p - 1),
+          col("name").substr(p + 1, length(col("name")))).as("name"))
+      RecordLinkage.fuzzyJoin(dirty, names, "id", "name")
+        .select(col("left_id").as("dirty_id"),
+          col("right_id").as("clean_id"), col("dist"))
+        .orderBy(col("dirty_id"), col("clean_id"))
+    }),
+
+    "events_gap_fill" -> ((s, d) => {
+      // densify each sampled user's event stream onto an hourly grid and
+      // forward-fill gaps (LOCF) — ns buckets floor-divide identically to
+      // the oracle's µs buckets (nested-floor identity)
+      val ev = t(s, d, "events")
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id").cast("long").as("user_id"),
+          expr("ts_ns div 3600000000000L").as("bucket"), col("value"))
+      TimeSeriesOps.gapFill(ev, "user_id", "bucket", "value")
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    "text_pmi_bigrams" -> ((s, d) =>
+      TextMining.pmiBigrams(t(s, d, "documents"), "text", 5L, 30)
+        .orderBy(col("rnk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2482,7 +2528,99 @@ object SparkEntry {
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
         | CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         | md5(text) AS content_hash
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "search_bm25" ->
+      """WITH q(query_id, term) AS (VALUES (1,'hash'),(1,'join'),(2,'window'),
+        |  (2,'scan'),(3,'stream'),(3,'batch'),(3,'dup'),(4,'sort'),
+        |  (4,'merge'),(4,'join'),(5,'spark'),(5,'table')),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |        FROM documents WHERE length(trim(text)) > 0),
+        |post AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |         FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |            CAST((SELECT COUNT(*) FROM tok) AS BIGINT) AS l
+        |          FROM documents),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post
+        |        WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, p.doc_id,
+        |         ((2*(s.n - f.df) + 1) * 1000000) // (2*f.df + 1) AS idf_fp,
+        |         (44*p.tf*s.l*1000000) // (20*p.tf*s.l + 6*s.l + 18*s.n*d.dl) AS tfc_fp
+        |       FROM post p JOIN q USING (term) JOIN dfq f ON p.term = f.term
+        |         JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s),
+        |agg AS (SELECT query_id, doc_id,
+        |          CAST(SUM((idf_fp * tfc_fp) // 1000000) AS BIGINT) AS score_fp,
+        |          CAST(COUNT(*) AS BIGINT) AS n_terms
+        |        FROM sc GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score_fp DESC, doc_id) AS rnk FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(doc_id AS BIGINT) AS doc_id, score_fp, n_terms
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "match_fuzzy" ->
+      """WITH clean AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name
+        |               FROM customer),
+        |dirty AS (SELECT id,
+        |            substr(name, 1, CAST(id % len(name) AS INTEGER)) ||
+        |            substr(name, CAST(id % len(name) AS INTEGER) + 2) AS name
+        |          FROM clean),
+        |lk AS (SELECT id, name, unnest(list_distinct(list_prepend(name,
+        |         [substr(name, 1, CAST(i AS INTEGER) - 1) ||
+        |          substr(name, CAST(i AS INTEGER) + 1)
+        |          for i in range(1, len(name) + 1)]))) AS k FROM dirty),
+        |rk AS (SELECT id, name, unnest(list_distinct(list_prepend(name,
+        |         [substr(name, 1, CAST(i AS INTEGER) - 1) ||
+        |          substr(name, CAST(i AS INTEGER) + 1)
+        |          for i in range(1, len(name) + 1)]))) AS k FROM clean),
+        |cand AS (SELECT DISTINCT l.id AS dirty_id, r.id AS clean_id,
+        |           l.name AS ln, r.name AS rn
+        |         FROM lk l JOIN rk r USING (k))
+        |SELECT dirty_id, clean_id, CAST(levenshtein(ln, rn) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ln, rn) <= 1
+        |ORDER BY dirty_id, clean_id""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH ev AS (SELECT CAST(user_id AS BIGINT) AS user_id,
+        |              epoch_us(ts) // 3600000000 AS bucket, value
+        |            FROM events WHERE user_id % 10 = 0),
+        |pb AS (SELECT user_id, bucket, max(value) AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+        |          FROM pb GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+        |         FROM spans),
+        |j AS (SELECT g.user_id, g.bucket, pb.v, coalesce(pb.n, 0) AS n
+        |      FROM grid g LEFT JOIN pb
+        |        ON g.user_id = pb.user_id AND g.bucket = pb.bucket)
+        |SELECT user_id, CAST(bucket AS BIGINT) AS bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |  CAST(n AS BIGINT) AS n_events
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+
+    "text_pmi_bigrams" ->
+      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS ts
+        |             FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uni),
+        |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM (
+        |          SELECT ts[i] AS w1, ts[i+1] AS w2
+        |          FROM (SELECT unnest(range(1, len(ts))) AS i, ts
+        |                FROM tok WHERE len(ts) >= 2))
+        |        GROUP BY 1, 2),
+        |sc AS (SELECT b.w1, b.w2, b.c_xy, x.c AS c_x, y.c AS c_y,
+        |         (b.c_xy * t.t * 1000000) // (x.c * y.c) AS score_fp
+        |       FROM big b JOIN uni x ON b.w1 = x.w JOIN uni y ON b.w2 = y.w
+        |         CROSS JOIN tot t
+        |       WHERE b.c_xy >= 5),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, w1, w2) AS rnk
+        |      FROM sc)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c_xy, c_x, c_y, score_fp
+        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin
   )
 
   /** Exact word-3-gram jaccard ≥ 0.8 pairs — oracle for both the exact

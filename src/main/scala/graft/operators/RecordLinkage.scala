@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy record linkage: all pairs within Levenshtein distance 1, found via
+  * deletion-neighborhood blocking (the SymSpell/FastSS family) instead of a
+  * quadratic cross join.
+  *
+  * Identity: two strings are within edit distance 1 (insert, delete, or
+  * substitute) only if their deletion-1 neighborhoods — the string itself
+  * plus every single-character deletion — intersect. So an equi-join on
+  * neighborhood keys generates a complete candidate set, and an exact
+  * `levenshtein` check on the (distinct) candidates removes the false
+  * positives (strings whose neighborhoods collide at distance 2, e.g. "ab"
+  * vs "ba" via key "a"/"b" — both deletions of each).
+  *
+  * Scale shape (100 TB): each side explodes into O(len+1) key rows; the
+  * candidate generator is a plain equi-join on the key, so it shuffles keys
+  * + ids only and partitions by key hash. The verify stage runs on DISTINCT
+  * candidate pairs, which is output-bounded: every candidate shares a
+  * concrete key with its partner, so the pair volume is at most the true
+  * near-duplicate volume plus the distance-2 collision fringe. Hot keys come
+  * from clusters of identical/near-identical strings — there the *answer*
+  * is quadratic in the cluster, so no blocking scheme can beat the output
+  * size; if such clusters are expected, exact-dedupe each side first (one
+  * hash agg) and link the distinct strings.
+  */
+object RecordLinkage {
+
+  /** Deletion-1 neighborhood: the string plus each single-char deletion,
+    * deduplicated (deleting either char of a double letter yields the same
+    * string — without the dedup those rows would double in the join).
+    */
+  private def delKeys(s: org.apache.spark.sql.Column) =
+    array_distinct(concat(
+      array(s),
+      transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
+
+  /** All (left id, right id) pairs whose strings are within Levenshtein
+    * distance 1.
+    *
+    * @param left  (idCol, strCol) — ids must be unique per side
+    * @param right (idCol, strCol)
+    * @return (left_id, right_id, left_str, right_str, dist) with dist ∈ {0,1}
+    */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                idCol: String, strCol: String): DataFrame = {
+    def keyed(df: DataFrame, side: String) = df.select(
+      col(idCol).cast("long").as(s"${side}_id"),
+      col(strCol).as(s"${side}_str"),
+      explode(delKeys(col(strCol))).as("k"))
+
+    keyed(left, "left").join(keyed(right, "right"), "k")
+      .select("left_id", "right_id", "left_str", "right_str")
+      .distinct()
+      .withColumn("dist",
+        levenshtein(col("left_str"), col("right_str")).cast("long"))
+      .filter(col("dist") <= 1)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus collocation mining: top adjacent-bigram associations ranked by a
+  * fixed-point pointwise-mutual-information surrogate.
+  *
+  * The score is the PMI *lift* ratio in fixed point:
+  *
+  *   score_fp = (c_xy · T · 10^6) div (c_x · c_y)
+  *
+  * where c_xy is the bigram count, c_x/c_y the unigram token counts, and T
+  * the total token count. True PMI is `ln` of (lift · T_bi⁻¹·T) up to the
+  * constant bigram/token-total ratio; since `ln` is monotone and the factor
+  * is corpus-constant, ranking by the rational lift is ranking by PMI —
+  * with integer-exact, engine-portable arithmetic (no cross-engine `ln`
+  * last-ulp hazard). Overflow: c_xy·T·10^6 is long-safe to T ≈ 3·10^9
+  * tokens per (deterministic) corpus shard; widen to DECIMAL(38,0) past
+  * that.
+  *
+  * Scale shape (100 TB): bigram extraction is a per-row array transform
+  * inside the scan stage; unigram and bigram counts are two map-side-
+  * combined hash aggs. Everything after the aggs operates on the
+  * vocabulary-bounded counts table (vocab ≪ corpus), so the final global
+  * ranking window runs over a table already shrunk by the aggregation —
+  * the min-count filter is applied before the join so rare-pair noise
+  * never reaches the ranking.
+  */
+object TextMining {
+
+  /** Top-k collocations.
+    *
+    * @param docs     corpus with `textCol`
+    * @param minCount minimum bigram count (PMI is noise below small counts)
+    * @param k        number of top collocations
+    * @return (rnk, w1, w2, c_xy, c_x, c_y, score_fp) ordered by
+    *         (score_fp desc, w1, w2)
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long, k: Int): DataFrame = {
+    val toks = docs.select(TF.tokens(col(textCol)).as("ts"))
+    val uni = toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    // total token count: one scan-only agg (no explode/shuffle), collected
+    // driver-side (a single long, same bounded-collect shape as the bloom
+    // build) and inlined — a 1-row cross join would plan as a nested loop
+    val total = docs
+      .agg(coalesce(sum(size(TF.tokens(col(textCol))).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val bi = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), " +
+          "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+
+    // no broadcast hint on the unigram joins: a web-scale vocabulary is
+    // large (the min-count-filtered bigram side is usually smaller) — these
+    // are vocab-keyed equi-joins, AQE picks the build side at runtime
+    bi.join(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("c", "c_x"), "w1")
+      .join(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("c", "c_y"), "w2")
+      .withColumn("score_fp",
+        expr(s"(c_xy * ${total}L * 1000000L) div (c_x * c_y)"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_fp").desc, col("w1"), col("w2"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("w1"), col("w2"),
+        col("c_xy"), col("c_x"), col("c_y"), col("score_fp"))
+  }
+}
