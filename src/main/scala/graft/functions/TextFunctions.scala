@@ -22,6 +22,17 @@ object TextFunctions {
 
   def nTokens(text: Column): Column = size(tokens(text))
 
+  /** Ordered token n-gram list WITH multiplicity (cf. `Dedup.shingleSet`,
+    * which is distinct-per-doc) — the frequency-counting view a corpus
+    * profile needs. Texts shorter than n tokens yield an empty list.
+    */
+  def ngramList(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+  }
+
   /** BPE-ish token counting: word pieces OR single non-space punctuation —
     * the standard pre-tokenizer regex shape.
     */
