@@ -461,6 +461,50 @@ object SparkEntry {
           t(s, d, "documents"), "lang", "doc_id", "text", 2000L)
         .orderBy(col("lang"), col("cum_before"), col("doc_id"))),
 
+    "corpus_perplexity" -> ((s, d) => {
+      // CCNet-shape LM quality scoring: add-one bigram LM trained on the
+      // 'en' slice, every doc scored by integer-quantized model bits
+      // (blen convention — exact cross-engine sums); minCount=2 exercises
+      // the pruned-LM fallback path
+      val docs = t(s, d, "documents")
+      graft.operators.CorpusOps.ngramLmBits(
+          docs, col("lang") === "en", "doc_id", "text", minCount = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "corpus_split" -> ((s, d) =>
+      // deterministic salted-hash train/val/test split (md5 60-bit mod 100,
+      // pure map-side) + a per-(split, lang) audit rollup so the oracle
+      // checks both the assignment and the stratification
+      graft.operators.CorpusOps.hashSplit(
+          t(s, d, "documents"), "doc_id", "split-v1", valPct = 10, testPct = 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))),
+
+    "corpus_domain_cap" -> ((s, d) =>
+      // per-source cap: keep the 40 largest docs per source (n_chars DESC,
+      // doc_id tiebreak) via the two-phase salted window — phase 1 bounds
+      // every task at ~|source|/buckets rows regardless of domain skew
+      graft.operators.CorpusOps.domainCap(
+          t(s, d, "documents"), "source", "doc_id", "n_chars",
+          cap = 40, buckets = 8)
+        .orderBy(col("source"), col("rank"))),
+
+    "sample_weighted" -> ((s, d) => {
+      // PPS Bernoulli selection: P(keep) = (1/2)·n_chars/wmax, decided by
+      // ONE map-side integer comparison (decimal-exact, no floats) — the
+      // "sample proportional to quality" pass of a corpus pipeline. wmax
+      // is a 1-row pre-aggregate the caller supplies (keeps the operator a
+      // pure map and keep-decisions stable across incremental runs)
+      val docs = t(s, d, "documents")
+      val wmax = docs.agg(max(col("n_chars"))).head.getLong(0)
+      graft.operators.CorpusOps.weightedBernoulli(
+          docs, "doc_id", "n_chars", "pps-v1", wmax, num = 1L, den = 2L)
+        .select(col("doc_id"), col("n_chars"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     "corpus_importance" -> ((s, d) => {
       // DSIR-shape importance weights vs the 'fr' target domain — integer-
       // exact base-2-quantized LLR (no cross-engine float ln), hashed
@@ -484,6 +528,14 @@ object SparkEntry {
       graft.operators.CorpusOps.packSequences(
           t(s, d, "documents"), "lang", "doc_id", "text", 512L)
         .orderBy(col("lang"), col("doc_id"))),
+
+    "corpus_overlap_matrix" -> ((s, d) =>
+      // source×source contamination matrix over shared winnow fingerprints
+      // (same (3,4) family as text_winnow/dedup_containment) — |sources|²-
+      // bounded aggregate, the one corpus-sized shuffle is the distinct
+      graft.operators.CorpusOps.sourceOverlapMatrix(
+          t(s, d, "documents"), "source", "text", 3, 4)
+        .orderBy(col("src_a"), col("src_b"))),
 
     "q_topk_agg" -> ((s, d) => {
       import graft.operators.TopK
@@ -974,6 +1026,37 @@ object SparkEntry {
         .select(explode(Dedup.shingleSet(col("text"), 2)).as("ngram"))
         .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("ngram")).limit(20)),
+
+    "text_heavy_hitters" -> ((s, d) => {
+      // EXACT bigram heavy hitters via mergeable Misra-Gries candidates +
+      // a confirm pass over just the ≤k candidate keys — the scale path
+      // when the n-gram vocabulary is too wide to groupBy wholesale. The
+      // MG error bound makes the composed result exact, so the oracle is
+      // a plain HAVING count(*) >= t
+      val grams = t(s, d, "documents")
+        .select(explode(TF.ngramList(col("text"), 2)).as("gram"))
+      graft.operators.FreqSketch.heavyHitters(grams, "gram", minCount = 35L)
+        .orderBy(col("cnt").desc, col("gram"))
+    }),
+
+    "q_cms_freq" -> ((s, d) => {
+      // Count-Min point-frequency estimates for a probe vocabulary: the
+      // 4×256 table is the ONLY thing the corpus pass shuffles (bounded
+      // key space, map-side combined, broadcastable); est >= exact always.
+      // md5 bucket family → DuckDB replays the table cell-for-cell
+      import graft.operators.FreqSketch
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), explode(TF.ngramList(col("text"), 2)).as("gram"))
+      val table = FreqSketch.countMinTable(grams, "gram", depth = 4, width = 256)
+      val probes = grams.filter(col("doc_id") % 250 === 0)
+        .select(col("gram")).distinct()
+      val est = FreqSketch.cmsEstimate(table, probes, "gram", depth = 4, width = 256)
+      val exact = grams.join(broadcast(probes), "gram")
+        .groupBy(col("gram")).agg(count(lit(1)).as("exact_count"))
+      est.join(exact, "gram")
+        .select(col("gram"), col("est_count"), col("exact_count"))
+        .orderBy(col("gram"))
+    }),
 
     "dedup_incremental" -> ((s, d) => {
       // incremental dedupe: incoming batch (doc_id >= 250) anti-joined
@@ -1819,6 +1902,67 @@ object SparkEntry {
         |FROM c WHERE cum_before < 2000
         |ORDER BY lang, cum_before, doc_id""".stripMargin,
 
+    // full replay of the quantized bigram LM: same tokenization, add-one
+    // smoothing over the 'en' train slice, minCount pruning on the pair
+    // table only, binary magnitude via printf('%b') — integer sums both
+    // engines reproduce exactly; bits_per_gram is one shared IEEE division
+    "corpus_perplexity" ->
+      """WITH w AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT doc_id, lang, words[i] AS w1, words[i+1] AS w2
+        |       FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) r
+        |       WHERE len(words) >= 2),
+        |bc0 AS (SELECT w1, w2, count(*) AS bc FROM bg WHERE lang = 'en' GROUP BY 1, 2),
+        |cc AS (SELECT w1, sum(bc) AS cc FROM bc0 GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bc0),
+        |bc AS (SELECT * FROM bc0 WHERE bc >= 2),
+        |sc AS (SELECT g.doc_id,
+        |         length(printf('%b', CAST(COALESCE(cc.cc, 0) + (SELECT v FROM vv) AS BIGINT))) -
+        |         length(printf('%b', CAST(COALESCE(bc.bc, 0) + 1 AS BIGINT))) AS bits
+        |       FROM bg g
+        |       LEFT JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+        |       LEFT JOIN cc ON cc.w1 = g.w1),
+        |agg AS (SELECT doc_id, count(*) AS n_grams, sum(bits) AS total_bits
+        |        FROM sc GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.total_bits, 0) AS BIGINT) AS total_bits,
+        |  CAST(a.total_bits AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS bits_per_gram
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // plain one-window replay of the two-phase cap (the phases exist for
+    // skew, not semantics — the result is the per-source top-40 either way)
+    "corpus_domain_cap" ->
+      """SELECT source, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT source, doc_id, n_chars, row_number() OVER
+        |        (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |      FROM documents)
+        |WHERE rank <= 40 ORDER BY source, rank""".stripMargin,
+
+    // integer replay of the PPS keep rule in HUGEINT (the products exceed
+    // BIGINT); Spark computes the same integers in DECIMAL(38,0)
+    "sample_weighted" ->
+      """WITH m AS (SELECT max(n_chars) AS wmax FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CAST(CAST(concat('0x', substr(md5('pps-v1|' || CAST(doc_id AS VARCHAR)),
+        |       1, 15)) AS BIGINT) AS HUGEINT) * 2 * (SELECT wmax FROM m)
+        |    < CAST(n_chars AS HUGEINT) * 1 * CAST(1152921504606846976 AS HUGEINT)
+        |    AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // replays the salted md5 60-bit bucket assignment and the audit rollup
+    "corpus_split" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |  CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |          CAST(concat('0x', substr(md5('split-v1|' ||
+        |            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |        FROM documents))
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
     // full replay of the quantized-DSIR pipeline: same md5 60-bit gram hash
     // and bucket modulo, binary magnitude via printf('%b') string length
     // (exact-integer floor(log2)+1 — no float ln anywhere on either engine)
@@ -1946,6 +2090,64 @@ object SparkEntry {
          |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
          |  CAST(n_common AS BIGINT) AS n_common, containment
          |FROM c WHERE containment >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the corpus-level complement of dedup_containment: per-source distinct
+    // winnow sets → pairwise shared-fingerprint counts + set Jaccard (one
+    // integer division, bit-exact across engines)
+    "corpus_overlap_matrix" ->
+      s"""WITH wfp AS ($winnowFpOracle),
+         |sf AS (SELECT DISTINCT d.source AS src, w.fp
+         |       FROM wfp w JOIN documents d ON d.doc_id = w.doc_id),
+         |denom AS (SELECT src, count(*) AS n_fp FROM sf GROUP BY src),
+         |pair AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+         |         FROM sf a JOIN sf b ON a.fp = b.fp AND a.src < b.src
+         |         GROUP BY 1, 2)
+         |SELECT pair.src_a, pair.src_b, pair.n_shared,
+         |  da.n_fp AS n_fp_a, db.n_fp AS n_fp_b,
+         |  CAST(pair.n_shared AS DOUBLE) /
+         |    CAST(da.n_fp + db.n_fp - pair.n_shared AS DOUBLE) AS jaccard
+         |FROM pair
+         |JOIN denom da ON da.src = pair.src_a
+         |JOIN denom db ON db.src = pair.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    // replays tokenization → bigram list → exact counts; the MG sketch is
+    // a candidate generator whose guarantee makes the engine output exact,
+    // so the oracle needs no sketch at all
+    "text_heavy_hitters" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT array_to_string(words[i:i+1], ' ') AS gram
+        |       FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) r
+        |       WHERE len(words) >= 2)
+        |SELECT gram, count(*) AS cnt FROM bg GROUP BY gram
+        |HAVING count(*) >= 35 ORDER BY cnt DESC, gram""".stripMargin,
+
+    // rebuilds the 4x256 Count-Min table cell-for-cell from the shared
+    // md5 60-bit bucket family, then replays probe hashing + min-over-rows
+    "q_cms_freq" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |bg AS (SELECT doc_id, array_to_string(words[i:i+1], ' ') AS gram
+        |       FROM w, LATERAL (SELECT unnest(range(1, len(words))) AS i) r
+        |       WHERE len(words) >= 2),
+        |ds AS (SELECT unnest(range(4)) AS d),
+        |tbl AS (SELECT d,
+        |          CAST(concat('0x', substr(md5('cms' || CAST(d AS VARCHAR) || '|' || gram),
+        |            1, 15)) AS BIGINT) % 256 AS bucket,
+        |          count(*) AS cnt
+        |        FROM bg CROSS JOIN ds GROUP BY 1, 2),
+        |probes AS (SELECT DISTINCT gram FROM bg WHERE doc_id % 250 = 0),
+        |pb AS (SELECT gram, d,
+        |         CAST(concat('0x', substr(md5('cms' || CAST(d AS VARCHAR) || '|' || gram),
+        |           1, 15)) AS BIGINT) % 256 AS bucket
+        |       FROM probes CROSS JOIN ds),
+        |est AS (SELECT pb.gram, min(tbl.cnt) AS est_count FROM pb
+        |        JOIN tbl ON tbl.d = pb.d AND tbl.bucket = pb.bucket GROUP BY 1),
+        |ex AS (SELECT gram, count(*) AS exact_count FROM bg
+        |       WHERE gram IN (SELECT gram FROM probes) GROUP BY 1)
+        |SELECT est.gram, est.est_count, ex.exact_count
+        |FROM est JOIN ex ON est.gram = ex.gram ORDER BY est.gram""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH sh AS (

@@ -138,6 +138,123 @@ object CorpusOps {
       .agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** Source×source contamination matrix: for every pair of corpus sources,
+    * how many winnow fingerprints ([[VectorFunctions.winnowMd5]] — the same
+    * oracle-replayable family `dedup_containment` uses) they share, plus
+    * the fingerprint-set Jaccard. The corpus-level complement of the
+    * doc-level containment operator: "how much does source A copy from
+    * source B" is the first question a mixed-provenance 100 TB crawl asks.
+    *
+    * Plan: one winnow pass → per-source DISTINCT fingerprint sets (the
+    * distinct is the only corpus-sized shuffle, keyed by (src, fp)); the
+    * pair stage equi-joins on fp, so fanout per fingerprint is (#sources
+    * carrying it)², and the aggregate is bounded by |sources|² keys —
+    * sources number thousands at 100 TB, not billions. For adversarial
+    * universal boilerplate (a fingerprint in nearly every source),
+    * `maxSrcDf` drops fingerprints carried by more than that many sources
+    * — the df-cap argument of [[Dedup.winnowContainmentPairs]] one level
+    * up; such grams carry no pairwise signal anyway.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
+                          n: Int, w: Int,
+                          maxSrcDf: Int = Int.MaxValue): DataFrame = {
+    val fps = docs.select(col(srcCol).cast("string").as("src"),
+        explode(VectorFunctions.winnowMd5(
+          TextFunctions.tokens(col(textCol)), n, w)).as("fp"))
+      .distinct()
+    val capped =
+      if (maxSrcDf == Int.MaxValue) fps
+      else fps.join(fps.groupBy("fp").agg(count(lit(1)).as("_df")), "fp")
+        .filter(col("_df") <= maxSrcDf).select("src", "fp")
+    val denom = capped.groupBy("src").agg(count(lit(1)).as("n_fp"))
+    val a = capped.select(col("src").as("src_a"), col("fp"))
+    val b = capped.select(col("src").as("src_b"), col("fp"))
+    a.join(b, "fp").filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(denom.select(col("src").as("src_a"), col("n_fp").as("n_fp_a")), "src_a")
+      .join(denom.select(col("src").as("src_b"), col("n_fp").as("n_fp_b")), "src_b")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("n_fp_a") + col("n_fp_b") - col("n_shared")).cast("double"))
+      .select("src_a", "src_b", "n_shared", "n_fp_a", "n_fp_b", "jaccard")
+  }
+
+  /** Per-domain document cap — the web-pipeline "at most `cap` documents
+    * per registered domain" policy (used to stop any one site dominating a
+    * crawl-derived corpus), expressed skew-safely. Keeps the `cap` best
+    * documents per source under the deterministic total order
+    * (`scoreCol` DESC, id ASC).
+    *
+    * A naive `row_number() OVER (PARTITION BY source ...)` puts an entire
+    * hot domain in one task — the exact skew a cap exists to fight. So the
+    * cap runs in two phases:
+    *   1. pre-prune within (source, salt-bucket): md5(id) mod `buckets`
+    *      splits each source ~evenly; a per-(source, bucket) window keeps
+    *      the top `cap` of each bucket, bounding every task at
+    *      ~|source|/buckets rows whatever the domain skew;
+    *   2. final per-source window over the ≤ buckets·cap survivors.
+    * Phase 2 is exact because the true per-source top-cap rows are each
+    * top-cap within their own bucket — the union of phase-1 survivors is a
+    * superset of the answer.
+    *
+    * Output: (srcCol, idCol, scoreCol, rank), rank 1..cap per source.
+    */
+  def domainCap(docs: DataFrame, srcCol: String, idCol: String,
+                scoreCol: String, cap: Int, buckets: Int = 64): DataFrame = {
+    require(cap > 0 && buckets > 0, s"domainCap: cap=$cap buckets=$buckets")
+    val order = Seq(col(scoreCol).desc, col(idCol).asc)
+    val bucket = pmod(conv(substring(
+      md5(col(idCol).cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+    val pruned = docs
+      .select(col(srcCol), col(idCol), col(scoreCol))
+      .withColumn("_b", bucket)
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(srcCol), col("_b")).orderBy(order: _*)))
+      .filter(col("_r") <= cap)
+    pruned
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(srcCol)).orderBy(order: _*)))
+      .filter(col("rank") <= cap)
+      .select(col(srcCol), col(idCol), col(scoreCol), col("rank").cast("long"))
+  }
+
+  /** Weighted Bernoulli (probability-proportional-to-size) selection:
+    * document i is kept iff
+    *     hash60(salt|id) · den · wmax  <  w_i · num · 2^60
+    * i.e. with probability (num/den) · w_i / wmax — sampling "tokens
+    * proportional to quality" without a shuffle: the decision is one
+    * map-side integer comparison. All four factors are exact integers and
+    * the products stay far under 10^38, so the comparison is computed in
+    * DECIMAL(38,0) with NO floating point anywhere — a SQL oracle (DuckDB
+    * HUGEINT) replays bit-for-bit exactly.
+    *
+    * `wmax` must be the (pre-computed) max weight: passing it in keeps the
+    * operator a pure map (the caller aggregates once and reuses it across
+    * incremental runs — re-deriving it here would make retention of a doc
+    * depend on later data). Weights must be in [0, wmax], wmax ≤ 10^12,
+    * num/den ≤ 1.
+    *
+    * Output: input columns + `keep` (boolean); filter downstream or keep
+    * the flag for an audit. Deterministic in (salt, id).
+    */
+  def weightedBernoulli(docs: DataFrame, idCol: String, weightCol: String,
+                        salt: String, wmax: Long, num: Long,
+                        den: Long): DataFrame = {
+    require(wmax > 0 && wmax <= 1000000000000L,
+      s"weightedBernoulli: wmax=$wmax out of (0, 1e12]")
+    require(num >= 0 && den > 0 && num <= den,
+      s"weightedBernoulli: need 0 <= num/den <= 1, got $num/$den")
+    val dec = "decimal(38,0)"
+    val hash60 = conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val lhs = hash60.cast(dec) * lit(den).cast(dec) * lit(wmax).cast(dec)
+    val rhs = col(weightCol).cast("long").cast(dec) * lit(num).cast(dec) *
+      lit(1152921504606846976L).cast(dec) // 2^60
+    docs.withColumn("keep", lhs < rhs)
+  }
+
   /** Greedy sequence packing: within each stratum, walk documents in id
     * order and append to the current bin while it stays within `budget`
     * tokens; otherwise open a new bin. A document larger than the budget
@@ -311,5 +428,99 @@ object CorpusOps {
         (acc, x) => acc + element_at(lwLit,
           (gramBucket(x, buckets, md5Family) + 1).cast("int"))) +
         size(g).cast("long") * lit(offset)).as("llr2"))
+  }
+
+  /** Per-doc (id, w1, w2) adjacent-token pairs; docs with < 2 tokens emit
+    * no rows (re-attached by [[ngramLmBits]]'s final left join).
+    */
+  private def adjacentPairs(df: DataFrame, idCols: Seq[Column],
+                            textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.withColumn("_toks", toks).filter(size(col("_toks")) >= 2)
+      .select(idCols :+ explode(transform(
+        sequence(lit(0), size(col("_toks")) - 2),
+        i => struct(element_at(col("_toks"), i + 1).as("w1"),
+          element_at(col("_toks"), i + 2).as("w2")))).as("_g"): _*)
+      .select(idCols :+ col("_g.w1") :+ col("_g.w2"): _*)
+  }
+
+  /** CCNet-shape n-gram language-model quality scoring (Wenzek et al. 2020,
+    * arXiv:1911.00359): train an add-one-smoothed bigram LM on the in-domain
+    * slice `trainPred` selects, then score EVERY document by its total model
+    * bits — low bits-per-gram ≈ fluent in-domain text (CCNet's "head"
+    * bucket), high ≈ out-of-domain or noise. The paper's float log-probs are
+    * quantized to INTEGER binary magnitudes (the [[importanceWeights]]
+    * convention): `bits(w1,w2) = blen(cc(w1)+V) − blen(bc(w1,w2)+1)` with
+    * `blen(n) = floor(log2 n)+1`, so every score is an exact,
+    * order-independent integer sum both engines reproduce bit-for-bit — no
+    * float `ln` anywhere.
+    *
+    * LM definition: `bc(w1,w2)` = adjacent-pair occurrences in the train
+    * slice, `cc(w1) = Σ_w2 bc` (occurrences as a context), `V` = distinct
+    * successor vocabulary. Add-one: `p(w2|w1) = (bc+1)/(cc+V)`; an unseen
+    * context scores the uniform floor `blen(V)`. `minCount` prunes the
+    * broadcast bigram table — pruned pairs fall back to the unseen-pair
+    * path, the standard hash-LM memory dial — while `cc` and `V` keep their
+    * unpruned totals, so pruning only coarsens the model, never skews the
+    * denominator.
+    *
+    * Scale: the LM is two vocabulary-bounded hash aggs over the train slice
+    * plus a 1-long driver collect (V — the IVF-codebook pattern); the
+    * corpus-wide pass is explode → two broadcast left joins → one
+    * map-side-combined per-doc agg. No corpus-sized key ever shuffles (same
+    * plan class as [[decontaminate]]).
+    *
+    * Output: (idCol, n_grams, total_bits, bits_per_gram), one row per input
+    * doc; docs with < 2 tokens score (0, 0, null).
+    */
+  def ngramLmBits(docs: DataFrame, trainPred: Column, idCol: String,
+                  textCol: String, minCount: Long = 1L): DataFrame = {
+    val bcAll = adjacentPairs(docs.filter(trainPred), Seq.empty, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cc = bcAll.groupBy("w1").agg(sum("bc").as("cc"))
+    val v = bcAll.agg(count_distinct(col("w2"))).head.getLong(0)
+    require(v > 0, "ngramLmBits: train slice has no bigrams")
+    val bc = bcAll.filter(col("bc") >= minCount)
+    // blen of a positive BIGINT as a codegen Column: digits of bin(x)
+    def blenC(x: Column): Column = length(bin(x)).cast("long")
+    val scored = adjacentPairs(docs,
+        Seq(checkedLongId(idCol, "ngramLmBits")), textCol)
+      .join(broadcast(bc), Seq("w1", "w2"), "left")
+      .join(broadcast(cc), Seq("w1"), "left")
+      .withColumn("_bits",
+        blenC(coalesce(col("cc"), lit(0L)) + lit(v)) -
+          blenC(coalesce(col("bc"), lit(0L)) + lit(1L)))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum(col("_bits")).as("total_bits"))
+    docs.select(checkedLongId(idCol, "ngramLmBits"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("total_bits"), lit(0L)).as("total_bits"),
+        when(col("n_grams").isNull, lit(null).cast("double"))
+          .otherwise(col("total_bits").cast("double") /
+            col("n_grams").cast("double")).as("bits_per_gram"))
+  }
+
+  /** Deterministic train/val/test assignment: the doc's md5 60-bit hash
+    * (salted, so re-splitting with a new salt is a fresh draw) modulo 100
+    * places it in val (first `valPct` buckets), test (next `testPct`), or
+    * train (the rest). Hash-based splitting is what makes a 100 TB split
+    * reproducible, join-free, and stable under corpus growth — a doc's
+    * assignment never depends on what other docs exist (contrast
+    * `randomSplit`, which is seed- AND partitioning-dependent). Pure
+    * map-side: no shuffle, no state, replayable by any engine with md5.
+    */
+  def hashSplit(docs: DataFrame, idCol: String, salt: String,
+                valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"hashSplit: valPct=$valPct testPct=$testPct must sum within 100")
+    val bucket = pmod(conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(100L))
+    docs.withColumn("split",
+      when(bucket < valPct, lit("val"))
+        .when(bucket < valPct + testPct, lit("test"))
+        .otherwise(lit("train")))
   }
 }

@@ -185,6 +185,124 @@ class CorpusOpsSpec extends AnyFunSuite {
     }.toMap
   }
 
+  test("sourceOverlapMatrix: clones hit jaccard 1, disjoint sources emit no row, cap drops universal grams") {
+    // srcA and srcB carry the SAME two docs (clone sources); srcC is
+    // token-disjoint; srcD shares one doc's text with srcA/srcB
+    val docs = Seq(
+      (1L, "srcA", "a b c d e f g h"), (2L, "srcA", "p q r s t u v w"),
+      (3L, "srcB", "a b c d e f g h"), (4L, "srcB", "p q r s t u v w"),
+      (5L, "srcC", "x1 x2 x3 x4 x5 x6 x7 x8"),
+      (6L, "srcD", "a b c d e f g h")
+    ).toDF("doc_id", "source", "text")
+    val m = CorpusOps.sourceOverlapMatrix(docs, "source", "text", 3, 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // clone pair: identical fingerprint sets → jaccard exactly 1
+    val (shAB, faAB, fbAB, jAB) = m(("srcA", "srcB"))
+    assert(faAB == fbAB && shAB == faAB && jAB == 1.0, s"clone pair got $m")
+    // srcC shares nothing with anyone → no row at all
+    assert(!m.keys.exists { case (a, b) => a == "srcC" || b == "srcC" })
+    // srcD ⊂ srcA: containment-shaped overlap, 0 < jaccard < 1
+    val (shAD, faAD, fbAD, jAD) = m(("srcA", "srcD"))
+    assert(shAD == fbAD && faAD > fbAD && jAD > 0 && jAD < 1)
+    // maxSrcDf=2 drops the fingerprints carried by srcA+srcB+srcD (df=3):
+    // the A–D and B–D pairs vanish, the clone pair survives on its
+    // "p q r …" half
+    val capped = CorpusOps.sourceOverlapMatrix(docs, "source", "text", 3, 4,
+        maxSrcDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("srcA", "srcB")), s"capped got $capped")
+  }
+
+  test("ngramLmBits equals a sequential reference; in-domain docs score fewer bits") {
+    // train slice = lang 'en' (docs 1-3); doc 4 reuses the train vocabulary,
+    // doc 5 is fully OOV, doc 6 is sub-bigram, doc 7 empty
+    val docs = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat ran to the mat"),
+      (3L, "en", "a dog sat on a mat"),
+      (4L, "xx", "the cat sat on the mat"),
+      (5L, "xx", "zz1 zz2 zz3 zz4 zz5 zz6"),
+      (6L, "xx", "one"),
+      (7L, "xx", "   ")
+    ).toDF("doc_id", "lang", "text")
+    val minCount = 2L
+    val got = CorpusOps.ngramLmBits(docs, col("lang") === "en",
+        "doc_id", "text", minCount)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+
+    // sequential reference over the same definition
+    def grams(t: String): Seq[(String, String)] = {
+      val w = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.size < 2) Seq.empty else w.zip(w.tail)
+    }
+    val train = Seq("the cat sat on the mat", "the cat ran to the mat",
+      "a dog sat on a mat").flatMap(grams)
+    val bcAll = train.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc = train.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val v = train.map(_._2).distinct.size.toLong
+    val bc = bcAll.filter(_._2 >= minCount)
+    def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    def bits(g: (String, String)): Long =
+      blen(cc.getOrElse(g._1, 0L) + v) - blen(bc.getOrElse(g, 0L) + 1L)
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val gs = grams(r.getString(2))
+      val (n, tot, bpg) = got(id)
+      assert(n == gs.size, s"doc $id n_grams")
+      assert(tot == gs.map(bits).sum, s"doc $id total_bits")
+      if (gs.isEmpty) assert(bpg.isNaN, s"doc $id bits_per_gram should be null")
+      else assert(bpg == tot.toDouble / n, s"doc $id bits_per_gram")
+    }
+    // domain separation: the in-vocabulary doc scores strictly fewer
+    // bits-per-gram than the fully-OOV doc
+    assert(got(4L)._3 < got(5L)._3)
+    // sub-bigram and blank docs emit the (0, 0, null) row, not no row
+    Seq(6L, 7L).foreach { id =>
+      val (n, tot, bpg) = got(id)
+      assert(n == 0L && tot == 0L && bpg.isNaN, s"doc $id empty row")
+    }
+  }
+
+  test("ngramLmBits minCount pruning only coarsens: pruned pairs fall to the unseen path") {
+    val docs = Seq(
+      (1L, "en", "a b a b a c"),   // bc(a,b)=2, bc(b,a)=2, bc(a,c)=1
+      (2L, "xx", "a c")
+    ).toDF("doc_id", "lang", "text")
+    def run(mc: Long): Long =
+      CorpusOps.ngramLmBits(docs, col("lang") === "en", "doc_id", "text", mc)
+        .filter(col("doc_id") === 2L).head.getLong(2)
+    // with minCount=1 the (a,c) pair is in the LM: bits = blen(cc(a)+V)-blen(2)
+    // with minCount=2 it is pruned: bits = blen(cc(a)+V)-blen(1) — one more bit
+    assert(run(2L) == run(1L) + 1L)
+  }
+
+  test("hashSplit: deterministic, exhaustive, stratification-free, growth-stable") {
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = CorpusOps.hashSplit(docs, "doc_id", "s1", valPct = 10, testPct = 10)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    // md5 is uniform: 10/10/80 within a loose tolerance
+    assert(counts("val") > 120 && counts("val") < 280, counts)
+    assert(counts("test") > 120 && counts("test") < 280, counts)
+    assert(counts("train") > 1450 && counts("train") < 1750, counts)
+    // growth stability: adding docs never reassigns existing ones
+    val grown = CorpusOps.hashSplit(
+        (1L to 4000L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+        "doc_id", "s1", valPct = 10, testPct = 10)
+      .filter(col("doc_id") <= 2000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val orig = split.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(grown == orig)
+    // a different salt is a genuinely fresh draw
+    val resalted = CorpusOps.hashSplit(docs, "doc_id", "s2", 10, 10)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(resalted != orig)
+  }
+
   test("importanceWeights equals the sequential reference; target docs rank higher") {
     // two sharply separated vocabularies: target-domain docs reuse the
     // "fr"-labeled vocab, so their grams carry positive quantized LLR
@@ -233,5 +351,81 @@ class CorpusOpsSpec extends AnyFunSuite {
     def perGram(id: Long): Double = out(id)._3.toDouble / out(id)._2
     assert(perGram(1L) > perGram(2L),
       s"xxhash family must preserve the domain separation: $out")
+  }
+
+  test("domainCap equals the one-window reference for every bucket count") {
+    val rnd = new scala.util.Random(7)
+    // skewed: one hot source with 60% of docs, plus score ties to exercise
+    // the doc_id tiebreak across phase boundaries
+    val docs = (1 to 200).map { id =>
+      val src = if (id <= 120) "hot.com" else s"site${id % 7}.org"
+      (id.toLong, src, (rnd.nextInt(12) * 10).toLong)
+    }.toDF("doc_id", "source", "score")
+    val want = docs.withColumn("rank", row_number().over(
+        Window.partitionBy($"source").orderBy($"score".desc, $"doc_id")))
+      .filter($"rank" <= 9).select($"source", $"doc_id", $"score", $"rank".cast("long"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    for (buckets <- Seq(1, 4, 64)) {
+      val got = CorpusOps.domainCap(docs, "source", "doc_id", "score",
+          cap = 9, buckets = buckets)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == want, s"buckets=$buckets")
+    }
+  }
+
+  test("domainCap phase-1 bounds per-task rows under skew") {
+    // with buckets=16 and cap=3, phase 2 sees <= 16*3 rows per source even
+    // though one source holds the whole corpus
+    val docs = (1 to 500).map(id => (id.toLong, "hot", id.toLong % 50))
+      .toDF("doc_id", "source", "score")
+    val out = CorpusOps.domainCap(docs, "source", "doc_id", "score", 3, 16)
+    assert(out.count() == 3)
+    // survivors of phase 1 (reconstructed): top-3 of each md5 bucket
+    val bucketed = docs.withColumn("_b",
+        pmod(conv(substring(md5($"doc_id".cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(16L)))
+      .withColumn("_r", row_number().over(
+        Window.partitionBy($"source", $"_b").orderBy($"score".desc, $"doc_id")))
+      .filter($"_r" <= 3)
+    assert(bucketed.count() <= 16L * 3)
+  }
+
+  test("weightedBernoulli matches the exact integer rule and expected rate") {
+    val docs = (1 to 4000).map(id => (id.toLong, (id % 100 + 1).toLong))
+      .toDF("doc_id", "w")
+    val wmax = 100L
+    val got = CorpusOps.weightedBernoulli(docs, "doc_id", "w", "s1", wmax, 1L, 2L)
+      .select($"doc_id", $"w", $"keep").as[(Long, Long, Boolean)]
+      .collect()
+    // sequential reference: hash60(s1|id)·den·wmax < w·num·2^60 in BigInt
+    val two60 = BigInt(1) << 60
+    got.foreach { case (id, w, keep) =>
+      val h = BigInt(md5Hex(s"s1|$id").take(15), 16)
+      assert(keep == (h * 2 * wmax < BigInt(w) * two60), s"doc $id")
+    }
+    // E[kept] = sum((1/2)·w/wmax) = 4000·(1/2)·(50.5/100) ≈ 1010 ± noise
+    val kept = got.count(_._3)
+    assert(kept > 850 && kept < 1170, s"kept=$kept far from expectation")
+    // determinism: same salt ⇒ same set
+    val again = CorpusOps.weightedBernoulli(docs, "doc_id", "w", "s1", wmax, 1L, 2L)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(again == got.filter(_._3).map(_._1).toSet)
+  }
+
+  test("weightedBernoulli honors the weight-zero and full-rate edges") {
+    val docs = Seq((1L, 0L), (2L, 10L), (3L, 10L)).toDF("doc_id", "w")
+    // zero weight is never kept
+    val z = CorpusOps.weightedBernoulli(docs, "doc_id", "w", "z", 10L, 1L, 1L)
+      .filter($"doc_id" === 1L).select($"keep").as[Boolean].head()
+    assert(!z)
+    // num=0 keeps nothing even at max weight
+    val none = CorpusOps.weightedBernoulli(docs, "doc_id", "w", "z", 10L, 0L, 1L)
+      .filter($"keep").count()
+    assert(none == 0)
+    // w=wmax at rate 1 is kept w.p. 1 - hash can't reach 2^60 exactly only
+    // if hash < 2^60, which 15 hex chars guarantee
+    val all = CorpusOps.weightedBernoulli(docs, "doc_id", "w", "z", 10L, 1L, 1L)
+      .filter($"doc_id" =!= 1L).select($"keep").as[Boolean].collect()
+    assert(all.forall(identity))
   }
 }
