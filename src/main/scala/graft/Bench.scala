@@ -231,7 +231,11 @@ object Bench {
       s""""calibration_probe_sec":${r4(probeSec)},""" +
       s""""calibration_baseline_sec":${r4(baselineProbe)},""" +
       s""""calibration_ratio":${r4(calibrationRatio)},""" +
-      s""""machine_shifted":$machineShifted"""
+      s""""machine_shifted":$machineShifted,""" +
+      // total normalized by the probe ratio: a crude but stated CPU-speed
+      // correction so a shifted round still yields a comparable number
+      s""""total_calibrated_sec":${r4(
+        if (calibrationRatio > 0) total / calibrationRatio else total)}"""
     val fullJson =
       s"""{"queries":$full,$context,"sf":"$sfDir"}""" + "\n"
     // target/ for this run; bench/ is the committed cross-round baseline and

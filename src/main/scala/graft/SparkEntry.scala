@@ -482,6 +482,43 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"), col("lang"))),
 
+    "graph_authority" -> ((s, d) => {
+      // integer PageRank over the bipartite customer↔supplier purchase
+      // graph (crawl-ranking shape: K fixed damped rounds, each one
+      // ranks⋈edges equi-join + dst hash agg — no driver materialization).
+      // Integer mass only ⇒ the 3-round result replays exactly in SQL
+      val pairs = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        .distinct()
+      graft.operators.Graph.integerPageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("mass").desc, col("node")).limit(100)
+    }),
+
+    "dq_audit" -> ((s, d) => {
+      // Deequ-shape declarative quality gate: seven checks over documents
+      // fused into ONE scan (conditional counts + a two-phase distinct),
+      // plus the lineitem→orders referential row (left-anti equi-join)
+      // unioned onto the same report schema. Integer metrics only — the
+      // oracle replays every verdict exactly
+      import graft.operators.QualityAudit._
+      val docs = t(s, d, "documents")
+      audit(docs, Seq(
+          rowCount(1L),
+          nullCount("doc_id"), duplicateCount("doc_id"),
+          nullCount("text"),
+          matchingCount("text", "^\\s*$", 0L, 0L),
+          setViolations("lang", Seq("de", "en", "es", "fr", "zh")),
+          boundViolations("n_chars", 1L, 1000000L)))
+        .unionAll(referentialViolations(
+          t(s, d, "lineitem"), "l_orderkey", t(s, d, "orders"), "o_orderkey"))
+        .orderBy(col("check"), col("column"))
+    }),
+
     "corpus_domain_cap" -> ((s, d) =>
       // per-source cap: keep the 40 largest docs per source (n_chars DESC,
       // doc_id tiebreak) via the two-phase salted window — phase 1 bounds
@@ -1929,6 +1966,63 @@ object SparkEntry {
         |  CAST(a.total_bits AS DOUBLE) / CAST(a.n_grams AS DOUBLE) AS bits_per_gram
         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // unrolled 3-iteration replay of the integer recurrence: contributions
+    // are BIGINT floor division (`//` = Spark's `div` on positives), so
+    // every intermediate mass is an exact integer in both engines
+    "graph_authority" ->
+      """WITH p AS (SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+        |                  's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        |           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM p UNION SELECT s, c FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS mass FROM n),
+        |r1 AS (SELECT n.node, 150000 + COALESCE(q.x, 0) AS mass FROM n LEFT JOIN
+        |  (SELECT e.dst AS node, sum((r.mass * 85) // (100 * od.deg)) AS x
+        |   FROM e JOIN r0 r ON r.node = e.src JOIN od ON od.src = e.src
+        |   GROUP BY 1) q ON q.node = n.node),
+        |r2 AS (SELECT n.node, 150000 + COALESCE(q.x, 0) AS mass FROM n LEFT JOIN
+        |  (SELECT e.dst AS node, sum((r.mass * 85) // (100 * od.deg)) AS x
+        |   FROM e JOIN r1 r ON r.node = e.src JOIN od ON od.src = e.src
+        |   GROUP BY 1) q ON q.node = n.node),
+        |r3 AS (SELECT n.node, 150000 + COALESCE(q.x, 0) AS mass FROM n LEFT JOIN
+        |  (SELECT e.dst AS node, sum((r.mass * 85) // (100 * od.deg)) AS x
+        |   FROM e JOIN r2 r ON r.node = e.src JOIN od ON od.src = e.src
+        |   GROUP BY 1) q ON q.node = n.node)
+        |SELECT node, CAST(mass AS BIGINT) AS mass FROM r3
+        |ORDER BY mass DESC, node LIMIT 100""".stripMargin,
+
+    // replays the one-pass audit as FILTERed counts + the anti-join row;
+    // every metric is an exact integer, every verdict an integer BETWEEN
+    "dq_audit" ->
+      """WITH a AS (SELECT count(*) AS m0,
+        |    count(*) FILTER (WHERE doc_id IS NULL) AS m1,
+        |    count(doc_id) - count(DISTINCT doc_id) AS m2,
+        |    count(*) FILTER (WHERE text IS NULL) AS m3,
+        |    count(*) FILTER (WHERE regexp_matches(text, '^\s*$')) AS m4,
+        |    count(*) FILTER (WHERE lang IS NOT NULL
+        |      AND lang NOT IN ('de','en','es','fr','zh')) AS m5,
+        |    count(*) FILTER (WHERE n_chars IS NOT NULL
+        |      AND (n_chars < 1 OR n_chars > 1000000)) AS m6
+        |  FROM documents),
+        |rf AS (SELECT count(*) AS v FROM lineitem l
+        |       LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |       WHERE o.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'row_count' AS chk, '*' AS col, m0 AS obs,
+        |    1 AS lo, 9223372036854775807 AS hi FROM a
+        |  UNION ALL SELECT 'null_count', 'doc_id', m1, 0, 0 FROM a
+        |  UNION ALL SELECT 'duplicate_count', 'doc_id', m2, 0, 0 FROM a
+        |  UNION ALL SELECT 'null_count', 'text', m3, 0, 0 FROM a
+        |  UNION ALL SELECT 'matching_count', 'text', m4, 0, 0 FROM a
+        |  UNION ALL SELECT 'set_violations', 'lang', m5, 0, 0 FROM a
+        |  UNION ALL SELECT 'bound_violations', 'n_chars', m6, 0, 0 FROM a
+        |  UNION ALL SELECT 'referential_violations', 'l_orderkey', v, 0, 0 FROM rf)
+        |SELECT chk AS "check", col AS "column",
+        |  CAST(obs AS BIGINT) AS observed, CAST(lo AS BIGINT) AS lo,
+        |  CAST(hi AS BIGINT) AS hi, obs BETWEEN lo AND hi AS pass
+        |FROM r ORDER BY "check", "column"""".stripMargin,
 
     // plain one-window replay of the two-phase cap (the phases exist for
     // skew, not semantics — the result is the per-source top-40 either way)
