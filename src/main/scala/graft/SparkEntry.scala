@@ -492,9 +492,13 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("p"))
+        // dedupe the directed pair ONCE (half the rows of a post-union
+        // distinct); the two union arms are then disjoint by the c/s
+        // prefix, so no second distinct is needed — same edge set the
+        // oracle's UNION (dedup across disjoint sides) produces
+        .distinct()
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
         .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-        .distinct()
       graft.operators.Graph.integerPageRank(edges, "src", "dst", iters = 3)
         .orderBy(col("mass").desc, col("node")).limit(100)
     }),
