@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (`TESTDATA.md`).
   *
@@ -44,15 +44,27 @@ object Tables {
     else df
   }
 
-  /** `events.ts` is written with parquet TIMESTAMP(NANOS), which Spark reads
-    * as LongType under `nanosAsLong`. Normalize to a proper TimestampType
-    * (microsecond) column plus the raw nanos for total ordering.
+  /** Normalize `events.ts` to a proper TimestampType (microsecond) column
+    * plus raw nanos (`ts_ns`) for total ordering, whatever timestamp layout
+    * the parquet carries. Real-world parquet arrives in all of
+    * TIMESTAMP millis/micros/nanos × adjusted/unadjusted-to-UTC:
+    *   - TIMESTAMP(NANOS) → LongType under `nanosAsLong`
+    *   - `isAdjustedToUTC=0` micros/millis → TimestampNTZType; under the
+    *     UTC session time zone ([[GraftSession.tune]]) a cast to
+    *     TimestampType preserves the wall-clock micros bit-for-bit
+    *   - `isAdjustedToUTC=1` → TimestampType, used as-is
     */
   private def normalizeEventTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumnRenamed("ts", "ts_ns")
-        // integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's 2^53
-        // integer range, so float division truncates differently by ±1µs
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          // integer `div`, NOT `/`: ns epochs (~1.7e18) exceed double's 2^53
+          // integer range, so float division truncates differently by ±1µs
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+    }
 }

@@ -4,6 +4,7 @@ import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Document deduplication operators for training-data pipelines, each designed
   * for the 100 TB shape: no pairwise O(n²) over the full corpus — candidates
@@ -71,7 +72,7 @@ object Dedup {
         // lazy checkpoint: the salt probe's aggregate just below is the
         // materializing action, so checkpoint + probe cost ONE job instead
         // of two (the duplicateGroups adj pattern)
-        val c = cands0.localCheckpoint(false)
+        val c = cands0.pipe(Lineage.cut)
         val derived = deriveVerifySalt(c)
         if (sys.props.contains("graft.debug.cc"))
           System.err.println(f"[salt] ckpt+probe ${(System.nanoTime() - t0) / 1e9}%.3f s -> $derived")
@@ -115,7 +116,7 @@ object Dedup {
     // passes at 100 TB). Lazy: the AutoSalt probe (or the first consumer)
     // is the materializing action — no construction-time job.
     val sets = docs.select(col(idCol).as("doc"),
-      shingleSet(col(textCol), n).as("sh_set")).localCheckpoint(false)
+      shingleSet(col(textCol), n).as("sh_set")).pipe(Lineage.cut)
     // candidate generation runs on 64-bit shingle hashes, not the strings:
     // same global (df, hash) prefix order for every doc (completeness needs
     // only a consistent total order), ~10× fewer shuffle bytes; collisions
@@ -300,7 +301,7 @@ object Dedup {
     // lazy checkpoint: the stats aggregate just below is the materializing
     // action, so checkpoint + probe cost ONE job instead of two
     val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint(false)
+      .distinct().pipe(Lineage.cut)
     // ids must be numeric: cast("long") maps a non-numeric id to null, which
     // would silently vanish from the label table — fail fast instead. One
     // aggregate doubles as the bad-id probe and the initial convergence sum.
@@ -342,7 +343,7 @@ object Dedup {
         .join(propagated.select(col("node").as("label"), col("label").as("label2")),
           "label")
         .select(col("node"), col("label2").as("label"))
-        .localCheckpoint(false)
+        .pipe(Lineage.cut)
       val t0 = System.nanoTime()
       val nextSum = labelSum(next)
       if (sys.props.contains("graft.debug.cc"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
+import scala.util.chaining._
 
 /** Distributed graph centrality over an edge list — the ranking pass a
   * crawl-scale pipeline runs to prioritize domains/documents (the
@@ -46,10 +47,10 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       // K self-joins hang off this frame; cut the re-computed lineage once
-      .localCheckpoint(false)
+      .pipe(Lineage.cut)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outdeg, "src") // every src has deg ≥ 1 by construction
-      .localCheckpoint(false)
+      .pipe(Lineage.cut)
     val base = scale * (100L - dampPct) / 100L
     var ranks = nodes.withColumn("mass", lit(scale))
     for (i <- 1 to iters) {
@@ -64,7 +65,7 @@ object Graph {
           (lit(base) + coalesce(col("in_mass"), lit(0L))).as("mass"))
       // same pattern as Dedup.duplicateGroups: truncate the growing plan
       // every few rounds so round k doesn't recompute rounds 1..k-1
-      if (i % 3 == 0 && i < iters) ranks = ranks.localCheckpoint(false)
+      if (i % 3 == 0 && i < iters) ranks = ranks.pipe(Lineage.cut)
     }
     ranks
   }

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative operators (pointer-jumping connected
+  * components, PageRank): round k must not recompute rounds 1..k-1, so the
+  * frame is checkpointed every few rounds.
+  *
+  * Two modes:
+  *   - default: lazy `localCheckpoint` — blocks live in executor memory
+  *     (disk-spillable), zero external storage. Fast, but NOT fault
+  *     tolerant: on a real cluster an executor loss discards its blocks and
+  *     kills the job mid-iteration.
+  *   - `spark.graft.reliableCheckpoints=true`: reliable `checkpoint()` to
+  *     the checkpoint dir (`spark.graft.checkpointDir`, or the context's
+  *     already-set dir) — survives executor loss at the cost of a write to
+  *     reliable storage per cut. This is the 100 TB setting: an hours-long
+  *     iterative job WILL see executor churn, and re-running the whole
+  *     iteration costs more than the checkpoint writes.
+  *
+  * Both are lazy (`eager = false`): the caller's next action (a convergence
+  * probe, a stats aggregate) is the materializing job, so cut + probe cost
+  * one job instead of two.
+  */
+object Lineage {
+  val ReliableConf = "spark.graft.reliableCheckpoints"
+  val DirConf = "spark.graft.checkpointDir"
+
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
+    if (reliable) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(spark.conf.getOption(DirConf).getOrElse(
+          s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"))
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
+}

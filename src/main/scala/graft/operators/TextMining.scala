@@ -61,15 +61,21 @@ object TextMining {
     // no broadcast hint on the unigram joins: a web-scale vocabulary is
     // large (the min-count-filtered bigram side is usually smaller) — these
     // are vocab-keyed equi-joins, AQE picks the build side at runtime
-    bi.join(uni.withColumnRenamed("w", "w1")
+    val scored = bi.join(uni.withColumnRenamed("w", "w1")
         .withColumnRenamed("c", "c_x"), "w1")
       .join(uni.withColumnRenamed("w", "w2")
         .withColumnRenamed("c", "c_y"), "w2")
       .withColumn("score_fp",
         expr(s"(c_xy * ${total}L * 1000000L) div (c_x * c_y)"))
+    // global top-k via orderBy+limit: plans as TakeOrderedAndProject (each
+    // task keeps its local k, driver merges k·partitions rows) — never a
+    // single-partition sort of the full post-gate vocabulary. The rank
+    // window then runs over ≤ k rows; partitionBy(lit(0)) marks that
+    // bounded single partition as intentional.
+    scored.orderBy(col("score_fp").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("score_fp").desc, col("w1"), col("w2"))))
-      .filter(col("rnk") <= k)
+        Window.partitionBy(lit(0))
+          .orderBy(col("score_fp").desc, col("w1"), col("w2"))))
       .select(col("rnk").cast("long").as("rnk"), col("w1"), col("w2"),
         col("c_xy"), col("c_x"), col("c_y"), col("score_fp"))
   }
