@@ -8,7 +8,8 @@ object Bench {
     * parse→route→dedupe→batch plane per epoch. Measures the stream from
     * start to drain (setup/staging excluded).
     */
-  private def streamingThroughput(spark: SparkSession, sfDir: String): Double = {
+  private def streamingThroughput(spark: SparkSession, sfDir: String,
+                                  stateProvider: Option[String] = None): Double = {
     import java.nio.file.{Files, Paths}
     val segDir = Files.createTempDirectory("graft-bench-segs").toString
     val nSegments = 32
@@ -57,8 +58,22 @@ object Bench {
       try q.processAllAvailable() finally q.stop()
       (System.nanoTime() - t0) / 1e9
     }
-    runOnce() // warmup
-    nEvents / (1 to 2).map(_ => runOnce()).min
+    // state provider is read at query start from the session conf, so a
+    // per-measurement override (HDFS-heap vs RocksDB) is just a conf flip
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    stateProvider.foreach(spark.conf.set(confKey, _))
+    try {
+      runOnce() // warmup
+      nEvents / (1 to 2).map(_ => runOnce()).min
+    } finally {
+      stateProvider.foreach { _ =>
+        prev match {
+          case Some(v) => spark.conf.set(confKey, v)
+          case None => spark.conf.unset(confKey)
+        }
+      }
+    }
   }
 
   /** Fixed synthetic CPU probe — a deterministic hash-reduce over a range,
@@ -166,10 +181,23 @@ object Bench {
     // ratio also rides the JSON so readers can normalize medians when
     // comparing flagged-vs-unflagged rounds.
     val calibrationRatio = probeSec / baselineProbe
-    val machineShifted = baselineParseFailed ||
-      calibrationRatio > 1.5 || calibrationRatio < 1.0 / 1.5
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Execution order is a SEEDED SHUFFLE, not alphabetical: round 6's
+    // transient stall at suite start inflated exactly the alphabetically-
+    // first family (ann_*) 2-4x and the artifact was indistinguishable from
+    // a code regression. Randomized order spreads machine noise across
+    // unrelated names; the seed rides the JSON so a run is reproducible.
+    val benchSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(42L)
+    val ordered = new scala.util.Random(benchSeed)
+      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    // ... and the probe re-runs mid-suite (every ~25 queries): a stall that
+    // starts (or clears) after the opening probe is caught by whichever
+    // re-probe it overlaps, so a shifted WINDOW flags the round even when
+    // the suite's endpoints look quiet.
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+      if (i > 0 && i % 25 == 0) midProbes += calibrationProbe(spark)
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -185,7 +213,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       (name, median(times), stddev(times), rows)
-    }
+    }.sortBy(_._1) // report alphabetically whatever the execution order
+    val allProbes = probeSec +: midProbes.toSeq
+    val worstRatio = allProbes.map(_ / baselineProbe)
+      .maxBy(r => math.max(r, 1.0 / r))
+    val machineShifted = baselineParseFailed ||
+      worstRatio > 1.5 || worstRatio < 1.0 / 1.5
     // The driver captures only a bounded tail of stdout and parses the JSON
     // line out of it; a line carrying all ~80 query medians + stddevs
     // (~8 KB) overflows that window and the round's bench goes unparsed
@@ -223,6 +256,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}"); 0.0
     }
+    // same plane under RocksDB keyed state — the 100 TB default provider
+    // (bounded off-heap state); reported side by side with the in-heap
+    // number so a provider-induced regression is visible per round
+    val streamRateRocksDb =
+      try streamingThroughput(spark, sfDir, Some(GraftSession.RocksDbProvider))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] rocksdb streaming throughput failed: " +
+          e.getMessage); 0.0
+      }
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val context =
@@ -231,6 +273,9 @@ object Bench {
       s""""calibration_probe_sec":${r4(probeSec)},""" +
       s""""calibration_baseline_sec":${r4(baselineProbe)},""" +
       s""""calibration_ratio":${r4(calibrationRatio)},""" +
+      s""""calibration_worst_ratio":${r4(worstRatio)},""" +
+      s""""calibration_probes":[${allProbes.map(r4).mkString(",")}],""" +
+      s""""bench_seed":$benchSeed,""" +
       s""""machine_shifted":$machineShifted,""" +
       // total normalized by the probe ratio: a crude but stated CPU-speed
       // correction so a shifted round still yields a comparable number
@@ -263,6 +308,8 @@ object Bench {
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""queries":$qs,"n_queries":${results.size},$context,""" +
       s""""cdc_events_per_sec":${throughput.round},""" +
-      s""""stream_events_per_sec":${streamRate.round},"sf":"$sfDir"}""")
+      s""""stream_events_per_sec":${streamRate.round},""" +
+      s""""stream_events_per_sec_rocksdb":${streamRateRocksDb.round},""" +
+      s""""sf":"$sfDir"}""")
   }
 }

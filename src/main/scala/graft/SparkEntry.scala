@@ -1184,6 +1184,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_lsh_indexed" -> ((s, d) => {
+      // the amortized-index serving shape: the corpus's sketch pass +
+      // shuffle are paid ONCE by buildLshIndex (a bucketed table; built on
+      // first touch per sf dir, reused by every later run), and the query
+      // side joins it with no corpus-side Exchange and no vector re-join.
+      // Same plane family/params as ann_lsh_topk -> byte-identical results
+      // (the oracle is literally ann_lsh_topk's), proving index == inline.
+      val table = s"ann_lsh_index_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(table)) {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.buildLshIndex(e, "vec_id", "embedding", table,
+          planes = 8, tables = 4, md5Tag = Some("lsh"))
+      }
+      val q = t(s, d, "embeddings").filter(col("vec_id") < 10)
+      SimilaritySearch.queryLshIndex(s, table, q, "vec_id", "embedding",
+          k = 10, planes = 8, probes = 4, tables = 4, md5Tag = Some("lsh"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_lsh_bucket_stats" -> ((s, d) => {
       // operational metric for the LSH index: per-(table, bucket) occupancy
       // — the candidate-COST distribution of ann_lsh_topk's equi-join
@@ -2411,6 +2433,10 @@ object SparkEntry {
     // first 4 planes), OR-amplified candidate dedup, then exact-cosine
     // ranking with the neighbor_id tie-break.
     "ann_lsh_topk" -> annLshOracle,
+
+    // the persisted index changes WHERE the sketches live, not what they
+    // are: results are byte-identical to the inline path, same oracle
+    "ann_lsh_indexed" -> annLshOracle,
 
     // same w/proj/bkt replay as annLshOracle, aggregated to the
     // per-(table, bucket) occupancy histogram

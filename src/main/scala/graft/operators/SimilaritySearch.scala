@@ -80,6 +80,104 @@ object SimilaritySearch {
       .groupBy(col("s.t").as("t"), col("s.b").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Persist the LSH index as a bucketed+sorted table so the corpus pays
+    * its sketch pass and shuffle ONCE, amortized over every later query
+    * batch — the 100 TB serving shape (an index over 100 TB of vectors is
+    * rebuilt nightly, queried thousands of times).
+    *
+    * Index rows are (t, bucket, neighbor_id, cv): the corpus VECTOR rides
+    * in the index (storage = `tables`× the vector column — the classic
+    * L-table LSH size tradeoff), so query-time candidate scoring needs no
+    * second join against the corpus. The table is `bucketBy(bucket)`:
+    * a query batch equi-joining on (t, bucket) plans with NO Exchange on
+    * the index side — only the (small) probe side shuffles; a
+    * broadcast-sized probe side plans with no Exchange at all.
+    *
+    * The caller must pass the SAME (planes, tables, seed/md5Tag) family to
+    * [[queryLshIndex]] — sketch params are the index's identity.
+    */
+  def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, planes: Int, tables: Int = 1,
+                    seed: Long = 42L, md5Tag: Option[String] = None,
+                    nBuckets: Int = 8): Unit = {
+    require(planes <= 64 && tables >= 1)
+    require(table.matches("[A-Za-z0-9_]+"), s"buildLshIndex: bad table '$table'")
+    val spark = corpus.sparkSession
+    // a rebuild must survive an ORPHANED location: a previous process's
+    // managed table whose (ephemeral) catalog died with it leaves the
+    // warehouse dir behind, and saveAsTable refuses to create over it
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+      .select(col("s.t").as("t"), col("s.b").as("bucket"),
+        col("neighbor_id"), col("cv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      // bucket on BOTH join keys: Spark only elides the index-side Exchange
+      // when the bucket keys equal the join keys (all-cluster-keys rule)
+      .bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Incremental index maintenance — the daily 100 TB operation: append a
+    * delta of NEW documents to a [[buildLshIndex]] table without rebuilding
+    * the corpus's index. Only the delta pays a sketch pass + bucketed write
+    * (Spark honors the table's bucket spec on append, so later queries
+    * still read every bucket pre-partitioned). Same (planes, tables,
+    * seed/md5Tag, nBuckets) family as the build — sketch params are the
+    * index's identity. Caller owns delta/corpus disjointness (ids already
+    * indexed would duplicate candidates).
+    */
+  def insertLshIndex(delta: DataFrame, idCol: String, vecCol: String,
+                     table: String, planes: Int, tables: Int = 1,
+                     seed: Long = 42L, md5Tag: Option[String] = None,
+                     nBuckets: Int = 8): Unit = {
+    require(planes <= 64 && tables >= 1)
+    delta.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+      .select(col("s.t").as("t"), col("s.b").as("bucket"),
+        col("neighbor_id"), col("cv"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Query a [[buildLshIndex]] table: same candidate semantics and output
+    * as [[lshTopK]] (multi-probe on the first `probes` planes, cross-table
+    * OR-amplification, exact-cosine rank) — byte-identical results, but the
+    * corpus side is a pre-sketched, pre-bucketed scan: no per-query sketch
+    * pass over the corpus, no corpus-side Exchange, no vector re-join.
+    */
+  def queryLshIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, planes: Int, probes: Int, tables: Int = 1,
+                    seed: Long = 42L, md5Tag: Option[String] = None): DataFrame = {
+    require(planes <= 64 && tables >= 1 && probes <= planes)
+    val idx = spark.table(table)
+    val masks = (0L +: (0 until probes).map(1L << _)).toArray
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+      .select(col("query_id"), col("qv"), col("s.t").as("t"),
+        explode(transform(lit(masks), m => col("s.b").bitwiseXOR(m))).as("bucket"))
+    // dedupe cross-table/cross-probe candidates BEFORE cosine scoring;
+    // qv/cv are functionally determined by the group key, `first` is exact
+    val cands = idx.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("qv")).as("qv"), first(col("cv")).as("cv"))
+    val scored = cands.withColumn("cosine",
+      VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int, probes: Int,
               tables: Int = 1, seed: Long = 42L,

@@ -220,4 +220,68 @@ class SimilaritySpec extends AnyFunSuite {
       .select(size(col("codes"))).as[Int].collect()
     assert(codes.forall(_ == 3))
   }
+
+  test("persisted LSH index: byte-identical to inline lshTopK, no corpus-side Exchange") {
+    val table = "simspec_lsh_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    SimilaritySearch.buildLshIndex(corpus, "vec_id", "embedding", table,
+      planes = 6, tables = 2, seed = 7L)
+    val q = corpus.filter(col("vec_id") < 5)
+    val inline = SimilaritySearch.lshTopK(q, corpus, "vec_id", "embedding",
+        k = 3, planes = 6, probes = 3, tables = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val indexed = SimilaritySearch.queryLshIndex(spark, table, q, "vec_id",
+        "embedding", k = 3, planes = 6, probes = 3, tables = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+    // the amortization contract: the candidate join reads the bucketed
+    // table with NO Exchange above its scan, even when the probe side is
+    // too big to broadcast (SMJ case: only the probe side shuffles)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = q.select(col("vec_id").as("query_id"), lit(0).as("t"),
+        lit(0L).as("bucket"))
+      val candJoin = spark.table(table).join(probe, Seq("t", "bucket"))
+      candJoin.write.format("noop").mode("overwrite").save()
+      val plan = candJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount"),
+        s"index scan must be bucketed:\n$plan")
+      // exactly ONE shuffle: the probe side's. The index side reads its
+      // buckets pre-partitioned — that's the amortization contract.
+      val nShuffles = "ShuffleExchange|Exchange hashpartitioning".r
+        .findAllMatchIn(plan).size
+      assert(nShuffles == 1,
+        s"expected only the probe-side shuffle, got $nShuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
+  test("incremental LSH index: build + delta insert equals inline over the full corpus") {
+    val table = "simspec_lsh_index_delta"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val base = corpus.filter(col("vec_id") % 2 === 0)
+    val delta = corpus.filter(col("vec_id") % 2 === 1)
+    SimilaritySearch.buildLshIndex(base, "vec_id", "embedding", table,
+      planes = 6, tables = 2, seed = 7L)
+    SimilaritySearch.insertLshIndex(delta, "vec_id", "embedding", table,
+      planes = 6, tables = 2, seed = 7L)
+    val q = corpus.filter(col("vec_id") < 5)
+    val inline = SimilaritySearch.lshTopK(q, corpus, "vec_id", "embedding",
+        k = 3, planes = 6, probes = 3, tables = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val indexed = SimilaritySearch.queryLshIndex(spark, table, q, "vec_id",
+        "embedding", k = 3, planes = 6, probes = 3, tables = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+    // the append preserved the bucket layout: an aggregation on the bucket
+    // keys runs with ZERO Exchange (both the base and delta files read as
+    // pre-partitioned buckets)
+    val agg = spark.table(table).groupBy("t", "bucket").count()
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key agg must be shuffle-free after append:\n$plan")
+  }
 }
