@@ -1206,6 +1206,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_knn_classify" -> ((s, d) => {
+      // kNN auto-labeling over the LSH path (leave-one-out on the labeled
+      // corpus): modal neighbor label, ties to smallest — integer-exact,
+      // same md5 plane family as ann_lsh_topk so the oracle replays the
+      // index AND the vote
+      val e = t(s, d, "embeddings")
+      SimilaritySearch.knnClassify(e.filter(col("vec_id") < 10), e,
+          "vec_id", "embedding", "label", k = 10, planes = 8, probes = 4,
+          tables = 4, md5Tag = Some("lsh"))
+        .select(col("query_id").cast("long").as("query_id"),
+          col("pred_label").cast("long").as("pred_label"),
+          col("votes").cast("long").as("votes"),
+          col("n_neighbors").cast("long").as("n_neighbors"))
+        .orderBy(col("query_id"))
+    }),
+
+    "ann_cluster_purity" -> ((s, d) => {
+      // embedding-quality audit: per-cell majority-label agreement over the
+      // same md5-seeded 16-cell quantizer dedup_semantic/ann_ivf use — low
+      // purity cells mean "semantic duplicates" that aren't
+      SimilaritySearch.clusterPurity(t(s, d, "embeddings"),
+          "vec_id", "embedding", "label", nlist = 16)
+        .select(col("cell").cast("long").as("cell"),
+          col("n_vecs").cast("long").as("n_vecs"),
+          col("maj_label").cast("long").as("maj_label"),
+          col("maj_votes").cast("long").as("maj_votes"))
+        .orderBy(col("cell"))
+    }),
+
     "ann_lsh_bucket_stats" -> ((s, d) => {
       // operational metric for the LSH index: per-(table, bucket) occupancy
       // — the candidate-COST distribution of ann_lsh_topk's equi-join
@@ -1354,6 +1383,15 @@ object SparkEntry {
         col("doc_id").cast("long").as("doc_id"), col("lang"),
         TF.langId(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))),
+
+    "text_langid_confusion" -> ((s, d) =>
+      // gold-vs-predicted confusion matrix: the documents table carries a
+      // gold `lang`, so the langid heuristic gets a per-pair error count —
+      // the audit a pipeline runs before trusting a language filter
+      t(s, d, "documents")
+        .select(col("lang").as("gold_lang"), TF.langId(col("text")).as("pred_lang"))
+        .groupBy("gold_lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy(col("gold_lang"), col("pred_lang"))),
 
     "text_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -2438,6 +2476,58 @@ object SparkEntry {
     // are: results are byte-identical to the inline path, same oracle
     "ann_lsh_indexed" -> annLshOracle,
 
+    // LSH top-k (annLshOracle CTE) + neighbor labels + modal vote, ties to
+    // the smallest label — replays index AND vote integer-exactly
+    "ann_knn_classify" ->
+      s"""WITH nn AS ($annLshOracle),
+        |lab AS (
+        |  SELECT nn.query_id, e.label
+        |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id),
+        |c AS (
+        |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM lab GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT query_id, CAST(sum(votes) AS BIGINT) AS n_neighbors
+        |  FROM c GROUP BY 1)
+        |SELECT CAST(c.query_id AS BIGINT) AS query_id,
+        |  CAST(c.label AS BIGINT) AS pred_label, c.votes, tot.n_neighbors
+        |FROM c JOIN tot USING (query_id)
+        |QUALIFY row_number() OVER (PARTITION BY c.query_id
+        |  ORDER BY c.votes DESC, c.label) = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // same md5-seeded 16-centroid quantizer as the dedup_semantic oracle,
+    // aggregated to per-cell majority-label purity
+    "ann_cluster_purity" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, v.label, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, label, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |c AS (
+        |  SELECT cell, label, CAST(count(*) AS BIGINT) AS votes
+        |  FROM assign GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cell, CAST(sum(votes) AS BIGINT) AS n_vecs FROM c GROUP BY 1)
+        |SELECT CAST(c.cell AS BIGINT) AS cell, tot.n_vecs,
+        |  CAST(c.label AS BIGINT) AS maj_label, c.votes AS maj_votes
+        |FROM c JOIN tot USING (cell)
+        |QUALIFY row_number() OVER (PARTITION BY c.cell
+        |  ORDER BY c.votes DESC, c.label) = 1
+        |ORDER BY cell""".stripMargin,
+
     // same w/proj/bkt replay as annLshOracle, aggregated to the
     // per-(table, bucket) occupancy histogram
     "ann_lsh_bucket_stats" ->
@@ -2838,6 +2928,12 @@ object SparkEntry {
         |FROM la JOIN ga USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langIdOracle,
+
+    // langIdOracle's predictions aggregated against the gold lang column
+    "text_langid_confusion" ->
+      s"""WITH p AS ($langIdOracle)
+        |SELECT lang AS gold_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

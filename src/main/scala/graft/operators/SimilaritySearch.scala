@@ -208,6 +208,68 @@ object SimilaritySearch {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** kNN majority-vote labeling over the LSH candidate path — the
+    * auto-labeling / label-propagation primitive of a curation pipeline
+    * (label unlabeled documents from their nearest labeled neighbors).
+    * Neighbors come from [[lshTopK]] (self excluded, so running it on the
+    * labeled corpus itself is leave-one-out evaluation); the prediction is
+    * the modal neighbor label, ties to the smallest label — integer-exact,
+    * oracle-replayable.
+    *
+    * Scale shape: the vote aggregate runs over ≤ k·|queries| bounded rows;
+    * everything corpus-sized is inside the LSH path's bucket pruning.
+    *
+    * @return (query_id, pred_label, votes, n_neighbors)
+    */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int, planes: Int,
+                  probes: Int, tables: Int = 1, seed: Long = 42L,
+                  md5Tag: Option[String] = None): DataFrame = {
+    val nn = lshTopK(queries, corpus, idCol, vecCol, k, planes, probes,
+      tables, seed, md5Tag)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"))
+    val votes = nn.join(labels, "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val byQuery = Window.partitionBy(col("query_id"))
+    val rank = byQuery.orderBy(col("votes").desc, col("nbr_label"))
+    votes.withColumn("n_neighbors", sum(col("votes")).over(byQuery))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"),
+        col("votes"), col("n_neighbors"))
+  }
+
+  /** Per-cell label purity of the md5-seeded coarse quantizer — the
+    * embedding-quality audit a curation pipeline runs before trusting
+    * cluster-level decisions (SemDeDup pruning, cluster-balanced sampling):
+    * a cell whose members disagree on label is a cell whose "semantic
+    * duplicates" aren't. Majority label ties to the smallest label.
+    *
+    * Scale shape: cell assignment is a codegen map-side expression over one
+    * corpus pass; the vote table is bounded by nlist × |labels| (≪ corpus),
+    * so both windows run over bounded groups.
+    *
+    * @return (cell, n_vecs, maj_label, maj_votes) one row per non-empty cell
+    */
+  def clusterPurity(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, nlist: Int): DataFrame = {
+    val (flat, norms, dim) =
+      seedCentroids(emb, idCol, vecCol, nlist, "clusterPurity")
+    val assigned = emb.select(col(labelCol).as("label"),
+      VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
+    val votes = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byCell = Window.partitionBy(col("cell"))
+    val rank = byCell.orderBy(col("votes").desc, col("label"))
+    votes.withColumn("n_vecs", sum(col("votes")).over(byCell))
+      .withColumn("rn", row_number().over(rank))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("n_vecs"), col("label").as("maj_label"),
+        col("votes").as("maj_votes"))
+  }
+
   /** IVF (inverted-file) ANN — the classic FAISS-style scale path: a
     * spherical-k-means coarse quantizer (trained on a hash-deterministic
     * sample, Lloyd iterations entirely in DataFrame ops + a tiny

@@ -284,4 +284,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"),
       s"bucket-key agg must be shuffle-free after append:\n$plan")
   }
+
+  test("knnClassify: leave-one-out on separated clusters recovers the cluster label") {
+    val labeled = clustered.withColumn("label", (col("vec_id") % 8).cast("int"))
+    val q = labeled.filter(col("vec_id") < 8) // one query per cluster
+    val out = SimilaritySearch.knnClassify(q, labeled, "vec_id", "embedding",
+        "label", k = 10, planes = 6, probes = 2, tables = 8)
+      .select("query_id", "pred_label", "votes", "n_neighbors")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 8L))
+    // invariants: modal votes bounded by neighbor count bounded by k
+    assert(out.forall { case (_, _, v, n) => v >= 1 && v <= n && n <= 10 })
+    // separated clusters: the modal neighbor label IS the query's cluster
+    val correct = out.count { case (id, pred, _, _) => pred == (id % 8) }
+    assert(correct >= 7, s"leave-one-out accuracy $correct/8")
+  }
+
+  test("clusterPurity: separated clusters give pure cells; counts conserve") {
+    val labeled = clustered.withColumn("label", (col("vec_id") % 8).cast("int"))
+    val out = SimilaritySearch.clusterPurity(labeled, "vec_id", "embedding",
+        "label", nlist = 16)
+      .select("cell", "n_vecs", "maj_label", "maj_votes")
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(out.nonEmpty && out.map(_._1).distinct.length == out.length)
+    assert(out.map(_._2).sum == 240L) // every vector lands in exactly one cell
+    assert(out.forall { case (_, n, _, v) => v >= 1 && v <= n })
+    // well-separated clusters: cells are (near-)pure
+    val purity = out.map { case (_, n, _, v) => v.toDouble / n }
+    assert(purity.sum / purity.size >= 0.9,
+      s"mean purity ${purity.sum / purity.size}")
+  }
 }
