@@ -299,7 +299,11 @@ object Dedup {
     // every round re-executes the whole upstream pair-generation pipeline
     // (measured 5x slowdown on the ngram operator at sf0.1)
     // lazy checkpoint: the stats aggregate just below is the materializing
-    // action, so checkpoint + probe cost ONE job instead of two
+    // action, so checkpoint + probe cost ONE job instead of two.
+    // NOT cache(): the pairs pipeline upstream already contains checkpoint
+    // RDDs, so the logical plan differs per construction and CacheManager
+    // can never dedup — repeated runs would accumulate dead cache entries
+    // (measured: dedup_groups 2.99 s -> 3.70 s from exactly that)
     val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().pipe(Lineage.cut)
     // ids must be numeric: cast("long") maps a non-numeric id to null, which
