@@ -1206,6 +1206,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    "ann_ivf_indexed" -> ((s, d) => {
+      // persisted IVF: quantizer + cell assignment paid once by
+      // buildIvfIndex (bucketed by cell; built on first touch per sf dir),
+      // query side probes pre-assigned buckets. Rebuild-only by design
+      // (data-dependent quantizer) — the LSH index is the incremental one.
+      // Same params as ann_ivf_topk -> byte-identical results, same oracle.
+      val table = s"ann_ivf_index_${math.abs(d.hashCode.toLong)}"
+      if (!s.catalog.tableExists(table)) {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding", table, nlist = 16)
+      }
+      val q = t(s, d, "embeddings").filter(col("vec_id") < 10)
+      SimilaritySearch.queryIvfIndex(s, table, q, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .select(col("query_id").cast("long").as("query_id"),
+          col("neighbor_id").cast("long").as("neighbor_id"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     "ann_knn_classify" -> ((s, d) => {
       // kNN auto-labeling over the LSH path (leave-one-out on the labeled
       // corpus): modal neighbor label, ties to smallest — integer-exact,
@@ -2606,43 +2626,13 @@ object SparkEntry {
     // assigned in that order; cell score is dot(v,c)/|c| with ties to the
     // lowest cell; queries probe their 4 best cells; candidates rank by
     // exact cosine with the neighbor_id tie-break.
-    "ann_ivf_topk" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cent AS (
-        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
-        |    e, sqrt(list_dot_product(e, e)) AS nrm
-        |  FROM (SELECT vec_id, e FROM v
-        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
-        |        LIMIT 16)),
-        |sc AS (
-        |  SELECT v.vec_id, cent.cell,
-        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
-        |  FROM v, cent),
-        |assign AS (
-        |  SELECT vec_id, cell FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY score DESC, cell) = 1),
-        |probe AS (
-        |  SELECT vec_id AS query_id, cell FROM sc WHERE vec_id < 10
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY score DESC, cell) <= 4),
-        |cand AS (
-        |  SELECT p.query_id, a.vec_id AS neighbor_id
-        |  FROM probe p JOIN assign a ON p.cell = a.cell
-        |  WHERE p.query_id <> a.vec_id),
-        |ranked AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    list_cosine_similarity(qv.e, cv.e) AS cosine
-        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
-        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
-        |SELECT CAST(query_id AS BIGINT) AS query_id,
-        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-        |FROM ranked QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf_topk" -> annIvfOracle,
 
-    // composed IVFADC replay: seeded centroids (= first 16 md5-picked rows)
+    // the persisted IVF index changes WHERE the cell assignments live, not
+    // what they are: byte-identical to the inline path, same oracle
+    "ann_ivf_indexed" -> annIvfOracle,
+
+        // composed IVFADC replay: seeded centroids (= first 16 md5-picked rows)
     // for assignment/probing, the same picked rows sliced as the PQ
     // codebook, ADC over codes for cell candidates, exact re-rank
     "ann_ivfpq_topk" ->
@@ -3165,6 +3155,42 @@ object SparkEntry {
       |SELECT CAST(qid AS BIGINT) AS query_id, CAST(nid AS BIGINT) AS neighbor_id,
       |       CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  private val annIvfOracle: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |probe AS (
+        |  SELECT vec_id AS query_id, cell FROM sc WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probe p JOIN assign a ON p.cell = a.cell
+        |  WHERE p.query_id <> a.vec_id),
+        |ranked AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    list_cosine_similarity(qv.e, cv.e) AS cosine
+        |  FROM cand JOIN v qv ON qv.vec_id = cand.query_id
+        |  JOIN v cv ON cv.vec_id = cand.neighbor_id)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(neighbor_id AS BIGINT) AS neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+        |FROM ranked QUALIFY rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
   private val annLshOracle: String =
     """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings),

@@ -96,31 +96,45 @@ object SimilaritySearch {
     * The caller must pass the SAME (planes, tables, seed/md5Tag) family to
     * [[queryLshIndex]] — sketch params are the index's identity.
     */
+  /** Orphan-safe bucketed managed-table write shared by the index builders.
+    * Overwrite mode must survive an ORPHANED location: a previous process's
+    * managed table whose (ephemeral) catalog died with it leaves the
+    * warehouse dir behind, and saveAsTable refuses to create over it.
+    * Buckets on ALL the given keys: Spark only elides the index-side
+    * Exchange when the bucket keys equal the join keys (all-cluster-keys
+    * rule).
+    */
+  private def saveBucketedTable(df: DataFrame, table: String,
+                                bucketCols: Seq[String], nBuckets: Int,
+                                mode: org.apache.spark.sql.SaveMode): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"), s"bad index table name '$table'")
+    val spark = df.sparkSession
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    df.write.mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet").saveAsTable(table)
+  }
+
   def buildLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, planes: Int, tables: Int = 1,
                     seed: Long = 42L, md5Tag: Option[String] = None,
                     nBuckets: Int = 8): Unit = {
     require(planes <= 64 && tables >= 1)
-    require(table.matches("[A-Za-z0-9_]+"), s"buildLshIndex: bad table '$table'")
-    val spark = corpus.sparkSession
-    // a rebuild must survive an ORPHANED location: a previous process's
-    // managed table whose (ephemeral) catalog died with it leaves the
-    // warehouse dir behind, and saveAsTable refuses to create over it
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
-      .select(col("s.t").as("t"), col("s.b").as("bucket"),
-        col("neighbor_id"), col("cv"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      // bucket on BOTH join keys: Spark only elides the index-side Exchange
-      // when the bucket keys equal the join keys (all-cluster-keys rule)
-      .bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
-      .format("parquet").saveAsTable(table)
+    saveBucketedTable(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+        .select(col("s.t").as("t"), col("s.b").as("bucket"),
+          col("neighbor_id"), col("cv")),
+      table, Seq("t", "bucket"), nBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** Incremental index maintenance — the daily 100 TB operation: append a
@@ -137,13 +151,64 @@ object SimilaritySearch {
                      seed: Long = 42L, md5Tag: Option[String] = None,
                      nBuckets: Int = 8): Unit = {
     require(planes <= 64 && tables >= 1)
-    delta.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
-      .select(col("s.t").as("t"), col("s.b").as("bucket"),
-        col("neighbor_id"), col("cv"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(nBuckets, "t", "bucket").sortBy("t", "bucket")
-      .format("parquet").saveAsTable(table)
+    saveBucketedTable(
+      delta.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          explode(lshSketches(col(vecCol), planes, tables, seed, md5Tag)).as("s"))
+        .select(col("s.t").as("t"), col("s.b").as("bucket"),
+          col("neighbor_id"), col("cv")),
+      table, Seq("t", "bucket"), nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  /** Persisted IVF index — the corpus pays the quantizer derivation and its
+    * cell-assignment pass ONCE; the bucketed (cell) layout makes the
+    * query-time candidate join Exchange-free on the index side, and the
+    * vector rides the row (1× storage — cells partition the corpus, unlike
+    * the L-table LSH index).
+    *
+    * REBUILD-ONLY, by design: the md5-seeded quantizer is DATA-DEPENDENT
+    * (centroids are the nlist md5-smallest corpus ids), so appending a
+    * delta would silently shift the centroid set away from the stored cell
+    * assignments. That is the honest FAISS-style contrast with the LSH
+    * index, whose hyperplane family is data-independent and therefore
+    * incrementally maintainable ([[insertLshIndex]]).
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    table: String, nlist: Int, nBuckets: Int = 8): Unit = {
+    val (flat, norms, dim) =
+      seedCentroids(corpus, idCol, vecCol, nlist, "buildIvfIndex")
+    saveBucketedTable(
+      corpus.select(
+        VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      table, Seq("cell"), nBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Query a [[buildIvfIndex]] table: same semantics and byte-identical
+    * output as [[ivfTopKSeeded]]. The quantizer is re-derived from the
+    * index rows themselves — a build-only index carries exactly the corpus,
+    * so the md5-smallest-id pick is identical (bounded nlist×dim collect) —
+    * and the probe side broadcasts; the corpus side is one pre-assigned,
+    * pre-bucketed scan with no sketch pass and no Exchange.
+    */
+  def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val idx = spark.table(table)
+    val (flat, norms, dim) =
+      seedCentroids(idx, "neighbor_id", "cv", nlist, "queryIvfIndex")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell",
+        explode(VectorFunctions.probeCentroids(col("qv"), flat, norms, dim, nprobe)))
+    val scored = idx.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
   /** Query a [[buildLshIndex]] table: same candidate semantics and output

@@ -314,4 +314,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(purity.sum / purity.size >= 0.9,
       s"mean purity ${purity.sum / purity.size}")
   }
+
+  test("persisted IVF index: byte-identical to inline ivfTopKSeeded") {
+    val table = "simspec_ivf_index"
+    SimilaritySearch.buildIvfIndex(clustered, "vec_id", "embedding", table,
+      nlist = 8)
+    val q = clustered.filter(col("vec_id") < 5)
+    val inline = SimilaritySearch.ivfTopKSeeded(q, clustered, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val indexed = SimilaritySearch.queryIvfIndex(spark, table, q, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+    // rebuild over an existing table (and any orphaned location) must work
+    SimilaritySearch.buildIvfIndex(clustered, "vec_id", "embedding", table,
+      nlist = 8)
+    val again = SimilaritySearch.queryIvfIndex(spark, table, q, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(again == inline)
+  }
 }
