@@ -83,4 +83,24 @@ class TablesSpec extends AnyFunSuite {
       assert(Tables(spark, dir, "events").limit(1).count() == 1L)
     }
   }
+
+  test("drift-prone schemas are pinned: embeddings vector type, documents columns") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      // every vector kernel (cosine, sketches, centroids) reads float
+      // elements; a regeneration to array<double> must fail HERE by name
+      val emb = Tables(spark, dir, "embeddings")
+      assert(emb.schema("embedding").dataType == ArrayType(FloatType, true) ||
+        emb.schema("embedding").dataType == ArrayType(FloatType, false),
+        s"$sf/embeddings.embedding must be array<float>, " +
+          s"got ${emb.schema("embedding").dataType}")
+      assert(emb.schema("vec_id").dataType == LongType)
+      val docs = Tables(spark, dir, "documents")
+      for (c <- Seq("text", "lang", "source"))
+        assert(docs.schema(c).dataType == StringType,
+          s"$sf/documents.$c must be string, got ${docs.schema(c).dataType}")
+      assert(docs.schema("doc_id").dataType == LongType)
+    }
+  }
 }
