@@ -482,6 +482,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("split"), col("lang"))),
 
+    "corpus_split_safe" -> ((s, d) => {
+      // LEAKAGE-SAFE split: near-duplicates must never straddle train/test
+      // (a test doc whose near-dup sits in train is contamination). The
+      // split key is the near-dup CANONICAL id — every member of a dup
+      // group lands in the same split; singletons key on their own id.
+      // Same salted-hash assignment and audit rollup as corpus_split, so
+      // the two results diff exactly by the re-keyed dup groups.
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val canon = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("n_chars"))
+        .join(groups, Seq("doc_id"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("canonical_id"), col("doc_id")))
+      graft.operators.CorpusOps.hashSplit(canon, "canonical_id", "split-v1",
+          valPct = 10, testPct = 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     "graph_authority" -> ((s, d) => {
       // integer PageRank over the bipartite customer↔supplier purchase
       // graph (crawl-ranking shape: K fixed damped rounds, each one
@@ -2816,6 +2839,38 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
     "dedup_groups" -> dedupGroupsOracle,
+
+    // dedupGroupsOracle's closure for canonical ids + corpus_split's md5
+    // bucket replay, keyed on the canonical id (singletons on their own id)
+    "corpus_split_safe" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+        |good AS (SELECT da, db FROM pairs
+        |         WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM good
+        |          UNION SELECT db, da FROM good),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |grp AS (
+        |  SELECT CAST(node AS BIGINT) AS doc_id,
+        |    CAST(least(node, min(b)) AS BIGINT) AS canonical_id
+        |  FROM nodes JOIN closure ON node = closure.a GROUP BY node),
+        |canon AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    COALESCE(g.canonical_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+        |s AS (SELECT lang, n_chars,
+        |  CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |          CAST(concat('0x', substr(md5('split-v1|' ||
+        |            CAST(cid AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |        FROM canon))
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
     "dedup_canonical" -> dedupCanonicalOracle,
 

@@ -428,4 +428,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter($"doc_id" =!= 1L).select($"keep").as[Boolean].collect()
     assert(all.forall(identity))
   }
+
+  test("canonical-keyed hash split never separates a near-dup group (no leakage)") {
+    // planted near-dup pairs: docs 1~2~3 one group, 5~6 another, 4/7 singles
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (4L, "completely different text about other things entirely"),
+      (5L, "one two three four five six seven eight"),
+      (6L, "one two three four five six seven eight nine"),
+      (7L, "lorem ipsum dolor sit amet consectetur adipiscing"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    assert(pairs.count() >= 2) // the planted groups exist
+    val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+    val canon = docs.select($"doc_id")
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("canonical_id", coalesce($"canonical_id", $"doc_id"))
+    val split = CorpusOps.hashSplit(canon, "canonical_id", "split-v1", 30, 30)
+      .select($"doc_id", $"split")
+    // the leakage-freedom law: no near-dup pair straddles two splits
+    val straddle = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter($"split_a" =!= $"split_b").count()
+    assert(straddle == 0)
+    // ... and transitively: every member of a component shares one split
+    val perGroup = split.join(canon.select($"doc_id", $"canonical_id"), "doc_id")
+      .groupBy($"canonical_id")
+      .agg(countDistinct($"split").as("nsplits"))
+      .filter($"nsplits" > 1).count()
+    assert(perGroup == 0)
+  }
 }
