@@ -505,6 +505,25 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    "corpus_shard" -> ((s, d) =>
+      // deterministic training-shard layout: shard = salted md5 mod N
+      // (map-side), pos = offset within the shard file (window partitioned
+      // by shard — parallel across shards, worst task corpus/N)
+      graft.operators.CorpusOps.shardByHash(
+          t(s, d, "documents"), "doc_id", "shard-v1", 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))),
+
+    "corpus_global_order" -> ((s, d) =>
+      // exact global training permutation WITHOUT a single-partition
+      // window: deterministic top-bit range buckets rank locally, a
+      // buckets-row offset table (collected once, re-broadcast as a map
+      // literal) stitches them into the global row_number
+      graft.operators.CorpusOps.globalOrderIndex(
+          t(s, d, "documents"), "doc_id", "order-v1", buckets = 64)
+        .select(col("doc_id"), col("gpos"))
+        .orderBy(col("gpos"))),
+
     "graph_authority" -> ((s, d) => {
       // integer PageRank over the bipartite customer↔supplier purchase
       // graph (crawl-ranking shape: K fixed damped rounds, each one
@@ -2163,6 +2182,25 @@ object SparkEntry {
         |SELECT split, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    "corpus_shard" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5('shard-v1|' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, h % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY h % 8
+        |    ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM t ORDER BY shard, pos""".stripMargin,
+
+    "corpus_global_order" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(concat('0x', substr(md5('order-v1|' ||
+        |    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS gpos
+        |FROM t ORDER BY gpos""".stripMargin,
 
     // full replay of the quantized-DSIR pipeline: same md5 60-bit gram hash
     // and bucket modulo, binary magnitude via printf('%b') string length

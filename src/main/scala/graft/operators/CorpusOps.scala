@@ -523,4 +523,71 @@ object CorpusOps {
         .when(bucket < valPct + testPct, lit("test"))
         .otherwise(lit("train")))
   }
+
+  /** The 60-bit salted md5 draw every CorpusOps sampler uses — one
+    * definition so shard/order/split all agree on the hash family.
+    */
+  private def saltedHash60(idCol: String, salt: String): Column =
+    conv(substring(
+      md5(concat_ws("|", lit(salt), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+
+  /** Deterministic training-shard layout — the pipeline's LAST step: after
+    * dedupe/filter/mix, training wants the corpus as N fixed shards in a
+    * stable pseudorandom order. `shard = hash60(salt|id) mod nShards` is
+    * pure map-side; `pos` (the doc's offset within its shard file) is a
+    * window partitioned by shard, so the sort parallelizes across shards
+    * and the worst task holds corpus/nShards rows — pick nShards at or
+    * above cluster parallelism and no single-partition stage exists. The
+    * physical write is `partitionBy(shard)` + the same (hash, id) sort
+    * order; assignment is stable under corpus growth (a new doc never moves
+    * an old one's shard, only its pos within one shard).
+    */
+  def shardByHash(docs: DataFrame, idCol: String, salt: String,
+                  nShards: Int): DataFrame = {
+    require(nShards > 0, s"shardByHash: nShards=$nShards must be positive")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h"), col(idCol))
+    docs.select(col(idCol), saltedHash60(idCol, salt).as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
+  /** Exact global rank in hash order — the full training permutation as ONE
+    * number per doc — without the classic scale-killer (`row_number() OVER
+    * (ORDER BY h)` is a single-partition window). Two phases, both bounded:
+    * range-bucket on the hash's TOP bits (uniform 60-bit hash → balanced
+    * buckets, and bucketing is deterministic, unlike Spark's sampled range
+    * partitioner); rank locally per bucket (windows parallel across
+    * buckets); then add per-bucket prefix offsets — a `buckets`-row
+    * aggregate collected once and re-broadcast as a map literal (the DSIR
+    * weight-table pattern). gpos is bucket-independent: buckets only split
+    * the sort, never reorder it, so the result equals the one-task
+    * row_number at any bucket count (pinned in spec at 1/7/64).
+    */
+  def globalOrderIndex(docs: DataFrame, idCol: String, salt: String,
+                       buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, s"globalOrderIndex: buckets=$buckets must be positive")
+    val keyed = docs
+      .select(col(idCol), saltedHash60(idCol, salt).as("_h"))
+      // top bits = range bucket: h uniform on [0, 2^60) → floor(h·B/2^60)
+      .withColumn("_b", (col("_h") / lit((1L << 60) / buckets)).cast("long"))
+    val offsets = keyed.groupBy(col("_b")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val prefix = offsets.scanLeft(0L)(_ + _._2)
+    val offsetMap = offsets.map(_._1).zip(prefix).toMap
+    // empty corpus → zero-arg map() types as MAP<NULL,NULL> and fails
+    // element_at analysis; a dummy entry keeps the (never-evaluated) type sane
+    val entries = if (offsetMap.isEmpty) Seq(0L -> 0L)
+                  else offsetMap.toSeq.sortBy(_._1)
+    val offsetLit = map(entries.flatMap {
+      case (b, off) => Seq(lit(b), lit(off)) }: _*)
+    val w = Window.partitionBy(col("_b")).orderBy(col("_h"), col(idCol))
+    keyed
+      .withColumn("gpos",
+        element_at(offsetLit, col("_b")) + row_number().over(w).cast("long"))
+      .drop("_h", "_b")
+  }
 }

@@ -69,14 +69,23 @@ object TextMining {
         expr(s"(c_xy * ${total}L * 1000000L) div (c_x * c_y)"))
     // global top-k via orderBy+limit: plans as TakeOrderedAndProject (each
     // task keeps its local k, driver merges k·partitions rows) — never a
-    // single-partition sort of the full post-gate vocabulary. The rank
-    // window then runs over ≤ k rows; partitionBy(lit(0)) marks that
-    // bounded single partition as intentional.
+    // single-partition sort of the full post-gate vocabulary. The rank over
+    // the ≤ k survivors is a bounded collect_list + array_sort + posexplode,
+    // NOT a window: a global-rank window has an empty partition spec (a
+    // lit(0) key is constant-folded to the same thing), and that is
+    // WindowExec's move-everything-to-one-partition shape — fine at k rows
+    // but indistinguishable, in plan and in warning, from the scale-killer.
+    val ord = "CASE WHEN a.score_fp > b.score_fp THEN -1 " +
+      "WHEN a.score_fp < b.score_fp THEN 1 " +
+      "WHEN a.w1 < b.w1 THEN -1 WHEN a.w1 > b.w1 THEN 1 " +
+      "WHEN a.w2 < b.w2 THEN -1 WHEN a.w2 > b.w2 THEN 1 ELSE 0 END"
     scored.orderBy(col("score_fp").desc, col("w1"), col("w2")).limit(k)
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(lit(0))
-          .orderBy(col("score_fp").desc, col("w1"), col("w2"))))
-      .select(col("rnk").cast("long").as("rnk"), col("w1"), col("w2"),
-        col("c_xy"), col("c_x"), col("c_y"), col("score_fp"))
+      .agg(collect_list(struct(col("score_fp"), col("w1"), col("w2"),
+        col("c_xy"), col("c_x"), col("c_y"))).as("xs"))
+      .select(posexplode(expr(s"array_sort(xs, (a, b) -> $ord)")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"),
+        col("col.c_xy").as("c_xy"), col("col.c_x").as("c_x"),
+        col("col.c_y").as("c_y"), col("col.score_fp").as("score_fp"))
   }
 }

@@ -33,10 +33,31 @@ object PlanAudit {
       .map(_.group(1).count(_ == ':')).toList
     val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(s)
       .map(_.group(1)).toList
+    // empty-partition-spec windows = WindowExec's "moving all data to a
+    // single partition". Checked on the PHYSICAL plan because the round-7
+    // lesson is that a lit(0) partition key constant-folds away — the
+    // logical plan looks partitioned, the executed one is not. Manual
+    // recursion: AQE query stages hold their subtree as a member, not a
+    // child, so TreeNode.collect alone would skip everything below them.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val below = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(allNodes) ++ below)
+    }
+    val globalWindow = allNodes(finalPlan).exists {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        w.partitionSpec.isEmpty
+      case _ => false
+    }
     val flags = Seq(
       "NESTED_LOOP" -> s.contains("BroadcastNestedLoopJoin"),
       "CARTESIAN" -> s.contains("CartesianProduct"),
-      "WIDE_SCAN" -> scans.exists(_ > maxScanWidth))
+      "WIDE_SCAN" -> scans.exists(_ > maxScanWidth),
+      "GLOBAL_WINDOW" -> globalWindow)
       .collect { case (f, true) => f }
     Audit(flags, scans, pushed)
   }

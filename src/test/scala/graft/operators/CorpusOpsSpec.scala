@@ -463,4 +463,46 @@ class CorpusOpsSpec extends AnyFunSuite {
       .filter($"nsplits" > 1).count()
     assert(perGroup == 0)
   }
+
+  test("shardByHash: hash-mod assignment, contiguous per-shard positions") {
+    val df = corpus.toDF("doc_id", "lang", "text")
+    val got = CorpusOps.shardByHash(df, "doc_id", "shard-v1", 4)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)]
+      .collect().toSeq
+    // sequential reference: same salted md5, hex→long, mod, per-shard sort
+    val want = corpus.map { case (id, _, _) =>
+      val h = java.lang.Long.parseLong(md5Hex(s"shard-v1|$id").take(15), 16)
+      (id, h % 4, h)
+    }.groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex
+        .map { case ((id, s, _), i) => (id, s, i + 1L) }
+    }
+    assert(got.toSet == want.toSet)
+    // every shard's positions are exactly 1..n (a shard file has no holes)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+    }
+    // assignment is growth-stable: dropping docs never moves a shard
+    val partial = CorpusOps.shardByHash(df.filter($"doc_id" <= 40),
+        "doc_id", "shard-v1", 4)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val full = got.map(r => r._1 -> r._2).toMap
+    partial.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("globalOrderIndex equals the one-task row_number at every bucket count") {
+    val df = corpus.toDF("doc_id", "lang", "text")
+    // sequential reference: global rank in (hash, id) order
+    val want = corpus.map { case (id, _, _) =>
+      (id, java.lang.Long.parseLong(md5Hex(s"order-v1|$id").take(15), 16))
+    }.sortBy(r => (r._2, r._1)).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = CorpusOps.globalOrderIndex(df, "doc_id", "order-v1", buckets)
+        .select($"doc_id", $"gpos").as[(Long, Long)].collect().toMap
+      assert(got == want, s"buckets=$buckets")
+    }
+    // gpos is a permutation of 1..n
+    assert(want.values.toSeq.sorted == (1L to corpus.size).toSeq)
+  }
 }

@@ -53,6 +53,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"auditor must flag a non-equi join, got $flagged")
   }
 
+  test("a global-rank window (even via a constant-folded lit partition) is flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 2.0), (3L, 4.0)).toDF("id", "score")
+    // the round-7 trap: lit(0) LOOKS like a partition key but folds away
+    val ranked = df.withColumn("rnk", row_number().over(
+      Window.partitionBy(lit(0)).orderBy(col("score"))))
+    assert(PlanAudit.audit(ranked).flags.contains("GLOBAL_WINDOW"))
+    // a properly partitioned window is NOT flagged
+    val ok = df.withColumn("rnk", row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("score"))))
+    assert(!PlanAudit.audit(ok).flags.contains("GLOBAL_WINDOW"))
+  }
+
   test("filters on headline scans reach the parquet reader (PushedFilters)") {
     val q1 = SparkEntry.queries("q1_pricing_summary")(spark, sf)
     val a = PlanAudit.audit(q1)
