@@ -514,6 +514,21 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos"))),
 
+    "q_zorder_curve" -> ((s, d) =>
+      // Morton curve key for multi-dimensional data skipping: interleaved
+      // (l_partkey, l_suppkey) bits, computed in-scan by the codegen
+      // ZValue expression; the layout pass (Layout.zorderWrite) sorts files
+      // by this key so parquet min/max stats prune BOTH columns
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey"),
+          graft.operators.Layout.zvalue(16,
+            col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
     "corpus_global_order" -> ((s, d) =>
       // exact global training permutation WITHOUT a single-partition
       // window: deterministic top-bit range buckets rank locally, a
@@ -2192,6 +2207,21 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY h % 8
         |    ORDER BY h, doc_id) AS BIGINT) AS pos
         |FROM t ORDER BY shard, pos""".stripMargin,
+
+    // bit-exact Morton replay: disjoint bit positions make OR == SUM, so
+    // each dimension's spread bits are a list_sum comprehension
+    "q_zorder_curve" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  list_sum([((CAST(least(greatest(l_partkey, 0), 65535) AS BIGINT)
+        |      >> j) & 1) << (2*j) FOR j IN range(0, 16)])
+        |  + list_sum([((CAST(least(greatest(l_suppkey, 0), 65535) AS BIGINT)
+        |      >> j) & 1) << (2*j + 1) FOR j IN range(0, 16)]) AS z
+        |  FROM lineitem)
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_partkey AS BIGINT) AS l_partkey,
+        |  CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(z AS BIGINT) AS z
+        |FROM t ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
     "corpus_global_order" ->
       """WITH t AS (SELECT doc_id,

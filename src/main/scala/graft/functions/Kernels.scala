@@ -546,4 +546,22 @@ object Kernels {
     val lower = nfc.toLowerCase(java.util.Locale.ROOT)
     UTF8String.fromString(lower.trim.replaceAll("\\s+", " "))
   }
+
+  /** One dimension's contribution to a Morton (Z-order) value: clamp `v`
+    * into [0, 2^bits) — out-of-range keys sort coarsely at the edge instead
+    * of wrapping, which would break the curve's locality — then spread its
+    * `bits` low bits with stride `d` starting at bit `i`. OR-ing the zparts
+    * of d columns interleaves them into one curve position.
+    */
+  def zpart(v: Long, i: Int, d: Int, bits: Int): Long = {
+    val max = (1L << bits) - 1L
+    val c = if (v < 0L) 0L else if (v > max) max else v
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      out |= ((c >>> j) & 1L) << (j * d + i)
+      j += 1
+    }
+    out
+  }
 }
