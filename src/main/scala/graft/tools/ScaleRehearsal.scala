@@ -97,10 +97,15 @@ object ScaleRehearsal {
   }
 
   // the most expensive queries per bench/bench_full.json — the ones whose
-  // 100 TB story the rehearsal must back with numbers
+  // 100 TB story the rehearsal must back with numbers. Round 7 adds the
+  // new cost leader (corpus_split_safe — the full CC pipeline re-keyed as
+  // a split), the cell-joined semantic dedupe, and the bounded-offset
+  // global ordering. Only documents/embeddings-backed queries qualify:
+  // the synthesized dir carries exactly those two tables.
   private val names = Seq("dedup_ngram_jaccard", "dedup_groups",
     "dedup_canonical", "dedup_containment", "ann_lsh_topk",
-    "corpus_importance")
+    "corpus_importance", "corpus_split_safe", "dedup_semantic",
+    "corpus_global_order")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
@@ -132,21 +137,28 @@ object ScaleRehearsal {
       .write.format("noop").mode("overwrite").save()
 
     def timed(dir: String): Seq[String] = names.map { n =>
-      // warmup on a THROWAWAY instance: the dedup operators localCheckpoint
-      // intermediate sets/edges per Dataset instance, so timing a previously
-      // count()ed instance would reuse its materialized checkpoints and
-      // under-report both time and shuffle
-      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
-      Thread.sleep(1500) // drain the warmup's listener events out of the window
-      meter.reset()
-      val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // listener bus drain
-      System.err.println(f"[rehearsal] $dir $n: $sec%.1fs, $rows rows, " +
-        s"maxTaskShufW=${meter.writeMaxTask.get}")
-      fmt(n, sec, rows, meter)
+      try {
+        // warmup on a THROWAWAY instance: the dedup operators localCheckpoint
+        // intermediate sets/edges per Dataset instance, so timing a previously
+        // count()ed instance would reuse its materialized checkpoints and
+        // under-report both time and shuffle
+        val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+        Thread.sleep(1500) // drain the warmup's listener events out of the window
+        meter.reset()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500) // listener bus drain
+        System.err.println(f"[rehearsal] $dir $n: $sec%.1fs, $rows rows, " +
+          s"maxTaskShufW=${meter.writeMaxTask.get}")
+        fmt(n, sec, rows, meter)
+      } catch { case e: Throwable =>
+        // one broken query must not lose the whole artifact (round-7
+        // lesson: a missing table aborted the run before any JSON landed)
+        System.err.println(s"[rehearsal] $dir $n FAILED: ${e.getMessage}")
+        s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
+      }
     }
 
     val baseJson = timed(base).mkString("{", ",", "}")
