@@ -1545,7 +1545,136 @@ object SparkEntry {
 
     "text_pmi_bigrams" -> ((s, d) =>
       TextMining.pmiBigrams(t(s, d, "documents"), "text", 5L, 30)
-        .orderBy(col("rnk")))
+        .orderBy(col("rnk"))),
+
+    // ---------- event analytics (funnel / retention / anomaly / markov) ----------
+
+    "events_funnel" -> ((s, d) => {
+      import graft.operators.EventAnalytics
+      val ev = t(s, d, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      EventAnalytics.funnel(ev, "user_id", "ts_us", Seq(
+          "signup" -> (col("event_type") === "signup"),
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy(col("step"))
+    }),
+
+    "events_retention" -> ((s, d) => {
+      import graft.operators.EventAnalytics
+      // weekly cohorts on epoch-week buckets; ns and µs floor-divides agree
+      // (nested-floor identity, divisor ratio 1000)
+      val ev = t(s, d, "events")
+        .select(col("user_id"),
+          expr("ts_ns div 604800000000000L").as("bucket"))
+      EventAnalytics.retention(ev, "user_id", "bucket")
+        .select(col("cohort").cast("long").as("cohort"),
+          col("offset").cast("long").as("week_offset"),
+          col("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    "events_anomaly" -> ((s, d) => {
+      import graft.operators.EventAnalytics
+      // daily spend per event_type in exact decimal; lower-median/MAD flags
+      val ev = t(s, d, "events")
+        .select(col("event_type"), expr("ts_ns div 86400000000000L").as("day"),
+          dec(col("value")).as("v"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("total"))
+      EventAnalytics.robustAnomalies(daily, Seq("event_type"), "total", "day")
+        .select(col("event_type"), col("day").cast("long").as("day"),
+          col("total").cast("double").as("total"),
+          col("med").cast("double").as("med"),
+          col("mad").cast("double").as("mad"),
+          col("is_anomaly").cast("long").as("is_anomaly"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    "events_transitions" -> ((s, d) => {
+      import graft.operators.EventAnalytics
+      val ev = t(s, d, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      EventAnalytics.transitions(ev, "user_id", "event_type",
+          Seq(col("ts_us"), col("event_id")))
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    "q_exact_global_median" -> ((s, d) => {
+      // exact global order statistics with NO global sort and NO per-group
+      // value buffering: histogram-bisection over integer cents — at most
+      // ceil(64/12) = 6 B-bounded count-agg passes, later passes scanning
+      // behind a pushed-down range predicate. The only driver state is a
+      // 4096-entry histogram per pass (declared bounded collect).
+      import graft.operators.ExactQuantiles
+      import s.implicits._
+      val cents = t(s, d, "lineitem")
+        .select((dec(col("l_extendedprice")) * 100).cast("long").as("c"))
+      val n = cents.count()
+      val quantiles = Seq(("p50", 1L, 2L), ("p99", 99L, 100L))
+      val ranks = quantiles.map { case (_, qn, qd) =>
+        ExactQuantiles.lowerQuantileRank(n, qn, qd) }
+      val values = ExactQuantiles.longRanks(cents, "c", ranks)
+      quantiles.zip(ranks).zip(values)
+        .map { case (((q, _, _), r), v) => (q, r, v, v / 100.0) }
+        .toDF("q", "rnk", "value_cents", "value")
+        .orderBy(col("q"))
+    }),
+
+    "events_funnel_latency" -> ((s, d) => {
+      // step-to-step conversion latency: exact lower p50/p90 per step via
+      // the same histogram bisection (no sort, no percentile buffering)
+      import graft.operators.{EventAnalytics, ExactQuantiles}
+      import s.implicits._
+      val ev = t(s, d, "events")
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val steps = Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))
+      val lat = EventAnalytics.funnelLatencies(ev, "user_id", "ts_us", steps)
+        .cache()
+      val rows = (2 to steps.size).flatMap { k =>
+        val d0 = lat.filter(col("step") === k)
+        val n = d0.count()
+        if (n == 0) None // a step nobody converted to has no latency row
+        else {
+          val ranks = Seq(ExactQuantiles.lowerQuantileRank(n, 1, 2),
+            ExactQuantiles.lowerQuantileRank(n, 9, 10))
+          val Seq(p50, p90) = ExactQuantiles.longRanks(d0, "latency", ranks)
+          Some((k.toLong, steps(k - 1)._1, n, p50, p90))
+        }
+      }
+      rows.toDF("step", "step_name", "n_users", "p50_us", "p90_us")
+        .orderBy(col("step"))
+    }),
+
+    "match_entities" -> ((s, d) => {
+      // end-to-end entity resolution: plant one deterministic deletion per
+      // part name (disjoint id space), recover links with the deletion-
+      // neighborhood fuzzy join, then collapse link components to entity
+      // ids with the same pointer-jumping CC as dedup_groups — singletons
+      // resolve to themselves. Part names (word salads) keep natural
+      // one-edit chains rare, so entities are small clusters, not the
+      // digit-chain mega-cluster customer names would produce.
+      val clean = t(s, d, "part").select(
+        col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
+      val pos = (col("id") % length(col("name"))) + 1
+      val dirty = clean.select((col("id") + 1000000L).as("id"),
+        concat(col("name").substr(lit(1), pos - 1),
+          col("name").substr(pos + 1, length(col("name")))).as("name"))
+      val all = clean.unionByName(dirty)
+      val pairs = RecordLinkage.fuzzyJoin(all, all, "id", "name")
+        .filter(col("left_id") < col("right_id"))
+      val groups = Dedup.duplicateGroups(pairs, "left_id", "right_id")
+        .withColumnRenamed("doc_id", "id")
+      all.select(col("id")).join(groups, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("canonical_id"), col("id")).as("entity_id"))
+        .orderBy(col("id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3155,7 +3284,162 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, w1, w2) AS rnk
         |      FROM sc)
         |SELECT CAST(rnk AS BIGINT) AS rnk, w1, w2, c_xy, c_x, c_y, score_fp
-        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin
+        |FROM r WHERE rnk <= 30 ORDER BY rnk""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ord FROM events),
+        |s1 AS (SELECT user_id, MIN(ord) AS o FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ord > s1.o
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ord > s2.o
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ord > s3.o
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+        |             (SELECT COUNT(*) FROM s2) AS c2,
+        |             (SELECT COUNT(*) FROM s3) AS c3,
+        |             (SELECT COUNT(*) FROM s4) AS c4)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS step_name,
+        |    CAST(c1 AS BIGINT) AS n_users,
+        |    CAST(c1 AS DOUBLE) / CAST(c1 AS DOUBLE) AS conv_rate FROM c
+        |  UNION ALL SELECT 2, 'view', CAST(c2 AS BIGINT),
+        |    CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 3, 'click', CAST(c3 AS BIGINT),
+        |    CAST(c3 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c
+        |  UNION ALL SELECT 4, 'purchase', CAST(c4 AS BIGINT),
+        |    CAST(c4 AS DOUBLE) / CAST(c1 AS DOUBLE) FROM c)
+        |ORDER BY step""".stripMargin,
+
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS bucket
+        |           FROM events),
+        |c AS (SELECT user_id, MIN(bucket) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT c.cohort, e.bucket - c.cohort AS week_offset,
+        |             e.user_id
+        |      FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT CAST(cohort AS BIGINT) AS cohort,
+        |  CAST(week_offset AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |             SUM(CAST(value AS DECIMAL(12,2))) AS total
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY total, day) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM b),
+        |m AS (SELECT *, MAX(CASE WHEN rn = (n + 1) // 2 THEN total END)
+        |        OVER (PARTITION BY event_type) AS med
+        |      FROM r),
+        |d AS (SELECT *, ABS(total - med) AS dev,
+        |        row_number() OVER (PARTITION BY event_type
+        |                           ORDER BY ABS(total - med), day) AS dn
+        |      FROM m),
+        |x AS (SELECT *, MAX(CASE WHEN dn = (n + 1) // 2 THEN dev END)
+        |        OVER (PARTITION BY event_type) AS mad
+        |      FROM d)
+        |SELECT event_type, CAST(day AS BIGINT) AS day,
+        |  CAST(total AS DOUBLE) AS total, CAST(med AS DOUBLE) AS med,
+        |  CAST(mad AS DOUBLE) AS mad,
+        |  CAST(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_anomaly
+        |FROM x ORDER BY event_type, day""".stripMargin,
+
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ord
+        |           FROM events),
+        |p AS (SELECT lag(event_type)
+        |        OVER (PARTITION BY user_id ORDER BY ord, event_id)
+        |        AS from_type, event_type AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) /
+        |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_exact_global_median" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |             AS BIGINT) AS c FROM lineitem),
+        |n AS (SELECT COUNT(*) AS cnt FROM v),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+        |t AS (SELECT 'p50' AS q, GREATEST(1, (cnt + 1) // 2) AS rk FROM n
+        |      UNION ALL
+        |      SELECT 'p99', GREATEST(1, (99 * cnt + 99) // 100) FROM n)
+        |SELECT t.q, CAST(t.rk AS BIGINT) AS rnk,
+        |  CAST(r.c AS BIGINT) AS value_cents,
+        |  CAST(r.c AS DOUBLE) / 100 AS value
+        |FROM t JOIN r ON r.rn = t.rk ORDER BY t.q""".stripMargin,
+
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ord FROM events),
+        |s1 AS (SELECT user_id, MIN(ord) AS o FROM e
+        |       WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ord > s1.o
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ord > s2.o
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s4 AS (SELECT e.user_id, MIN(e.ord) AS o FROM e
+        |       JOIN s3 ON e.user_id = s3.user_id AND e.ord > s3.o
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |a AS (SELECT 2 AS step, 'view' AS step_name, s2.o - s1.o AS lat
+        |        FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+        |      UNION ALL
+        |      SELECT 3, 'click', s3.o - s2.o FROM s3
+        |        JOIN s2 ON s3.user_id = s2.user_id
+        |      UNION ALL
+        |      SELECT 4, 'purchase', s4.o - s3.o FROM s4
+        |        JOIN s3 ON s4.user_id = s3.user_id),
+        |r AS (SELECT step, step_name, lat,
+        |        row_number() OVER (PARTITION BY step ORDER BY lat) AS rn,
+        |        COUNT(*) OVER (PARTITION BY step) AS n
+        |      FROM a)
+        |SELECT CAST(step AS BIGINT) AS step, step_name,
+        |  CAST(MAX(n) AS BIGINT) AS n_users,
+        |  CAST(MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 2) THEN lat END)
+        |    AS BIGINT) AS p50_us,
+        |  CAST(MAX(CASE WHEN rn = GREATEST(1, (9 * n + 9) // 10) THEN lat END)
+        |    AS BIGINT) AS p90_us
+        |FROM r GROUP BY step, step_name ORDER BY step""".stripMargin,
+
+    "match_entities" ->
+      """WITH RECURSIVE
+        |clean AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name
+        |          FROM part),
+        |dirty AS (SELECT id + 1000000 AS id,
+        |            substr(name, 1, CAST(id % len(name) AS INTEGER)) ||
+        |            substr(name, CAST(id % len(name) AS INTEGER) + 2) AS name
+        |          FROM clean),
+        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+        |lk AS (SELECT id, name, unnest(list_distinct(list_prepend(name,
+        |         [substr(name, 1, CAST(i AS INTEGER) - 1) ||
+        |          substr(name, CAST(i AS INTEGER) + 1)
+        |          for i in range(1, len(name) + 1)]))) AS k FROM allr),
+        |cand AS (SELECT DISTINCT l.id AS a, r.id AS b,
+        |           l.name AS ln, r.name AS rn
+        |         FROM lk l JOIN lk r USING (k) WHERE l.id < r.id),
+        |good AS (SELECT a, b FROM cand WHERE levenshtein(ln, rn) <= 1),
+        |edges AS (SELECT a, b FROM good UNION SELECT b, a FROM good),
+        |closure(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT c.a, e.b FROM closure c JOIN edges e ON c.b = e.a),
+        |grp AS (SELECT a AS id, least(a, MIN(b)) AS eid
+        |        FROM closure GROUP BY a)
+        |SELECT r.id, CAST(COALESCE(g.eid, r.id) AS BIGINT) AS entity_id
+        |FROM allr r LEFT JOIN grp g ON r.id = g.id
+        |ORDER BY r.id""".stripMargin
   )
 
   /** Exact word-3-gram jaccard ≥ 0.8 pairs — oracle for both the exact

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExactQuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ranks on a known sequence") {
+    val df = Seq(5L, 3L, 9L, 1L, 7L).toDF("v")
+    assert(ExactQuantiles.longRanks(df, "v", Seq(1L, 3L, 5L)) ===
+      Seq(1L, 5L, 9L))
+  }
+
+  test("ties: the order statistic is the tied value") {
+    val df = Seq(2L, 2L, 2L, 2L, 8L).toDF("v")
+    assert(ExactQuantiles.longRanks(df, "v", Seq(1L, 4L, 5L)) ===
+      Seq(2L, 2L, 8L))
+  }
+
+  test("wide range (> 2^53) buckets exactly") {
+    val vals = Seq(Long.MinValue + 10, -1L, 0L, 1L, Long.MaxValue - 10)
+    val df = vals.toDF("v")
+    assert(ExactQuantiles.longRanks(df, "v", Seq(1L, 3L, 5L)) ===
+      Seq(Long.MinValue + 10, 0L, Long.MaxValue - 10))
+  }
+
+  test("matches a sequential sort on random data (few buckets => deep descent)") {
+    import org.scalacheck.{Gen, rng}
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000000L, 1000000L))
+    (1 to 8).foreach { seed =>
+      val xs = gen(Gen.Parameters.default, rng.Seed(seed.toLong)).get
+      val sorted = xs.sorted
+      val ranks = Seq(1L, (xs.size + 1L) / 2, xs.size.toLong)
+      val got = ExactQuantiles.longRanks(xs.toDF("v"), "v", ranks,
+        buckets = 4)
+      assert(got === ranks.map(r => sorted((r - 1).toInt)), s"seed=$seed")
+    }
+  }
+
+  test("lowerQuantileRank is max(1, ceil(q*n))") {
+    assert(ExactQuantiles.lowerQuantileRank(10, 1, 2) === 5L)
+    assert(ExactQuantiles.lowerQuantileRank(11, 1, 2) === 6L)
+    assert(ExactQuantiles.lowerQuantileRank(10, 99, 100) === 10L)
+    assert(ExactQuantiles.lowerQuantileRank(1, 1, 100) === 1L)
+  }
+
+  test("out-of-range rank throws") {
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[IllegalArgumentException] {
+      ExactQuantiles.longRanks(df, "v", Seq(3L))
+    }
+  }
+
+  test("funnelLatencies joins consecutive reach ords") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 10L, "A"))
+      .toDF("user_id", "ord", "typ")
+    val got = EventAnalytics.funnelLatencies(ev, "user_id", "ord",
+        Seq("a" -> (col("typ") === "A"), "b" -> (col("typ") === "B")))
+      .select("step", "user_id", "latency")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 1L, 15L)))
+  }
+}
