@@ -949,6 +949,38 @@ object SparkEntry {
           .orderBy(col("type_a"), col("type_b"))
       }),
 
+    "q_kmv_rollup" -> ((s, d) =>
+      // sketch-TABLE rollup (the Druid/materialized-cube pattern): build
+      // one bottom-k sketch per (event_type, day) — the shape a 100 TB
+      // pipeline PERSISTS once per ingest — then answer per-type distinct
+      // users by MERGING the 512-byte sketch arrays, never re-touching raw
+      // rows. Sound because bottom-k is a semilattice (bottomK(A ∪ B) ==
+      // merge(bottomK A, bottomK B)): the rollup equals a direct sketch
+      // bit-for-bit, which is exactly what the oracle (a direct bottom-k
+      // replay over the raw rows) verifies.
+      {
+        val k = 64
+        val kmv = udaf(new graft.functions.KmvSketch.KmvAgg(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val kmvMerge = udaf(new graft.functions.KmvSketch.KmvMergeAgg(k),
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+        val hv = expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+        val daily = t(s, d, "events")
+          .groupBy(col("event_type"), expr("ts_ns div 86400000000000L").as("day"))
+          .agg(kmv(hv).as("mins"))
+        daily.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_days"), kmvMerge(col("mins")).as("mins"))
+          .select(col("event_type"), col("n_days"),
+            when(size(col("mins")) < k, size(col("mins")).cast("long"))
+              .otherwise(floor(lit((k - 1).toDouble) * pow(lit(2.0), lit(60))
+                / element_at(col("mins"), k)))
+              .as("n_users_est"),
+            when(size(col("mins")) === k, element_at(col("mins"), k))
+              .as("kth_hash"))
+          .orderBy(col("event_type"))
+      }),
+
     "q_percentiles" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -1634,17 +1666,17 @@ object SparkEntry {
         "view" -> (col("event_type") === "view"),
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase"))
+      // ALL steps and both quantiles advance through one grouped search:
+      // one scan per bisection round total, not per (step, quantile)
       val lat = EventAnalytics.funnelLatencies(ev, "user_id", "ts_us", steps)
         .cache()
+      val qs = ExactQuantiles.lowerQuantilesGrouped(lat, "step", "latency",
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
       val rows = (2 to steps.size).flatMap { k =>
-        val d0 = lat.filter(col("step") === k)
-        val n = d0.count()
-        if (n == 0) None // a step nobody converted to has no latency row
-        else {
-          val ranks = Seq(ExactQuantiles.lowerQuantileRank(n, 1, 2),
-            ExactQuantiles.lowerQuantileRank(n, 9, 10))
-          val Seq(p50, p90) = ExactQuantiles.longRanks(d0, "latency", ranks)
-          Some((k.toLong, steps(k - 1)._1, n, p50, p90))
+        // a step nobody converted to has no latency rows and no output row
+        qs.get((k.toString, "p50")).map { case (n, _, p50) =>
+          val (_, _, p90) = qs((k.toString, "p90"))
+          (k.toLong, steps(k - 1)._1, n, p50, p90)
         }
       }
       rows.toDF("step", "step_name", "n_users", "p50_us", "p90_us")
@@ -1652,20 +1684,32 @@ object SparkEntry {
     }),
 
     "match_entities" -> ((s, d) => {
-      // end-to-end entity resolution: plant one deterministic deletion per
-      // part name (disjoint id space), recover links with the deletion-
-      // neighborhood fuzzy join, then collapse link components to entity
-      // ids with the same pointer-jumping CC as dedup_groups — singletons
-      // resolve to themselves. Part names (word salads) keep natural
-      // one-edit chains rare, so entities are small clusters, not the
-      // digit-chain mega-cluster customer names would produce.
-      val clean = t(s, d, "part").select(
-        col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
-      val pos = (col("id") % length(col("name"))) + 1
-      val dirty = clean.select((col("id") + 1000000L).as("id"),
-        concat(col("name").substr(lit(1), pos - 1),
-          col("name").substr(pos + 1, length(col("name")))).as("name"))
-      val all = clean.unionByName(dirty)
+      // end-to-end entity resolution: decorate each customer name with an
+      // md5-prefix suffix (UNIQUE by construction, and non-chaining — two
+      // digit-neighbor customers get unrelated suffixes, so cross-entity
+      // one-edit links can't arise; raw c_name would digit-chain into one
+      // mega-cluster, and part names collapse the other way — only 64
+      // distinct p_name values at sf0.1 ⇒ quadratic same-name cliques),
+      // plant TWO deletion variants per record in disjoint id spaces,
+      // recover links with the deletion-neighborhood fuzzy join, and
+      // collapse components with the same pointer-jumping CC as
+      // dedup_groups. Entities come out as 3-node clusters whose two
+      // variants unify only THROUGH the clean record (their mutual
+      // distance is 2) — the part CC actually earns.
+      val clean = t(s, d, "customer").select(
+        col("c_custkey").cast("long").as("id"),
+        concat(col("c_name"), lit("-"),
+          substring(md5(col("c_custkey").cast("long").cast("string")), 1, 8))
+          .as("name"))
+      def delAt(p: Column) = concat(col("name").substr(lit(1), p - 1),
+        col("name").substr(p + 1, length(col("name"))))
+      val p1 = (col("id") % length(col("name"))) + 1
+      val p2 = ((col("id") + 7) % length(col("name"))) + 1
+      val dirty1 = clean.select((col("id") + 1000000L).as("id"),
+        delAt(p1).as("name"))
+      val dirty2 = clean.select((col("id") + 2000000L).as("id"),
+        delAt(p2).as("name"))
+      val all = clean.unionByName(dirty1).unionByName(dirty2)
       val pairs = RecordLinkage.fuzzyJoin(all, all, "id", "name")
         .filter(col("left_id") < col("right_id"))
       val groups = Dedup.duplicateGroups(pairs, "left_id", "right_id")
@@ -2973,6 +3017,32 @@ object SparkEntry {
         |  max(CASE WHEN rn = 64 THEN hv END) AS kth_hash
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // rollup-of-daily-sketches == direct sketch (bottom-k semilattice), so
+    // the oracle replays the DIRECT bottom-k over raw rows + days-per-type
+    "q_kmv_rollup" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h)
+        |SELECT r.event_type, CAST(MAX(d.n_days) AS BIGINT) AS n_days,
+        |  CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS BIGINT)
+        |       ELSE CAST(floor(63 * power(2, 60)
+        |         / max(CASE WHEN rn = 64 THEN hv END)) AS BIGINT) END
+        |    AS n_users_est,
+        |  max(CASE WHEN rn = 64 THEN hv END) AS kth_hash
+        |FROM r JOIN d ON r.event_type = d.event_type
+        |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+
     // replays the KMV set-algebra estimator: per-type bottom-64 sketches,
     // merged bottom-64 per pair, membership against both tracked sets
     "q_kmv_overlap" ->
@@ -3415,13 +3485,22 @@ object SparkEntry {
 
     "match_entities" ->
       """WITH RECURSIVE
-        |clean AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name
-        |          FROM part),
-        |dirty AS (SELECT id + 1000000 AS id,
-        |            substr(name, 1, CAST(id % len(name) AS INTEGER)) ||
-        |            substr(name, CAST(id % len(name) AS INTEGER) + 2) AS name
-        |          FROM clean),
-        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+        |clean AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+        |            c_name || '-' ||
+        |            substr(md5(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)),
+        |              1, 8) AS name
+        |          FROM customer),
+        |d1 AS (SELECT id + 1000000 AS id,
+        |         substr(name, 1, CAST(id % len(name) AS INTEGER)) ||
+        |         substr(name, CAST(id % len(name) AS INTEGER) + 2) AS name
+        |       FROM clean),
+        |d2 AS (SELECT id + 2000000 AS id,
+        |         substr(name, 1, CAST((id + 7) % len(name) AS INTEGER)) ||
+        |         substr(name, CAST((id + 7) % len(name) AS INTEGER) + 2)
+        |           AS name
+        |       FROM clean),
+        |allr AS (SELECT * FROM clean UNION ALL SELECT * FROM d1
+        |         UNION ALL SELECT * FROM d2),
         |lk AS (SELECT id, name, unnest(list_distinct(list_prepend(name,
         |         [substr(name, 1, CAST(i AS INTEGER) - 1) ||
         |          substr(name, CAST(i AS INTEGER) + 1)

@@ -70,6 +70,26 @@ object KmvSketch {
     def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
+  /** Re-aggregates FINISHED sketches (the `Array[Long]` a KmvAgg emits):
+    * the rollup half of the sketch-table pattern — persist per-(coarse
+    * key, e.g. day) sketches once, then answer distinct counts over any
+    * key combination by merging 512-byte arrays, never re-touching raw
+    * rows. Sound because bottom-k is a semilattice: bottomK(A ∪ B) =
+    * merge(bottomK(A), bottomK(B)), so a rollup of daily sketches is
+    * BIT-IDENTICAL to a direct sketch over the raw rows (pinned in
+    * `KmvSketchSpec` and by the `q_kmv_rollup` oracle).
+    */
+  class KmvMergeAgg(k: Int) extends Aggregator[Array[Long], Buf, Array[Long]] {
+    private val inner = new KmvAgg(k)
+    def zero: Buf = inner.zero
+    def reduce(b: Buf, arr: Array[Long]): Buf =
+      if (arr == null) b else inner.merge(b, Buf(arr))
+    def merge(x: Buf, y: Buf): Buf = inner.merge(x, y)
+    def finish(b: Buf): Array[Long] = b.vals
+    def bufferEncoder: Encoder[Buf] = ExpressionEncoder[Buf]()
+    def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  }
+
   /** Estimate from a finished sketch: exact when the sketch never
     * saturated, `(k-1) * 2^60 / h_k` otherwise (hashes are 60-bit —
     * 15 hex chars of md5 — so H = 2^60). Mirrors the SQL-side CASE in the

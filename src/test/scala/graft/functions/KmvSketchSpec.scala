@@ -110,4 +110,30 @@ class KmvSketchSpec extends AnyFunSuite {
         s"$ty: est=$est exact=$e")
     }
   }
+
+  test("semilattice rollup: merging per-partition finished sketches equals " +
+      "the direct sketch over all rows, under any partitioning") {
+    val k = 6
+    val a = agg(k)
+    val m = new KmvSketch.KmvMergeAgg(k)
+    val xs = (0 until 300).map(i => (i * 2654435761L) % 500)
+    def direct = a.finish(xs.foldLeft(a.zero)(a.reduce)).toSeq
+    for (parts <- Seq(1, 3, 7, 300)) {
+      val finished = xs.grouped((xs.size + parts - 1) / parts)
+        .map(g => a.finish(g.foldLeft(a.zero)(a.reduce))).toSeq
+      val rolled = m.finish(finished.foldLeft(m.zero)(m.reduce)).toSeq
+      assert(rolled == direct, s"parts=$parts")
+    }
+  }
+
+  test("q_kmv_rollup equals the direct per-type sketch query") {
+    val rollup = graft.SparkEntry.queries("q_kmv_rollup")(spark, TestSpark.sf0001)
+      .select(col("event_type"), col("n_users_est"), col("kth_hash"))
+      .collect().map(r => (r.getString(0), r.getAs[Long](1), r.get(2))).toSeq
+    val direct = graft.SparkEntry.queries("q_approx_distinct_kmv")(
+        spark, TestSpark.sf0001)
+      .select(col("event_type"), col("n_users_est"), col("kth_hash"))
+      .collect().map(r => (r.getString(0), r.getAs[Long](1), r.get(2))).toSeq
+    assert(rollup == direct)
+  }
 }

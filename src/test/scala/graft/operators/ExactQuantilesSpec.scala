@@ -39,6 +39,39 @@ class ExactQuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped search matches per-group sequential sorts (one scan per round)") {
+    import org.scalacheck.{Gen, rng}
+    val gen = for {
+      g <- Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c"))
+      vs <- Gen.listOfN(g.size, Gen.chooseNum(-5000L, 5000L))
+    } yield g.zip(vs)
+    (1 to 6).foreach { seed =>
+      val rows = gen(org.scalacheck.Gen.Parameters.default,
+        rng.Seed(seed.toLong)).get
+      val byG = rows.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+      val ranksByGroup = byG.map { case (k, xs) =>
+        k -> Seq(1L, (xs.size + 1L) / 2, xs.size.toLong).distinct }
+      val got = ExactQuantiles.longRanksGrouped(rows.toDF("g", "v"),
+        "g", "v", ranksByGroup, buckets = 4)
+      ranksByGroup.foreach { case (k, ranks) =>
+        ranks.foreach { r =>
+          assert(got((k, r)) === byG(k)((r - 1).toInt), s"seed=$seed g=$k r=$r")
+        }
+      }
+    }
+  }
+
+  test("lowerQuantilesGrouped returns (n, rank, value) per group and label") {
+    val df = Seq(("x", 10L), ("x", 20L), ("x", 30L), ("y", 7L))
+      .toDF("g", "v")
+    val got = ExactQuantiles.lowerQuantilesGrouped(df, "g", "v",
+      Seq(("p50", 1L, 2L), ("max", 1L, 1L)))
+    assert(got(("x", "p50")) === ((3L, 2L, 20L)))
+    assert(got(("x", "max")) === ((3L, 3L, 30L)))
+    assert(got(("y", "p50")) === ((1L, 1L, 7L)))
+    assert(got(("y", "max")) === ((1L, 1L, 7L)))
+  }
+
   test("lowerQuantileRank is max(1, ceil(q*n))") {
     assert(ExactQuantiles.lowerQuantileRank(10, 1, 2) === 5L)
     assert(ExactQuantiles.lowerQuantileRank(11, 1, 2) === 6L)
