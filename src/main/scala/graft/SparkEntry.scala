@@ -1633,6 +1633,29 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "q_linreg_trend" -> ((s, d) => {
+      // OLS spend trend per event type: slope/intercept from EXACT long
+      // moment sums (x = epoch day, y = integer cents), each sum converted
+      // to double ONCE and combined in a pure IEEE expression tree mirrored
+      // verbatim in the oracle — the q_stats_agg mergeable-moments pattern
+      // (native regr_slope is merge-order-dependent floating point)
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("ts_ns div 86400000000000L").as("x"),
+        (dec(col("value")) * 100).cast("long").as("y"))
+      def dbl(c: Column) = c.cast("double")
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_cents_per_day",
+          (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+          (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))))
+        .select(col("event_type"), col("n"), col("slope_cents_per_day"),
+          ((dbl(col("sy")) - col("slope_cents_per_day") * dbl(col("sx"))) /
+            dbl(col("n"))).as("icept_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_exact_global_median" -> ((s, d) => {
       // exact global order statistics with NO global sort and NO per-group
       // value buffering: histogram-bisection over integer cents — at most
@@ -3436,6 +3459,28 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) /
         |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_linreg_trend" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+        |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        |  FROM e GROUP BY 1),
+        |s AS (
+        |  SELECT event_type, n, sx, sy,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS slope_cents_per_day
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, slope_cents_per_day,
+        |  (CAST(sy AS DOUBLE) - slope_cents_per_day * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS icept_cents
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q_exact_global_median" ->
       """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
