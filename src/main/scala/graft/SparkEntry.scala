@@ -1633,6 +1633,26 @@ object SparkEntry {
         .orderBy(col("from_type"), col("to_type"))
     }),
 
+    "q_exact_group_median" -> ((s, d) => {
+      // exact per-group order statistics through the grouped histogram
+      // search: every (group, rank) task advances in ONE scan per round,
+      // no per-group value buffering (the built-in exact percentile
+      // buffers whole groups — a non-answer when one group holds 10^10
+      // rows), no sort anywhere
+      import graft.operators.ExactQuantiles
+      import s.implicits._
+      val cents = t(s, d, "orders").select(col("o_orderpriority"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      val qs = ExactQuantiles.lowerQuantilesGrouped(cents,
+        "o_orderpriority", "c", Seq(("p50", 1L, 2L), ("p90", 9L, 10L)))
+      qs.collect { case ((g, "p50"), (n, _, p50)) =>
+          val (_, _, p90) = qs((g, "p90"))
+          (g, n, p50, p50 / 100.0, p90)
+        }.toSeq
+        .toDF("o_orderpriority", "n_orders", "p50_cents", "p50", "p90_cents")
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "q_linreg_trend" -> ((s, d) => {
       // OLS spend trend per event type: slope/intercept from EXACT long
       // moment sums (x = epoch day, y = integer cents), each sum converted
@@ -3459,6 +3479,25 @@ object SparkEntry {
         |  CAST(n AS DOUBLE) /
         |    CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_exact_group_median" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |               AS BIGINT) AS c
+        |           FROM orders),
+        |r AS (SELECT o_orderpriority, c,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY c)
+        |          AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM v)
+        |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+        |  CAST(MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 2) THEN c END)
+        |    AS BIGINT) AS p50_cents,
+        |  CAST(MAX(CASE WHEN rn = GREATEST(1, (n + 1) // 2) THEN c END)
+        |    AS DOUBLE) / 100 AS p50,
+        |  CAST(MAX(CASE WHEN rn = GREATEST(1, (9 * n + 9) // 10) THEN c END)
+        |    AS BIGINT) AS p90_cents
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_linreg_trend" ->
       """WITH e AS (
