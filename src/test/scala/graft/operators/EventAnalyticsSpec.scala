@@ -73,6 +73,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(med === Seq(20L))
   }
 
+  test("law: user-replication equivariance (counts scale by R, rates invariant)") {
+    // clone every user R times with disjoint ids: per-user operators must
+    // scale counts EXACTLY by R and leave rates/probabilities unchanged —
+    // the replication rehearsal argument (ScaleStressSpec) applied to the
+    // event family
+    val R = 4
+    val rep = (0 until R).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i * 1000L)))
+      .reduce(_ unionByName _)
+    val f1 = EventAnalytics.funnel(ev, "user_id", "ord", steps)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val fR = EventAnalytics.funnel(rep, "user_id", "ord", steps)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(fR === f1.map { case (s, n, c) => (s, n * R, c) })
+    val t1 = EventAnalytics.transitions(ev, "user_id", "typ", Seq(col("ord")))
+      .as[(String, String, Long, Double)].collect().toSet
+    val tR = EventAnalytics.transitions(rep, "user_id", "typ", Seq(col("ord")))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(tR === t1.map { case (f, t, n, p) => (f, t, n * R, p) })
+  }
+
   test("transitions counts consecutive pairs with exact probabilities") {
     val got = EventAnalytics.transitions(ev, "user_id", "typ",
         Seq(col("ord")))

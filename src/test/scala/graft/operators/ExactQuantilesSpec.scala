@@ -72,6 +72,22 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(got(("y", "max")) === ((1L, 1L, 7L)))
   }
 
+  test("law: lower quantiles are replication-invariant (ceil(ceil(qRn)/R) = ceil(qn))") {
+    // replicating every row R times must not move any lower quantile: the
+    // value at rank ceil(q*R*n) of the replicated multiset is the value at
+    // rank ceil(q*n) of the original
+    val xs = Seq(5L, 3L, 9L, 1L, 7L, 7L, 2L)
+    val R = 3
+    val rep = Seq.fill(R)(xs).flatten
+    for ((qn, qd) <- Seq((1L, 2L), (9L, 10L), (1L, 100L), (99L, 100L))) {
+      val v1 = ExactQuantiles.longRanks(xs.toDF("v"), "v",
+        Seq(ExactQuantiles.lowerQuantileRank(xs.size, qn, qd))).head
+      val vR = ExactQuantiles.longRanks(rep.toDF("v"), "v",
+        Seq(ExactQuantiles.lowerQuantileRank(rep.size, qn, qd))).head
+      assert(v1 === vR, s"q=$qn/$qd")
+    }
+  }
+
   test("lowerQuantileRank is max(1, ceil(q*n))") {
     assert(ExactQuantiles.lowerQuantileRank(10, 1, 2) === 5L)
     assert(ExactQuantiles.lowerQuantileRank(11, 1, 2) === 6L)
