@@ -86,6 +86,97 @@ class StreamingEventAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("transitions tiebreak: same-ord events fold in batch's (ord, tb) order") {
+    // two same-ord events for one user — without a tiebreak the pairing is
+    // nondeterministic; with one it must equal the batch twin's
+    // ordCols = (o, tb) exactly (ADVICE round-7)
+    val rows = Seq((1L, 10L, 1L, "A"), (1L, 20L, 2L, "C"), (1L, 20L, 1L, "B"),
+      (1L, 30L, 1L, "D"))
+    for (chunkSize <- Seq(1, 2, rows.size)) {
+      val got = collectStream(rows.sortBy(r => (r._2, r._3)).grouped(chunkSize).toSeq,
+          Seq("u", "o", "tb", "t"),
+          (df: org.apache.spark.sql.DataFrame) =>
+            StreamingEventAnalytics.transitions(df, "u", "o", "t",
+              tiebreakCol = Some("tb")))
+      val want = EventAnalytics.transitions(
+          rows.toDF("u", "o", "tb", "t"), "u", "t",
+          Seq(col("o"), col("tb")))
+        .select("from_type", "to_type", "n")
+        .as[(String, String, Long)].collect().toSet
+      val counts = got.groupBy(t => (t.from_type, t.to_type))
+        .map { case ((f, to), xs) => (f, to, xs.size.toLong) }.toSet
+      assert(counts === want, s"chunkSize=$chunkSize")
+      assert(counts === Set(("A", "B", 1L), ("B", "C", 1L), ("C", "D", 1L)))
+    }
+  }
+
+  test("buffered transitions: out-of-order delivery matches batch exactly") {
+    val rnd = new scala.util.Random(31)
+    val types = Seq("A", "B", "C")
+    val rows = (1 to 12).flatMap { u =>
+      (1 to 2 + rnd.nextInt(6)).map(i =>
+        (u.toLong, i * 1000L, 0L, types(rnd.nextInt(3))))
+    }
+    val sentinel = Seq((999L, 500000L, 0L, "A"))
+    val got = collectStream(
+        rnd.shuffle(rows).grouped(17).toSeq ++ Seq(sentinel, sentinel),
+        Seq("u", "o", "tb", "t"),
+        (df: org.apache.spark.sql.DataFrame) =>
+          StreamingEventAnalytics.transitionsBuffered(df, "u", "o", "t",
+            delay = "60 seconds"))
+      .filter(_.user != 999L)
+    val keys = got.map(t => (t.user, t.ord))
+    assert(keys.distinct.size === keys.size, "duplicate emissions")
+    val counts = got.groupBy(t => (t.from_type, t.to_type))
+      .map { case ((f, to), xs) => (f, to, xs.size.toLong) }.toSet
+    val want = EventAnalytics.transitions(rows.toDF("u", "o", "tb", "t"),
+        "u", "t", Seq(col("o")))
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(counts === want)
+  }
+
+  test("buffered retention: a late-arriving EARLIER bucket still anchors the cohort") {
+    // bucket 3 (ord 3000) arrives AFTER bucket 5 (ord 5000) — the
+    // processing-order twin mis-anchors to 5 (pinned by the cohort test
+    // below); the watermark buffer must anchor to 3, matching batch
+    val chunks = Seq(
+      Seq((1L, 5000L, 5L)),
+      Seq((1L, 3000L, 3L), (1L, 9000L, 9L)),
+      Seq((99L, 500000L, 0L)),
+      Seq((99L, 900000L, 0L)))
+    val got = collectStream(chunks, Seq("u", "o", "b"),
+        (df: org.apache.spark.sql.DataFrame) =>
+          StreamingEventAnalytics.retentionBuffered(df, "u", "o", "b",
+            delay = "10 seconds"))
+      .filter(_.user == 1L)
+    assert(got.map(f => (f.cohort, f.offset)).toSet ===
+      Set((3L, 0L), (3L, 2L), (3L, 6L)))
+    val want = EventAnalytics.retention(
+        Seq((1L, 5L), (1L, 3L), (1L, 9L)).toDF("u", "b"), "u", "b")
+      .as[(Long, Long, Long)].collect()
+      .map { case (c, o, _) => (c, o) }.toSet
+    assert(got.map(f => (f.cohort, f.offset)).toSet === want)
+  }
+
+  test("buffered retention: event-time TTL re-anchors a returning user") {
+    val chunks = Seq(
+      Seq((1L, 1000L, 1L)),
+      Seq((99L, 200000L, 0L)),  // wm → 190000: flush, then TTL expires state
+      Seq((99L, 300000L, 0L)),
+      Seq((1L, 400000L, 400L)), // returning user: fresh cohort anchor
+      Seq((99L, 900000L, 0L)),
+      Seq((99L, 990000L, 0L)))
+    val got = collectStream(chunks, Seq("u", "o", "b"),
+        (df: org.apache.spark.sql.DataFrame) =>
+          StreamingEventAnalytics.retentionBuffered(df, "u", "o", "b",
+            delay = "5 seconds", idleTtlMs = Some(3000L)))
+      .filter(_.user == 1L)
+    assert(got.map(f => (f.cohort, f.offset)).toSeq ===
+      Seq((1L, 0L), (400L, 0L)),
+      s"expected a TTL re-anchor, got $got")
+  }
+
   test("retention cohort anchors to the first arriving bucket") {
     val got = collectStream(Seq(Seq((1L, 5L)), Seq((1L, 3L), (1L, 9L))),
       Seq("u", "b"),

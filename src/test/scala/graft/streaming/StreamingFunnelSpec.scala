@@ -90,6 +90,130 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(got === batchReach(evs, 2).map { case (_, s, o) => (s, o) })
   }
 
+  /** Feed chunks to the BUFFERED variant; return every emission. */
+  private def runBuffered(chunks: Seq[Seq[(Long, Long, Int)]], nSteps: Int,
+                          delay: String, ttlMs: Option[Long] = None)
+      : Seq[StreamingFunnel.StepReached] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int)]
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingFunnel.StepReached]
+    val ckpt = Files.createTempDirectory("graft-sfb").toString
+    val q = StreamingFunnel.reachBuffered(
+        mem.toDF().toDF("u", "o", "s"), "u", "o", "s", nSteps, delay, ttlMs)
+      .writeStream.outputMode(OutputMode.Update)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingFunnel.StepReached],
+         _: Long) =>
+          val rows = b.collect()
+          all.synchronized { all ++= rows }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    finally q.stop()
+    all.toSeq
+  }
+
+  test("buffered variant: OUT-OF-ORDER delivery still matches batch exactly") {
+    // user 1's steps arrive in REVERSE order across batches — the delivery
+    // pattern the processing-order twin documents as under-counting; the
+    // watermark buffer (5 s delay covers the 4 s disorder) must absorb it.
+    // Sentinels on user 99 advance the watermark past every real event.
+    val real = Seq((1L, 2000L, 0), (1L, 4000L, 1), (1L, 6000L, 2))
+    val chunks = Seq(
+      Seq((1L, 6000L, 2), (1L, 4000L, 1)), // later steps first
+      Seq((1L, 2000L, 0)),                 // step 1 arrives last
+      Seq((99L, 20000L, 0)),               // watermark → 15000
+      Seq((99L, 30000L, 0)))               // fires the flush timeouts
+    val got = runBuffered(chunks, nSteps = 3, delay = "5 seconds")
+      .filter(_.user == 1L).map(r => (r.user, r.step, r.first_ord)).toSet
+    assert(got === batchReach(real, 3).map { case (u, s, o) => (u, s, o) })
+    assert(got === Set((1L, 1, 2000L), (1L, 2, 4000L), (1L, 3, 6000L)))
+  }
+
+  test("buffered variant: batch parity on a shuffled random stream") {
+    val rnd = new scala.util.Random(29)
+    val events = (1 to 15).flatMap { u =>
+      (1 to 8).map(i => (u.toLong, i * 1000L + rnd.nextInt(3), rnd.nextInt(4)))
+    }
+    // deliver in RANDOM order; disorder is bounded by the full span (24 s),
+    // so a 30 s delay makes the buffered fold equal batch exactly
+    val shuffled = rnd.shuffle(events)
+    val sentinel = Seq((999L, 200000L, 0))
+    val got = runBuffered(
+        shuffled.grouped(23).toSeq ++ Seq(sentinel, sentinel),
+        nSteps = 3, delay = "30 seconds")
+      .filter(_.user != 999L).map(r => (r.user, r.step, r.first_ord)).toSet
+    assert(got === batchReach(events, 3))
+  }
+
+  test("buffered variant: event-time TTL drops idle state deterministically") {
+    // step-1 completion flushes, then the watermark runs TTL past the
+    // user's last event → state dropped → a LATER step-0 event re-emits
+    // step 1 (progression forgotten), which cannot happen without TTL
+    val chunks = Seq(
+      Seq((1L, 1000L, 0)),
+      Seq((99L, 20000L, 0)),  // wm → 15000: flush 1000, TTL 1000+3000 < wm
+      Seq((99L, 30000L, 0)),  // timeout fires → state removed
+      Seq((1L, 26000L, 0)),   // same user restarts from step 1
+      Seq((99L, 90000L, 0)),
+      Seq((99L, 99000L, 0)))
+    val got = runBuffered(chunks, nSteps = 2, delay = "5 seconds",
+        ttlMs = Some(3000L))
+      .filter(_.user == 1L).map(r => (r.step, r.first_ord))
+    assert(got === Seq((1, 1000L), (1, 26000L)),
+      s"expected a TTL-forced funnel restart, got $got")
+    // control: without TTL the second step-0 event is a no-op
+    val got2 = runBuffered(chunks, nSteps = 2, delay = "5 seconds")
+      .filter(_.user == 1L).map(r => (r.step, r.first_ord))
+    assert(got2 === Seq((1, 1000L)))
+  }
+
+  test("processing-time TTL on the in-order twin drops idle state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Int)]
+    val all = scala.collection.mutable.ArrayBuffer
+      .empty[StreamingFunnel.StepReached]
+    val ckpt = Files.createTempDirectory("graft-sft").toString
+    val q = StreamingFunnel.reach(
+        mem.toDF().toDF("u", "o", "s"), "u", "o", "s", nSteps = 2,
+        idleTtl = Some("1 millisecond"))
+      .writeStream.outputMode(OutputMode.Update)
+      // a real trigger interval: ProcessingTimeTimeout makes Spark schedule
+      // no-data micro-batches CONTINUOUSLY (each batch may have expirable
+      // timers), which also starves processAllAvailable's no-new-data
+      // signal — so this test paces batches and POLLS emissions instead
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingFunnel.StepReached],
+         _: Long) =>
+          val rows = b.collect()
+          all.synchronized { all ++= rows }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    def awaitRows(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (all.synchronized(all.size) < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(25)
+      assert(all.synchronized(all.size) >= n,
+        s"timed out waiting for $n emissions, have ${all.synchronized(all.toSeq)}")
+    }
+    try {
+      mem.addData((1L, 10L, 0)); awaitRows(1)
+      Thread.sleep(300) // let the 1 ms TTL expire in wall-clock time
+      mem.addData((50L, 10L, 0)); awaitRows(2) // a batch fires the timeout
+      mem.addData((1L, 99L, 0)); awaitRows(3)  // user 1 restarts from step 1
+    } finally q.stop()
+    val u1 = all.filter(_.user == 1L).map(r => (r.step, r.first_ord)).toSeq
+    assert(u1 === Seq((1, 10L), (1, 99L)),
+      s"expected TTL-forced restart for user 1, got $u1")
+  }
+
   test("state round-trips through the RocksDB provider (100 TB path)") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       graft.GraftSession.RocksDbProvider)
