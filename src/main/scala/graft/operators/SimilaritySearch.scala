@@ -109,14 +109,8 @@ object SimilaritySearch {
                                 mode: org.apache.spark.sql.SaveMode): Unit = {
     require(table.matches("[A-Za-z0-9_]+"), s"bad index table name '$table'")
     val spark = df.sparkSession
-    if (mode == org.apache.spark.sql.SaveMode.Overwrite) {
-      spark.sql(s"DROP TABLE IF EXISTS `$table`")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        table.toLowerCase(java.util.Locale.ROOT))
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    if (mode == org.apache.spark.sql.SaveMode.Overwrite)
+      dropTableAndOrphan(spark, table)
     df.write.mode(mode)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
@@ -166,17 +160,34 @@ object SimilaritySearch {
     * vector rides the row (1× storage — cells partition the corpus, unlike
     * the L-table LSH index).
     *
-    * REBUILD-ONLY, by design: the md5-seeded quantizer is DATA-DEPENDENT
-    * (centroids are the nlist md5-smallest corpus ids), so appending a
-    * delta would silently shift the centroid set away from the stored cell
-    * assignments. That is the honest FAISS-style contrast with the LSH
-    * index, whose hyperplane family is data-independent and therefore
-    * incrementally maintainable ([[insertLshIndex]]).
+    * The quantizer (the nlist md5-smallest corpus rows, in pick order) is
+    * persisted alongside the cells as `<table>_quantizer` — the quantizer
+    * is part of the index artifact, exactly as a FAISS index file carries
+    * its trained quantizer. That is what makes [[insertIvfIndex]] sound:
+    * the md5-seeded quantizer is DATA-DEPENDENT, so re-deriving it from
+    * base+delta rows would silently shift the centroid set away from the
+    * stored cell assignments; freezing it at build time (FAISS
+    * `add`-with-fixed-centroids, standard practice) lets deltas append
+    * with ONE map-side assignment pass. A retrain (quality refresh after
+    * heavy drift) is a rebuild — that part of the LSH contrast stands:
+    * LSH's data-independent planes never need one.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     table: String, nlist: Int, nBuckets: Int = 8): Unit = {
-    val (flat, norms, dim) =
-      seedCentroids(corpus, idCol, vecCol, nlist, "buildIvfIndex")
+    val spark = corpus.sparkSession
+    val picked = pickCentroidRows(corpus, idCol, vecCol, nlist, "buildIvfIndex")
+    val (flat, norms, dim) = packCentroids(picked, "buildIvfIndex")
+    // quantizer table: (pos, id, v) in md5-pick order — tiny (nlist rows),
+    // written first so a crash between the two writes leaves a refreshable
+    // quantizer rather than an index without one
+    import spark.implicits._
+    val qtab = quantizerTable(table)
+    dropTableAndOrphan(spark, qtab)
+    picked.zipWithIndex
+      .map { case (r, i) => (i, r.getString(0), r.getSeq[Float](1)) }
+      .toSeq.toDF("pos", "id", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(qtab)
     saveBucketedTable(
       corpus.select(
         VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"),
@@ -185,19 +196,70 @@ object SimilaritySearch {
       org.apache.spark.sql.SaveMode.Overwrite)
   }
 
+  private def quantizerTable(table: String): String = s"${table}_quantizer"
+
+  /** Drop the table AND its (possibly orphaned) managed location — a dead
+    * ephemeral catalog leaves the warehouse dir behind, and saveAsTable
+    * refuses to create over it.
+    */
+  private def dropTableAndOrphan(spark: org.apache.spark.sql.SparkSession,
+                                 table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** Incremental IVF maintenance (FAISS-style add-with-fixed-centroids):
+    * assign ONLY the delta against the index's frozen quantizer and append
+    * to the cell-bucketed table (Spark validates the existing bucket spec
+    * on append). One map-side pass over the delta — the base corpus is
+    * never touched. Caller owns delta/corpus disjointness, as with
+    * [[insertLshIndex]].
+    */
+  def insertIvfIndex(delta: DataFrame, idCol: String, vecCol: String,
+                     table: String, nlist: Int, nBuckets: Int = 8): Unit = {
+    val spark = delta.sparkSession
+    require(spark.catalog.tableExists(quantizerTable(table)),
+      s"insertIvfIndex: no quantizer table for '$table' — build first")
+    val (flat, norms, dim) = loadQuantizer(spark, table, nlist)
+    saveBucketedTable(
+      delta.select(
+        VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      table, Seq("cell"), nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
+  private def loadQuantizer(spark: org.apache.spark.sql.SparkSession,
+                            table: String, nlist: Int)
+      : (Array[Double], Array[Double], Int) = {
+    val rows = spark.table(quantizerTable(table))
+      .orderBy(col("pos")).select(col("id"), col("v")).collect()
+    require(rows.length == nlist,
+      s"quantizer for '$table' has ${rows.length} centroids, expected $nlist")
+    packCentroids(rows, s"loadQuantizer($table)")
+  }
+
   /** Query a [[buildIvfIndex]] table: same semantics and byte-identical
-    * output as [[ivfTopKSeeded]]. The quantizer is re-derived from the
-    * index rows themselves — a build-only index carries exactly the corpus,
-    * so the md5-smallest-id pick is identical (bounded nlist×dim collect) —
-    * and the probe side broadcasts; the corpus side is one pre-assigned,
-    * pre-bucketed scan with no sketch pass and no Exchange.
+    * output as [[ivfTopKSeeded]]. The quantizer comes from the persisted
+    * `<table>_quantizer` (authoritative once deltas have been appended);
+    * for a pre-quantizer-era index it falls back to re-deriving the
+    * md5-smallest pick from the index rows — identical for a build-only
+    * index, which carries exactly the corpus. The probe side broadcasts;
+    * the corpus side is one pre-assigned, pre-bucketed scan with no sketch
+    * pass and no Exchange.
     */
   def queryIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nlist: Int, nprobe: Int): DataFrame = {
     val idx = spark.table(table)
     val (flat, norms, dim) =
-      seedCentroids(idx, "neighbor_id", "cv", nlist, "queryIvfIndex")
+      if (spark.catalog.tableExists(quantizerTable(table)))
+        loadQuantizer(spark, table, nlist)
+      else seedCentroids(idx, "neighbor_id", "cv", nlist, "queryIvfIndex")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(VectorFunctions.probeCentroids(col("qv"), flat, norms, dim, nprobe)))
@@ -429,14 +491,28 @@ object SimilaritySearch {
     * Returns (flat row-major centroids, norms, dim); bounded nlist×dim
     * driver collect.
     */
-  private[graft] def seedCentroids(corpus: DataFrame, idCol: String,
-                                   vecCol: String, nlist: Int,
-                                   caller: String): (Array[Double], Array[Double], Int) = {
+  /** The nlist md5-smallest (id, vector) rows in pick order — the seeded
+    * quantizer's identity, shared by build-time derivation and the
+    * persisted-quantizer round trip.
+    */
+  private def pickCentroidRows(corpus: DataFrame, idCol: String,
+                               vecCol: String, nlist: Int, caller: String)
+      : Array[org.apache.spark.sql.Row] = {
     val picked = corpus
       .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
       .orderBy(md5(col("_id")), col("_id"))
       .limit(nlist).collect()
     require(picked.nonEmpty, s"$caller: empty corpus")
+    picked
+  }
+
+  private[graft] def seedCentroids(corpus: DataFrame, idCol: String,
+                                   vecCol: String, nlist: Int,
+                                   caller: String): (Array[Double], Array[Double], Int) =
+    packCentroids(pickCentroidRows(corpus, idCol, vecCol, nlist, caller), caller)
+
+  private def packCentroids(picked: Array[org.apache.spark.sql.Row],
+                            caller: String): (Array[Double], Array[Double], Int) = {
     val dim = picked.head.getSeq[Float](1).length
     val flat = new Array[Double](picked.length * dim)
     val norms = new Array[Double](picked.length)

@@ -315,6 +315,51 @@ class SimilaritySpec extends AnyFunSuite {
       s"mean purity ${purity.sum / purity.size}")
   }
 
+  test("incremental IVF index: frozen-quantizer delta equals a fresh build over the union") {
+    val table = "simspec_ivf_index_delta"
+    // split precondition that makes build(base)+insert(delta) == build(union)
+    // EXACT: keep the union's nlist md5-smallest ids on the BASE side, so
+    // the base-frozen quantizer and a union-derived one coincide (in
+    // general a frozen quantizer equals FAISS add-with-fixed-centroids,
+    // which a retrained rebuild need not match)
+    val pick = clustered.select(col("vec_id").cast("string").as("id"))
+      .orderBy(md5(col("id")), col("id")).limit(8).as[String].collect()
+      .map(_.toLong)
+    val base = clustered.filter(col("vec_id") < 200 || col("vec_id").isin(pick: _*))
+    val delta = clustered.filter(col("vec_id") >= 200 && !col("vec_id").isin(pick: _*))
+    val nDelta = delta.count()
+    assert(nDelta >= 30, s"degenerate split: $nDelta delta rows")
+    SimilaritySearch.buildIvfIndex(base, "vec_id", "embedding", table, nlist = 8)
+    SimilaritySearch.insertIvfIndex(delta, "vec_id", "embedding", table, nlist = 8)
+    val q = clustered.filter(col("vec_id") < 5)
+    val inline = SimilaritySearch.ivfTopKSeeded(q, clustered, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val indexed = SimilaritySearch.queryIvfIndex(spark, table, q, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+    // every delta row landed in the index, and the appended files kept the
+    // cell-bucketed layout (zero-Exchange agg on the bucket key)
+    assert(spark.table(table).count() == 240L)
+    assert(spark.table(table)
+      .filter(col("neighbor_id") >= 200 &&
+        !col("neighbor_id").isin(pick: _*)).count() == nDelta)
+    val agg = spark.table(table).groupBy("cell").count()
+    agg.write.format("noop").mode("overwrite").save()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"cell-key agg must be shuffle-free after append:\n$plan")
+    // inserting without a quantizer table is refused loudly
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_quantizer")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.insertIvfIndex(delta, "vec_id", "embedding", table,
+        nlist = 8)
+    }
+    assert(e.getMessage.contains("quantizer"))
+  }
+
   test("persisted IVF index: byte-identical to inline ivfTopKSeeded") {
     val table = "simspec_ivf_index"
     SimilaritySearch.buildIvfIndex(clustered, "vec_id", "embedding", table,
