@@ -571,8 +571,11 @@ object CorpusOps {
     require(buckets > 0, s"globalOrderIndex: buckets=$buckets must be positive")
     val keyed = docs
       .select(col(idCol), saltedHash60(idCol, salt).as("_h"))
-      // top bits = range bucket: h uniform on [0, 2^60) → floor(h·B/2^60)
-      .withColumn("_b", (col("_h") / lit((1L << 60) / buckets)).cast("long"))
+      // top bits = range bucket: h uniform on [0, 2^60) → floor(h / step),
+      // exact integer `div` like every other hash bucketing in the repo
+      // (float `/` + cast is monotone here too, but exact-by-construction
+      // beats relying on IEEE rounding being monotone)
+      .withColumn("_b", expr(s"_h div ${(1L << 60) / buckets}"))
     val offsets = keyed.groupBy(col("_b")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)

@@ -71,17 +71,20 @@ object EventAnalytics {
     require(steps.nonEmpty, "funnel needs at least one step")
     // The chained min-agg plan references the event set once per (step,
     // chain-position) — triangular, k(k+1)/2 scans if left on the raw
-    // lineage. Same medicine as [[Graph.integerPageRank]]'s loop-invariant
-    // sides: cache ONE slim projection (user, ord, one boolean per step —
-    // predicates evaluated exactly once) and let every chain stage read the
-    // in-memory relation; lineage is one step from the scan, so executor
-    // loss recomputes instead of killing the job, and CacheManager dedups
-    // the relation across repeated runs of the same funnel.
+    // lineage. Materialize ONE slim projection (user, ord, one boolean per
+    // step — predicates evaluated exactly once) through Lineage.cut (the
+    // Dedup.duplicateGroups pattern): blocks are computed once on the first
+    // action, every chain stage reuses them, and — unlike `.cache()`, which
+    // parks an InMemoryRelation in the CacheManager until someone remembers
+    // to unpersist — the blocks are released by the ContextCleaner as soon
+    // as the returned frame is unreferenced. No per-session cache
+    // accumulation across distinct funnels; on a real cluster
+    // spark.graft.reliableCheckpoints upgrades the cut to survive executor
+    // churn.
     val anyStep = steps.map(_._2).reduce(_ || _)
-    val base = events.filter(anyStep).select(
+    val base = Lineage.cut(events.filter(anyStep).select(
       col(userCol) +: col(ordCol) +:
-        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"_p${i + 1}") }: _*)
-      .cache()
+        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"_p${i + 1}") }: _*))
     var reached = base.filter(col("_p1"))
       .groupBy(col(userCol)).agg(min(col(ordCol)).as("first_ord"))
     var acc = reached.select(lit(1L).as("step"),

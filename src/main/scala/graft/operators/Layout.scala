@@ -39,21 +39,51 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   /** Per-file [min, max] of each audited column — the exact stats parquet
-    * skipping consults, read back through the public API (one tiny agg per
-    * file). `filesPruned(stats, col, lo, hi)` = how many files a
-    * `col BETWEEN lo AND hi` predicate skips under this layout.
+    * skipping consults, read straight from the parquet FOOTERS through the
+    * Hadoop FS API: one metadata round-trip per file, no data pages read,
+    * and it works on any filesystem Spark can reach (HDFS, S3A, local),
+    * not just `java.io.File`. `filesPruned(stats, col, lo, hi)` = how many
+    * files a `col BETWEEN lo AND hi` predicate skips under this layout.
     */
   def fileStats(spark: SparkSession, path: String, cols: Seq[String])
       : Seq[(String, Map[String, (Long, Long)])] = {
-    val fs = new java.io.File(path).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-      .map(_.getAbsolutePath).sorted.toSeq
-    fs.map { f =>
-      val aggs = cols.flatMap(c => Seq(
-        min(col(c)).cast("long").as(s"min_$c"), max(col(c)).cast("long").as(s"max_$c")))
-      val r = spark.read.parquet(f).agg(aggs.head, aggs.tail: _*).head()
-      f -> cols.zipWithIndex.map { case (c, i) =>
-        c -> (r.getLong(2 * i), r.getLong(2 * i + 1)) }.toMap
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_")
+      }
+      .sortBy(_.getPath.getName).toSeq
+    files.map { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        // min/max across all row groups; integral physical types only
+        // (the audited layout keys are integral by the zvalue contract)
+        val perCol = reader.getFooter.getBlocks.asScala
+          .flatMap(_.getColumns.asScala)
+          .filter(c => cols.contains(c.getPath.toDotString))
+          .groupBy(_.getPath.toDotString)
+        st.getPath.toString -> cols.map { c =>
+          val chunks = perCol.getOrElse(c,
+            throw new IllegalArgumentException(
+              s"fileStats: no column chunk stats for '$c' in ${st.getPath}"))
+          def asLong(v: Comparable[_]): Long = v match {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case o => throw new IllegalArgumentException(
+              s"fileStats: non-integral stats for '$c': ${o.getClass}")
+          }
+          val mins = chunks.map(ch => asLong(ch.getStatistics.genericGetMin()))
+          val maxs = chunks.map(ch => asLong(ch.getStatistics.genericGetMax()))
+          c -> (mins.min, maxs.max)
+        }.toMap
+      } finally reader.close()
     }
   }
 

@@ -26,7 +26,15 @@ object Lineage {
   val ReliableConf = "spark.graft.reliableCheckpoints"
   val DirConf = "spark.graft.checkpointDir"
 
-  def cut(df: DataFrame): DataFrame = {
+  def cut(df: DataFrame): DataFrame = cut(df, eager = false)
+
+  /** `eager = true` materializes the cut NOW — the exit-path variant for an
+    * operator that wants to release its upstream caches before returning:
+    * once the blocks exist, the returned frame no longer references the
+    * cached parents, so `unpersist` can't degrade the result to a
+    * recompute-from-scratch.
+    */
+  def cut(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableConf).exists(_.toBoolean)
     if (reliable) {
@@ -34,7 +42,7 @@ object Lineage {
       if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(spark.conf.getOption(DirConf).getOrElse(
           s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"))
-      df.checkpoint(eager = false)
-    } else df.localCheckpoint(eager = false)
+      df.checkpoint(eager = eager)
+    } else df.localCheckpoint(eager = eager)
   }
 }

@@ -47,14 +47,24 @@ object RecordLinkage {
     */
   def fuzzyJoin(left: DataFrame, right: DataFrame,
                 idCol: String, strCol: String): DataFrame = {
+    // The candidate generator and its distinct carry ID PAIRS ONLY — the
+    // strings would otherwise ride the widest shuffle of the operator
+    // ~len(s)+1 times each (once per deletion key). They re-attach by id
+    // for the verify stage, which runs on the distinct candidates — an
+    // output-bounded set, so the re-attach joins are the cheap side.
     def keyed(df: DataFrame, side: String) = df.select(
       col(idCol).cast("long").as(s"${side}_id"),
-      col(strCol).as(s"${side}_str"),
       explode(delKeys(col(strCol))).as("k"))
+    def strs(df: DataFrame, side: String) = df.select(
+      col(idCol).cast("long").as(s"${side}_id"),
+      col(strCol).as(s"${side}_str"))
 
     keyed(left, "left").join(keyed(right, "right"), "k")
-      .select("left_id", "right_id", "left_str", "right_str")
+      .select("left_id", "right_id")
       .distinct()
+      .join(strs(left, "left"), "left_id")
+      .join(strs(right, "right"), "right_id")
+      .select("left_id", "right_id", "left_str", "right_str")
       .withColumn("dist",
         levenshtein(col("left_str"), col("right_str")).cast("long"))
       .filter(col("dist") <= 1)

@@ -35,6 +35,71 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrenceEdges: distinct a<b pairs per group, capped groups dropped whole") {
+    val rows = Seq(
+      ("g1", "1"), ("g1", "2"), ("g1", "3"),
+      ("g2", "2"), ("g2", "3"), ("g2", "3"), // dup item collapses
+      ("big", "1"), ("big", "2"), ("big", "3"), ("big", "4"), ("big", "5"))
+      .toDF("grp", "item")
+    val edges = Graph.cooccurrenceEdges(rows, "grp", "item", maxGroupSize = 4)
+      .as[(String, String)].collect().toSet
+    // "big" (5 distinct items > cap) contributes nothing; g1 the triangle,
+    // g2 re-derives (2,3) which the distinct collapses
+    assert(edges === Set(("1", "2"), ("1", "3"), ("2", "3")))
+  }
+
+  test("triangleStats: hand-computed censuses") {
+    // triangle + pendant: deg a=2 b=2 c=3 d=1 -> wedges 1+1+3+0 = 5, 1 tri
+    val tp = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"))
+      .toDF("a", "b")
+    val r1 = Graph.triangleStats(tp, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r1 === ((4L, 4L, 5L, 1L, 3.0 * 1 / 5)))
+
+    // K4: 4 nodes, 6 edges, wedges 4*3 = 12, 4 triangles, clustering 1.0
+    val k4 = (for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)).toDF("a", "b")
+    val r2 = Graph.triangleStats(k4, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r2 === ((4L, 6L, 12L, 4L, 1.0)))
+
+    // star (no triangles, all wedges at the hub)
+    val star = Seq(("a", "h"), ("b", "h"), ("c", "h")).toDF("a", "b")
+    val r3 = Graph.triangleStats(star, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r3 === ((4L, 3L, 3L, 0L, 0.0)))
+
+    // empty graph: all zeros, clustering 0.0 (no NaN, no NPE)
+    val empty = Seq.empty[(String, String)].toDF("a", "b")
+    val r4 = Graph.triangleStats(empty, "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r4 === ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("triangleStats: orientation result matches a brute-force census") {
+    // deterministic random graph; brute force = all node triples with all
+    // three edges present
+    val rnd = new scala.util.Random(23)
+    val nodes = (0 until 20).map(i => f"n$i%02d")
+    val edges = (for {
+      i <- nodes.indices; j <- nodes.indices
+      if i < j && rnd.nextDouble() < 0.25
+    } yield (nodes(i), nodes(j))).distinct
+    val eSet = edges.toSet
+    val brute = (for {
+      i <- nodes.indices; j <- nodes.indices; k <- nodes.indices
+      if i < j && j < k &&
+        eSet((nodes(i), nodes(j))) && eSet((nodes(j), nodes(k))) &&
+        eSet((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+    val got = Graph.triangleStats(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got._4 === brute, s"orientation census vs brute force")
+    assert(got._2 === edges.size.toLong)
+  }
+
   test("hub structure ranks the sink above the spokes") {
     // star: spokes all point at hub; hub points at one spoke
     val star = (1 to 9).map(i => (s"n$i", "hub")) :+ (("hub", "n1"))
