@@ -84,7 +84,7 @@ object Bench {
     * per-query deltas vs previous rounds carry no signal (the r4→r5 lesson:
     * untouched-query medians moved 5-40× from machine state alone).
     */
-  private def calibrationProbe(spark: SparkSession): Double = {
+  private[graft] def calibrationProbe(spark: SparkSession): Double = {
     def once(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 20000000L, 1L, 32)
