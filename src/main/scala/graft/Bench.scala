@@ -151,7 +151,15 @@ object Bench {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(5)
 
-    // self-calibration against the committed baseline (created on first run)
+    // self-calibration against the committed baseline (created on first run).
+    // The probe runs TWICE here and keeps the second reading: the opening
+    // probe of a fresh JVM repeatedly measured 1.5-1.7x its own steady
+    // value from JIT cold-start alone (C2 hasn't compiled the probe loop
+    // yet) — two round-8 otherwise-quiet runs were stamped machine_shifted
+    // by exactly that artifact while their mid-suite probes sat on the
+    // anchor. The discarded first reading still rides calibration_probes
+    // via nothing — mid-suite re-probes remain the transient-shift guard.
+    calibrationProbe(spark)
     val probeSec = calibrationProbe(spark)
     val calPath = java.nio.file.Paths.get("bench/calibration.json")
     // None = the file exists but didn't parse: that must be LOUD (flag the

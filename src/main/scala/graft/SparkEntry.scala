@@ -1776,6 +1776,27 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "dedup_incremental_near" -> ((s, d) => {
+      // the daily-ingest near-dup gate: the accumulated corpus (doc_id <
+      // 400) is indexed ONCE as a bucketed minhash banding table; the
+      // ingest delta (doc_id >= 400) pays one sketch pass, probes the
+      // index in place (no index-side Exchange), and exact-jaccard
+      // verifies the candidates — same (n, k, bands) family as
+      // dedup_minhash_lsh, whose full-corpus pair set is oracle-proven a
+      // superset, so banding recall carries over to the cross pairs
+      val table = s"dedup_mh_index_${math.abs(d.hashCode.toLong)}"
+      val old = t(s, d, "documents").filter(col("doc_id") < 400)
+      if (!s.catalog.tableExists(table))
+        Dedup.buildMinhashIndex(old, "doc_id", "text", table,
+          n = 3, k = 64, bands = 16)
+      val delta = t(s, d, "documents").filter(col("doc_id") >= 400)
+      Dedup.incrementalNearDupPairs(delta, old, "doc_id", "text", table,
+          n = 3, k = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       // exact triangle census of the parts-bought-together graph over the
       // most recent shipping year: co-occurrence edges (orders are the
@@ -1793,6 +1814,23 @@ object SparkEntry {
       val edges = Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey",
         maxGroupSize = 64)
       Graph.triangleStats(edges, "a", "b")
+    }),
+
+    "graph_local_clustering" -> ((s, d) => {
+      // node-level view of the same co-purchase graph: per-part triangle
+      // participation + local clustering coefficient (the dense-clique /
+      // boilerplate-ring detector), top 100 by embeddedness — one lazy
+      // plan, no driver collects, integer-exact counts + one IEEE ratio
+      import graft.operators.Graph
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = Graph.cooccurrenceEdges(li, "l_orderkey", "l_partkey",
+        maxGroupSize = 64)
+      Graph.localClustering(edges, "a", "b")
+        .select(col("node").cast("long").as("node"), col("degree"),
+          col("triangles"), col("lcc"))
+        .orderBy(col("triangles").desc, col("node")).limit(100)
     })
   )
 
@@ -2413,6 +2451,39 @@ object SparkEntry {
         |       ELSE 3.0 * CAST(tri.t AS DOUBLE) / CAST(st.nw AS DOUBLE)
         |  END AS clustering
         |FROM st, ne, tri""".stripMargin,
+
+    // node-level replay: each enumerated triangle credits all three
+    // corners; lcc = 2*T / (d*(d-1)) in the same IEEE tree as the engine
+    "graph_local_clustering" ->
+      """WITH g AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i
+        |    FROM lineitem WHERE l_shipdate >= TIMESTAMP '2001-01-01'),
+        |small AS (SELECT g FROM g GROUP BY g HAVING count(*) <= 64),
+        |kept AS (SELECT g.g, g.i FROM g JOIN small USING (g)),
+        |e AS (SELECT DISTINCT a.i AS a, b.i AS b
+        |      FROM kept a JOIN kept b ON a.g = b.g AND a.i < b.i),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        |o AS (SELECT
+        |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+        |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |onb AS (SELECT o.u, o.v, deg.d AS dv FROM o JOIN deg ON deg.n = o.v),
+        |tr AS (SELECT w.u, w.x, w.y FROM (
+        |    SELECT x.u, x.v AS x, x.dv AS dx, y.v AS y, y.dv AS dy
+        |    FROM onb x JOIN onb y ON x.u = y.u
+        |    WHERE (x.dv, x.v) < (y.dv, y.v)) w
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+        |pn AS (SELECT n, count(*) AS t FROM (
+        |    SELECT u AS n FROM tr UNION ALL SELECT x FROM tr
+        |    UNION ALL SELECT y FROM tr) GROUP BY n)
+        |SELECT CAST(deg.n AS BIGINT) AS node, CAST(deg.d AS BIGINT) AS degree,
+        |  CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN deg.d < 2 THEN 0.0
+        |       ELSE 2.0 * CAST(coalesce(pn.t, 0) AS DOUBLE)
+        |            / CAST(deg.d * (deg.d - 1) AS DOUBLE)
+        |  END AS lcc
+        |FROM deg LEFT JOIN pn ON pn.n = deg.n
+        |ORDER BY triangles DESC, node LIMIT 100""".stripMargin,
 
     // replays the one-pass audit as FILTERed counts + the anti-join row;
     // every metric is an exact integer, every verdict an integer BETWEEN
@@ -3212,6 +3283,18 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
+
+    // the exact cross-pair answer: old (< 400) × delta (>= 400) near-dups —
+    // a filtered slice of the same exact pair set the full-corpus minhash
+    // query matches, so the banding-recall argument is inherited
+    "dedup_incremental_near" ->
+      s"""WITH $ngramPairsCtes
+        |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+        |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+        |FROM pairs WHERE da < 400 AND db >= 400
+        |  AND CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_groups" -> dedupGroupsOracle,
 
     // dedupGroupsOracle's unrolled pointer-jumping CC for canonical ids +

@@ -156,16 +156,16 @@ object Dedup {
     * only (band, hash, doc) tuples — 16 longs per doc instead of the document
     * text. Verification re-joins texts only for the (rare) candidate pairs.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, k: Int, bands: Int, threshold: Double,
-                      seed: Long = 42L, saltVerify: Int = AutoSalt): DataFrame = {
+  /** (doc, band, bhash) banding rows for the k-permutation minhash
+    * signature — the shared sketch stage of [[minhashLshPairs]] and the
+    * persisted [[buildMinhashIndex]] family; (n, k, bands, seed) are the
+    * band family's identity.
+    */
+  private def bandedSignatures(docs: DataFrame, idCol: String,
+                               textCol: String, n: Int, k: Int, bands: Int,
+                               seed: Long): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    // ids + band hashes ONLY cross the LSH join — texts never shuffle with
-    // the banded explosion. (Also avoids a Catalyst trap: verifying on
-    // columns carried through the join lets the jaccard filter be pushed
-    // into the join's post-condition, re-evaluating the non-codegen shingle
-    // HOFs once per hash-bucket match — measured 100× slower.)
     val sigs = docs.select(col(idCol).as("doc"),
       VectorFunctions.minhashShingled(
         TextFunctions.tokens(col(textCol)), n, k, seed).as("sig"))
@@ -174,8 +174,19 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bhash"))
     }
-    val banded = sigs.select(col("doc"), explode(array(bandStructs: _*)).as("lsh"))
+    sigs.select(col("doc"), explode(array(bandStructs: _*)).as("lsh"))
       .select(col("doc"), col("lsh.band"), col("lsh.bhash"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int, threshold: Double,
+                      seed: Long = 42L, saltVerify: Int = AutoSalt): DataFrame = {
+    // ids + band hashes ONLY cross the LSH join — texts never shuffle with
+    // the banded explosion. (Also avoids a Catalyst trap: verifying on
+    // columns carried through the join lets the jaccard filter be pushed
+    // into the join's post-condition, re-evaluating the non-codegen shingle
+    // HOFs once per hash-bucket match — measured 100× slower.)
+    val banded = bandedSignatures(docs, idCol, textCol, n, k, bands, seed)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc") < col("b.doc"))
@@ -185,6 +196,79 @@ object Dedup {
     // a projection, then re-joined to the (rare) candidate pairs.
     val sets = docs.select(col(idCol).as("doc"), shingleSet(col(textCol), n).as("sh"))
     attachSets(cands, sets, "sh", saltVerify)
+      .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Persist the minhash banding table as a bucketed+sorted managed table —
+    * the corpus pays its sketch pass and shuffle ONCE; every later ingest
+    * batch checks for near-duplicates against it without re-touching the
+    * corpus (the [[graft.operators.SimilaritySearch.buildLshIndex]] pattern
+    * applied to text dedup, which is what a daily 100 TB ingest actually
+    * runs: dedupe TODAY'S documents against the whole accumulated corpus).
+    *
+    * Index rows are (band, bhash, doc) — 16 bytes + id per band per doc, no
+    * text. Bucketed by the join keys (band, bhash), so the query-time
+    * candidate join reads the index in place with NO index-side Exchange.
+    * (n, k, bands, seed) are the index's identity; callers must pass the
+    * same family to [[insertMinhashIndex]]/[[incrementalNearDupPairs]].
+    */
+  def buildMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                        table: String, n: Int, k: Int, bands: Int,
+                        seed: Long = 42L, nBuckets: Int = 8): Unit =
+    SimilaritySearch.saveBucketedTable(
+      bandedSignatures(docs, idCol, textCol, n, k, bands, seed),
+      table, Seq("band", "bhash"), nBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold an accepted ingest batch into the index: only the delta pays a
+    * sketch pass; the append honors the table's bucket spec, so tomorrow's
+    * batch still joins Exchange-free against corpus + today.
+    */
+  def insertMinhashIndex(delta: DataFrame, idCol: String, textCol: String,
+                         table: String, n: Int, k: Int, bands: Int,
+                         seed: Long = 42L, nBuckets: Int = 8): Unit =
+    SimilaritySearch.saveBucketedTable(
+      bandedSignatures(delta, idCol, textCol, n, k, bands, seed),
+      table, Seq("band", "bhash"), nBuckets,
+      org.apache.spark.sql.SaveMode.Append)
+
+  /** Near-duplicate pairs between an ingest `delta` and the indexed corpus:
+    * (doc_a = indexed doc, doc_b = delta doc, jaccard), exact-verified at
+    * `threshold`. Cost model — the 100 TB ingest loop:
+    *   - the DELTA pays one sketch pass (it is the small side);
+    *   - the candidate join probes the pre-bucketed index in place;
+    *   - the corpus pays one column-pruned (id, text) scan to fetch
+    *     candidate texts, with the shingle kernel evaluated ONLY for
+    *     candidate rows (ids join BEFORE the set projection); id-bucket the
+    *     corpus text table to prune that fetch further;
+    *   - exact-jaccard verify runs on the output-bounded candidate set.
+    * Caller owns delta/corpus id-disjointness, as with the other indexes.
+    */
+  def incrementalNearDupPairs(delta: DataFrame, corpus: DataFrame,
+                              idCol: String, textCol: String, table: String,
+                              n: Int, k: Int, bands: Int, threshold: Double,
+                              seed: Long = 42L): DataFrame = {
+    val spark = delta.sparkSession
+    val idx = spark.table(table)
+    val deltaBanded =
+      bandedSignatures(delta, idCol, textCol, n, k, bands, seed)
+    val cands = idx.join(deltaBanded.withColumnRenamed("doc", "doc_b"),
+        Seq("band", "bhash"))
+      .select(col("doc").as("doc_a"), col("doc_b"))
+      .distinct()
+    // candidate ids filter the corpus BEFORE the shingle projection, so the
+    // (non-codegen) shingle kernel runs only on candidate rows
+    val oldIds = cands.select(col("doc_a").as("doc")).distinct()
+    val oldSets = corpus.select(col(idCol).as("doc"), col(textCol).as("_t"))
+      .join(oldIds, "doc")
+      .select(col("doc"), shingleSet(col("_t"), n).as("sh"))
+    val newSets = delta.select(col(idCol).as("doc"),
+      shingleSet(col(textCol), n).as("sh"))
+    cands
+      .join(oldSets.select(col("doc").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(newSets.select(col("doc").as("doc_b"), col("sh").as("sb")), "doc_b")
       .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")

@@ -125,6 +125,57 @@ object Graph {
       .distinct()
   }
 
+  /** Per-node triangle participation and LOCAL clustering coefficient —
+    * the node-granular companion of [[triangleStats]] (same degree-ordered
+    * orientation, same once-per-triangle enumeration), and the signal a
+    * curation pipeline ranks on: lcc ≈ 1 with high degree marks a dense
+    * clique (link farms, boilerplate rings), lcc ≈ 0 a hub bridging
+    * unrelated neighborhoods.
+    *
+    * Each closed triangle credits all THREE of its corners: the enumeration
+    * emits one (x, y, pivot) row per triangle, a 3-way explode unpivots the
+    * corners, and a count agg lands on the node key. lcc = 2·T_v / (d·(d−1))
+    * as one exact-integer IEEE division (1.0 convention cap not needed —
+    * T_v ≤ C(d,2) structurally). Fully lazy single plan: no driver
+    * collects, output one row per node.
+    *
+    * @return (node, degree BIGINT, triangles BIGINT, lcc DOUBLE; lcc = 0.0
+    *         for degree-1 nodes)
+    */
+  def localClustering(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = Lineage.cut(edges.select(col(aCol).as("a"), col(bCol).as("b")))
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val da = deg.select(col("n").as("a"), col("d").as("da"))
+    val db = deg.select(col("n").as("b"), col("d").as("db"))
+    val oriented = e.join(da, "a").join(db, "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .pipe(Lineage.cut)
+    val outNbr = oriented.join(db.withColumnRenamed("b", "v")
+      .withColumnRenamed("db", "dv"), "v")
+    val triangles = outNbr.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .select(col("u"), col("x"), col("y"))
+    val perNode = triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise(lit(2.0) * col("triangles").cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+  }
+
   /** Exact triangle and wedge counts with the global clustering
     * coefficient, via DEGREE-ORDERED ORIENTATION — the classic bound that
     * makes triangle enumeration O(m^1.5) instead of Σ deg² on skewed

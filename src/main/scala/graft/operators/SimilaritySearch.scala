@@ -104,9 +104,9 @@ object SimilaritySearch {
     * Exchange when the bucket keys equal the join keys (all-cluster-keys
     * rule).
     */
-  private def saveBucketedTable(df: DataFrame, table: String,
-                                bucketCols: Seq[String], nBuckets: Int,
-                                mode: org.apache.spark.sql.SaveMode): Unit = {
+  private[operators] def saveBucketedTable(df: DataFrame, table: String,
+                                           bucketCols: Seq[String], nBuckets: Int,
+                                           mode: org.apache.spark.sql.SaveMode): Unit = {
     require(table.matches("[A-Za-z0-9_]+"), s"bad index table name '$table'")
     val spark = df.sparkSession
     if (mode == org.apache.spark.sql.SaveMode.Overwrite)

@@ -45,6 +45,43 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // verification step makes LSH exact-on-candidates
   }
 
+  test("incremental near-dup index: delta-vs-corpus pairs equal the inline cross pairs") {
+    val table = "dedupspec_mh_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // corpus = base docs; delta = the planted near-dups (ids 100, 101)
+    val corpus = docs.filter(col("doc_id") < 100)
+    val delta = docs.filter(col("doc_id") >= 100)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", table,
+      n = 3, k = 64, bands = 16)
+    val got = Dedup.incrementalNearDupPairs(delta, corpus, "doc_id", "text",
+        table, n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // the cross slice of the full inline pair set (old < 100 <= new)
+    val want = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .filter(col("doc_a") < 100 && col("doc_b") >= 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got === Set((0L, 100L), (1L, 101L)))
+
+    // fold the delta in; the NEXT batch (an exact copy of doc 100) must be
+    // caught against the appended rows, and the bucket layout must survive
+    // the append (zero-Exchange agg on the bucket keys)
+    Dedup.insertMinhashIndex(delta, "doc_id", "text", table,
+      n = 3, k = 64, bands = 16)
+    val next = docs.filter(col("doc_id") === 100)
+      .select((col("doc_id") + 100).as("doc_id"), col("text"))
+    val caught = Dedup.incrementalNearDupPairs(next,
+        docs.withColumnRenamed("doc_id", "doc_id"), "doc_id", "text", table,
+        n = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(caught === Set((0L, 200L), (100L, 200L)),
+      s"delta-appended rows must participate: $caught")
+    val agg = spark.table(table).groupBy("band", "bhash").count()
+    agg.write.format("noop").mode("overwrite").save()
+    assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+      "bucket-key agg must be shuffle-free after append")
+  }
+
   test("simhash blocking finds the exact copy at distance 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .select("doc_a", "doc_b", "hamming").collect()

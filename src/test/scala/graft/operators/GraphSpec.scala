@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite {
@@ -76,6 +77,39 @@ class GraphSpec extends AnyFunSuite {
     val r4 = Graph.triangleStats(empty, "a", "b")
       .as[(Long, Long, Long, Long, Double)].head()
     assert(r4 === ((0L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("localClustering: hand-computed coefficients; corner-credit conservation") {
+    // triangle + pendant: a,b (deg 2, 1 tri, lcc 1.0); c (deg 3, 1 tri,
+    // lcc 1/3); d (deg 1, lcc 0)
+    val tp = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d")).toDF("a", "b")
+    val got = Graph.localClustering(tp, "a", "b")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === Set(("a", 2L, 1L, 1.0), ("b", 2L, 1L, 1.0),
+      ("c", 3L, 1L, 2.0 / 6), ("d", 1L, 0L, 0.0)))
+
+    // K4: every node deg 3, 3 triangles, lcc 1.0
+    val k4 = (for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)).toDF("a", "b")
+    val k4got = Graph.localClustering(k4, "a", "b")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(k4got === Set("a", "b", "c", "d").map(n => (n, 3L, 3L, 1.0)))
+  }
+
+  test("localClustering per-node credits sum to 3x the global census on a random graph") {
+    val rnd = new scala.util.Random(37)
+    val nodes = (0 until 25).map(i => f"n$i%02d")
+    val edges = (for {
+      i <- nodes.indices; j <- nodes.indices
+      if i < j && rnd.nextDouble() < 0.3
+    } yield (nodes(i), nodes(j))).distinct.toDF("a", "b")
+    val total = Graph.triangleStats(edges, "a", "b")
+      .select("n_triangles").as[Long].head()
+    val credits = Graph.localClustering(edges, "a", "b")
+      .agg(sum(col("triangles"))).as[Long].head()
+    assert(credits === 3 * total, "every triangle credits exactly 3 corners")
   }
 
   test("triangleStats: orientation result matches a brute-force census") {
