@@ -105,7 +105,11 @@ object ScaleRehearsal {
   private val names = Seq("dedup_ngram_jaccard", "dedup_groups",
     "dedup_canonical", "dedup_containment", "ann_lsh_topk",
     "corpus_importance", "corpus_split_safe", "dedup_semantic",
-    "corpus_global_order")
+    "corpus_global_order",
+    // round 8: the ingest near-dup gate — index build (first touch) + delta
+    // sketch + bucketed probe; at 10x the corpus the delta side is what
+    // grows, exactly the daily-batch regime the operator exists for
+    "dedup_incremental_near")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
