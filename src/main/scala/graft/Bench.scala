@@ -220,6 +220,20 @@ object Bench {
         run()
         (System.nanoTime() - t0) / 1e9
       }
+      // Per-query teardown. Without it the suite accumulates storage blocks
+      // across all ~123 queries: cached frames a query deliberately leaves
+      // warm for its own repeated runs, plus lazy-localCheckpoint blocks
+      // that are only freed when the ContextCleaner happens to GC the frame
+      // reference. Round 8 measured the result as monotone 1.9-2.4x drift
+      // on UNTOUCHED queries (search_bm25, q_range_join, dedup_exact,
+      // corpus_overlap_matrix) across successive runs while mid-suite
+      // probes sat on the calibration anchor — suite-level state, not code.
+      // Scope: between queries only, so within-query cache reuse across the
+      // warmup + timed runs (e.g. graph_authority's session-warm ranking)
+      // is preserved and the per-query methodology is unchanged.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, median(times), stddev(times), rows)
     }.sortBy(_._1) // report alphabetically whatever the execution order
     val allProbes = probeSec +: midProbes.toSeq
@@ -260,6 +274,12 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput failed: ${e.getMessage}"); 0.0
     }
+    // the streaming plane runs LAST, after the whole batch suite; its
+    // number has twice diverged ~2x between driver runs and quiet-host
+    // canonical runs (r8: 25.6k vs claimed 48-52k). Stamp the streaming
+    // measurements with their OWN probe readings (before and after) so a
+    // contended tail window is visible in the JSON instead of inferred.
+    val streamProbeBefore = calibrationProbe(spark)
     val streamRate = try streamingThroughput(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}"); 0.0
@@ -273,9 +293,15 @@ object Bench {
         System.err.println(s"[bench] rocksdb streaming throughput failed: " +
           e.getMessage); 0.0
       }
+    val streamProbeAfter = calibrationProbe(spark)
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val context =
+      s""""stream_probe_before_sec":${r4(streamProbeBefore)},""" +
+      s""""stream_probe_after_sec":${r4(streamProbeAfter)},""" +
+      s""""stream_probe_worst_ratio":${r4(
+        Seq(streamProbeBefore, streamProbeAfter).map(_ / baselineProbe)
+          .maxBy(r => math.max(r, 1.0 / r)))},""" +
       s""""timed_runs":$timedRuns,"load_before":${r4(loadBefore)},""" +
       s""""load_after":${r4(loadAfter)},"cgroup_cpus":${r4(cgroupCpus())},""" +
       s""""calibration_probe_sec":${r4(probeSec)},""" +

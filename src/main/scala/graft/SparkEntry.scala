@@ -26,6 +26,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Session-catalog name for a persisted index over `$dir/$source.parquet`,
+    * keyed on a METADATA fingerprint (file names, lengths, mtimes) of the
+    * source — not just the directory path. If the same path is regenerated
+    * with different contents mid-session, the fingerprint changes and the
+    * index is rebuilt instead of silently serving stale sketch rows. A
+    * metadata listing costs one FS round-trip (no data pass), preserving
+    * the build-once amortization the persisted indexes exist for.
+    */
+  private def indexTable(s: SparkSession, dir: String, prefix: String,
+                         source: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${dir.stripSuffix("/")}/$source.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    val fp = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        dir + "|" + ids.mkString("|")))
+    s"${prefix}_$fp"
+  }
+
   // ---- shared CDC demo topology (mirrors the reference's mapping shape:
   // table -> column -> [targets]; `error` is deliberately unrouted) ----
   private val demoRouteRows = Seq(
@@ -1285,7 +1306,7 @@ object SparkEntry {
       // side joins it with no corpus-side Exchange and no vector re-join.
       // Same plane family/params as ann_lsh_topk -> byte-identical results
       // (the oracle is literally ann_lsh_topk's), proving index == inline.
-      val table = s"ann_lsh_index_${math.abs(d.hashCode.toLong)}"
+      val table = indexTable(s, d, "ann_lsh_index", "embeddings")
       if (!s.catalog.tableExists(table)) {
         val e = t(s, d, "embeddings")
         SimilaritySearch.buildLshIndex(e, "vec_id", "embedding", table,
@@ -1306,7 +1327,7 @@ object SparkEntry {
       // query side probes pre-assigned buckets. Rebuild-only by design
       // (data-dependent quantizer) — the LSH index is the incremental one.
       // Same params as ann_ivf_topk -> byte-identical results, same oracle.
-      val table = s"ann_ivf_index_${math.abs(d.hashCode.toLong)}"
+      val table = indexTable(s, d, "ann_ivf_index", "embeddings")
       if (!s.catalog.tableExists(table)) {
         val e = t(s, d, "embeddings")
         SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding", table, nlist = 16)
@@ -1318,6 +1339,36 @@ object SparkEntry {
           col("neighbor_id").cast("long").as("neighbor_id"),
           col("rank").cast("long").as("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    "ann_ivf_drift" -> ((s, d) => {
+      // the "rebuild now" signal for the frozen-quantizer IVF index: build
+      // over the full corpus, then plant the canonical drift scenario —
+      // the busiest build cell's members re-ingested under fresh ids (new
+      // mass crowding into one cell, the exact condition under which
+      // add-with-frozen-centroids degrades) — and audit occupancy-share
+      // movement in exact integer ppm. Only the crowded cell trips.
+      val table = indexTable(s, d, "ann_ivf_drift_idx", "embeddings")
+      if (!s.catalog.tableExists(table)) {
+        val e = t(s, d, "embeddings")
+        SimilaritySearch.buildIvfIndex(e, "vec_id", "embedding", table, nlist = 16)
+        val cstar = SimilaritySearch.ivfBuildStats(s, table)
+          .orderBy(col("n_build").desc, col("cell")).limit(1)
+          .collect()(0).getInt(0)
+        val delta = s.table(table).filter(col("cell") === cstar)
+          .select((col("neighbor_id") + 100000L).as("vec_id"),
+            col("cv").as("embedding"))
+        SimilaritySearch.insertIvfIndex(delta, "vec_id", "embedding", table,
+          nlist = 16)
+      }
+      SimilaritySearch.auditIvfIndex(s, table)
+        .select(col("cell"), col("n_build").cast("long").as("n_build"),
+          col("n_now").cast("long").as("n_now"),
+          col("poor_build").cast("long").as("poor_build"),
+          col("poor_now").cast("long").as("poor_now"),
+          col("share_shift_ppm").cast("long").as("share_shift_ppm"),
+          col("drifted"))
+        .orderBy(col("cell"))
     }),
 
     "ann_knn_classify" -> ((s, d) => {
@@ -1514,9 +1565,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     "text_bpe_tokens" -> ((s, d) =>
+      // REAL merges-table BPE (greedy pair merging, Sennrich 2016 /
+      // GPT-2 family) over the committed default table — a codegen
+      // expression inside the scan; the oracle replays the identical
+      // table with a recursive delimiter-replace CTE
       t(s, d, "documents").select(
         col("doc_id").cast("long").as("doc_id"),
-        TF.bpeTokens(col("text")).cast("long").as("n_bpe"))
+        graft.functions.Bpe.bpeCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))),
 
     // ---------- multimodal columns ----------
@@ -1720,7 +1775,9 @@ object SparkEntry {
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase"))
       // ALL steps and both quantiles advance through one grouped search:
-      // one scan per bisection round total, not per (step, quantile)
+      // one scan per bisection round total, not per (step, quantile). The
+      // latency frame is a single-shuffle window plan; cache it for the
+      // bisection's repeated scans and release it on the exit path below.
       val lat = EventAnalytics.funnelLatencies(ev, "user_id", "ts_us", steps)
         .cache()
       val qs = ExactQuantiles.lowerQuantilesGrouped(lat, "step", "latency",
@@ -1784,7 +1841,7 @@ object SparkEntry {
       // verifies the candidates — same (n, k, bands) family as
       // dedup_minhash_lsh, whose full-corpus pair set is oracle-proven a
       // superset, so banding recall carries over to the cross pairs
-      val table = s"dedup_mh_index_${math.abs(d.hashCode.toLong)}"
+      val table = indexTable(s, d, "dedup_mh_index", "documents")
       val old = t(s, d, "documents").filter(col("doc_id") < 400)
       if (!s.catalog.tableExists(table))
         Dedup.buildMinhashIndex(old, "doc_id", "text", table,
@@ -1795,6 +1852,26 @@ object SparkEntry {
         .select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "mm_phash_pairs" -> ((s, d) => {
+      // image near-dup: every doc renders to a real gray PNG (plus planted
+      // transformed duplicates — exact 2x upscale and +4 brightness, both
+      // round-tripping the PNG codec), dHash-64 over the decoded pixels,
+      // then the SAME pigeonhole band blocking + Hamming verify as
+      // dedup_simhash. Recovered pairs are the transform families (and any
+      // identical-content renders) — the re-encoded/rescaled-copy shape
+      // image dedup actually hunts, not content edits (which land far in
+      // gradient space; measured median Hamming ~30 here).
+      import graft.operators.Multimodal
+      val media = Multimodal.textImageCorpus(s, t(s, d, "documents"),
+        "doc_id", "text").toDF()
+      val fps = Multimodal.imagePhash(s, media).toDF()
+      Dedup.fingerprintPairs(fps, "media_id", "phash", maxDist = 6)
+        .select(col("doc_a").cast("long").as("id_a"),
+          col("doc_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "graph_triangles" -> ((s, d) => {
@@ -3070,6 +3147,54 @@ object SparkEntry {
     // exact cosine with the neighbor_id tie-break.
     "ann_ivf_topk" -> annIvfOracle,
 
+    // Full replay of build → planted-crowding insert → audit: the seeded
+    // quantizer + assignment CTEs are annIvfOracle's, the busiest-cell
+    // delta doubles that cell, poor-fit is the SIGN of the dot product
+    // (replay-stable), and share shift is two integer floor-divides to ppm.
+    "ann_ivf_drift" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |fit AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_dot_product(v.e, c2.e) <= 0 AS poor
+        |  FROM assign a JOIN v ON v.vec_id = a.vec_id
+        |  JOIN cent c2 ON c2.cell = a.cell),
+        |bs AS (
+        |  SELECT cell, count(*) AS n_build,
+        |    sum(CASE WHEN poor THEN 1 ELSE 0 END) AS poor_build
+        |  FROM fit GROUP BY 1),
+        |cstar AS (SELECT cell FROM bs ORDER BY n_build DESC, cell LIMIT 1),
+        |ns AS (
+        |  SELECT cell, n_build, poor_build,
+        |    n_build + CASE WHEN cell = (SELECT cell FROM cstar)
+        |      THEN n_build ELSE 0 END AS n_now,
+        |    poor_build + CASE WHEN cell = (SELECT cell FROM cstar)
+        |      THEN poor_build ELSE 0 END AS poor_now
+        |  FROM bs),
+        |tot AS (SELECT sum(n_build) AS tb, sum(n_now) AS tn FROM ns)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(n_build AS BIGINT) AS n_build, CAST(n_now AS BIGINT) AS n_now,
+        |  CAST(poor_build AS BIGINT) AS poor_build,
+        |  CAST(poor_now AS BIGINT) AS poor_now,
+        |  CAST(abs((n_now * 1000000) // tn - (n_build * 1000000) // tb) AS BIGINT) AS share_shift_ppm,
+        |  CAST(CASE WHEN abs((n_now * 1000000) // tn - (n_build * 1000000) // tb) > 20000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS drifted
+        |FROM ns, tot ORDER BY cell""".stripMargin,
+
     // the persisted IVF index changes WHERE the cell assignments live, not
     // what they are: byte-identical to the inline path, same oracle
     "ann_ivf_indexed" -> annIvfOracle,
@@ -3341,6 +3466,59 @@ object SparkEntry {
         |  CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
         |FROM r WHERE rn <= 8 ORDER BY media_id, frame_no""".stripMargin,
 
+    // Replays the whole image pipeline arithmetically: md5-rendered pixels,
+    // 2x2 integer box-averages to the 9x8 dHash grid, difference bits
+    // packed via two 32-bit halves into a signed two's-complement BIGINT
+    // (so the value equals the engine's Long bit-for-bit, including bit
+    // 63), the brightness variant as least(v+4,255) over the same pixels,
+    // the exact-2x-upscale variant as the IDENTITY on the hash (integer
+    // box-avg over duplicated pixels is exactly the original average —
+    // MultimodalSpec pins that equality through the real PNG codec), then
+    // the same 7-block pigeonhole banding + bit_count(xor) verify as the
+    // dedup_simhash oracle.
+    "mm_phash_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |px AS (SELECT doc_id, i.i AS i,
+        |         CAST(concat('0x', substr(md5(ws[CAST((i.i * len(ws)) // 288 AS INT) + 1] || ':' || i.i), 1, 15)) AS BIGINT) % 256 AS v
+        |       FROM w, range(288) i(i)),
+        |g AS (SELECT doc_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c, sum(v) // 4 AS gv
+        |      FROM px GROUP BY 1, 2, 3),
+        |gb AS (SELECT doc_id, (i // 18) // 2 AS r, (i % 18) // 2 AS c,
+        |         sum(least(v + 4, 255)) // 4 AS gv
+        |       FROM px WHERE doc_id % 7 = 1 GROUP BY 1, 2, 3),
+        |hb AS (SELECT a.doc_id,
+        |         sum(CASE WHEN a.gv > b.gv AND a.r*8 + a.c < 32
+        |                  THEN CAST(1 AS BIGINT) << (a.r*8 + a.c) ELSE 0 END) AS lo,
+        |         sum(CASE WHEN a.gv > b.gv AND a.r*8 + a.c >= 32
+        |                  THEN CAST(1 AS BIGINT) << (a.r*8 + a.c - 32) ELSE 0 END) AS hi
+        |       FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |       WHERE a.c < 8 GROUP BY 1),
+        |hbr AS (SELECT a.doc_id,
+        |         sum(CASE WHEN a.gv > b.gv AND a.r*8 + a.c < 32
+        |                  THEN CAST(1 AS BIGINT) << (a.r*8 + a.c) ELSE 0 END) AS lo,
+        |         sum(CASE WHEN a.gv > b.gv AND a.r*8 + a.c >= 32
+        |                  THEN CAST(1 AS BIGINT) << (a.r*8 + a.c - 32) ELSE 0 END) AS hi
+        |       FROM gb a JOIN gb b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+        |       WHERE a.c < 8 GROUP BY 1),
+        |sg AS (SELECT doc_id, CAST(CASE WHEN lo + hi * 4294967296 >= 9223372036854775808
+        |                THEN lo + hi * 4294967296 - 18446744073709551616
+        |                ELSE lo + hi * 4294967296 END AS BIGINT) AS fp FROM hb),
+        |sgb AS (SELECT doc_id, CAST(CASE WHEN lo + hi * 4294967296 >= 9223372036854775808
+        |                THEN lo + hi * 4294967296 - 18446744073709551616
+        |                ELSE lo + hi * 4294967296 END AS BIGINT) AS fp FROM hbr),
+        |allfp AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, fp FROM sg
+        |  UNION ALL SELECT CAST(doc_id + 100000 AS BIGINT), fp FROM sg WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT CAST(doc_id + 200000 AS BIGINT), fp FROM sgb),
+        |blk AS (SELECT id, fp, b.b AS blk, (fp >> (b.b * 9)) & 511 AS bits
+        |        FROM allfp, range(7) b(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, a.fp AS fa, c.id AS id_b, c.fp AS fb
+        |         FROM blk a JOIN blk c ON c.blk = a.blk AND c.bits = a.bits AND a.id < c.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "ann_cosine_topk" -> annCosineOracle,
 
     // recall@10 of the LSH index vs brute force, both replayed from their
@@ -3436,10 +3614,7 @@ object SparkEntry {
         |   string_split_regex(trim(text), '\s+'))), ' ')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "text_bpe_tokens" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
-        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_tokens" -> bpeTokensOracle,
 
     "mm_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
@@ -3962,7 +4137,12 @@ object SparkEntry {
     * Emits `cc(v, m)` = (node, component minimum) for nodes with edges.
     */
   private def ccClosureCtes(k: Int): String = {
-    val rounds = (1 to k).map { r =>
+    // one EXTRA round (k+1) exists purely as a convergence witness: if any
+    // node's label still moves between round k and k+1 (a component deeper
+    // than 2^k — nothing planted produces one, but the oracle must not be
+    // silently wrong if the data ever does), the guard raises a loud DuckDB
+    // error instead of hash-flagging a correct engine result.
+    val rounds = (1 to (k + 1)).map { r =>
       val p = s"m${r - 1}"
       s"""t$r AS MATERIALIZED (
         |  SELECT $p.v, least($p.m, nm.m) AS m
@@ -3980,7 +4160,60 @@ object SparkEntry {
       |m0 AS MATERIALIZED (
       |  SELECT a AS v, least(a, min(b)) AS m FROM edges GROUP BY a),
       |$rounds,
-      |cc AS (SELECT v, m FROM m$k)""".stripMargin
+      |ccchk AS MATERIALIZED (
+      |  SELECT count(*) AS n FROM m$k x JOIN m${k + 1} y
+      |  ON x.v = y.v AND x.m <> y.m),
+      |cc AS (SELECT x.v,
+      |  CASE WHEN ccchk.n > 0 THEN CAST(error(
+      |    'cc oracle: pointer jumping not converged in $k rounds') AS BIGINT)
+      |  ELSE x.m END AS m FROM m$k x, ccchk)""".stripMargin
+  }
+
+  /** Replays the engine's EXACT default BPE merges table (generated from
+    * the same `BpeTable.defaultMerges` constant): per DISTINCT word, the
+    * symbol sequence rides as a chr(31)-delimited string and each rule in
+    * rank order is applied as 5 nested delimiter-framed `replace` calls —
+    * left-to-right non-overlapping replacement merges at least every other
+    * remaining occurrence per pass, so 5 passes converge for words up to 32
+    * characters (corpus max is 8). The `chk` CTE is the convergence
+    * witness: if ANY rule's pair substring survives in a final word state,
+    * the oracle raises a loud DuckDB error instead of hash-flagging a
+    * correct engine result (the ccClosureCtes discipline). Distinct words
+    * first: the synthetic vocabulary is tiny, so the merge loop runs once
+    * per word type and per-doc counts come from a multiplicity join.
+    */
+  private val bpeTokensOracle: String = {
+    val r = graft.functions.BpeTable.defaultMerges.size
+    val rep = (1 to 5).foldLeft("st.t")((acc, _) => s"replace($acc, m.p, m.q)")
+    s"""WITH RECURSIVE merges(r, x, y) AS ${graft.functions.BpeTable.defaultMergesSql},
+      |dw AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |       FROM documents WHERE length(trim(text)) > 0),
+      |st AS (
+      |  SELECT w,
+      |    chr(31) || array_to_string([w[i] for i in range(1, len(w)+1)],
+      |      chr(31)) || chr(31) AS t,
+      |    0 AS r
+      |  FROM dw
+      |  UNION ALL
+      |  SELECT st.w, $rep, st.r + 1
+      |  FROM st JOIN (SELECT r, chr(31)||x||chr(31)||y||chr(31) AS p,
+      |                       chr(31)||x||y||chr(31) AS q FROM merges) m
+      |    ON m.r = st.r + 1
+      |  WHERE st.r < $r),
+      |fin AS (SELECT w, CAST(len(string_split(t, chr(31))) - 2 AS BIGINT) AS n, t
+      |        FROM st WHERE r = $r),
+      |chk AS (SELECT count(*) AS bad FROM fin JOIN merges m
+      |        ON contains(fin.t, chr(31)||m.x||chr(31)||m.y||chr(31))),
+      |wc AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |       FROM documents WHERE length(trim(text)) > 0),
+      |agg AS (SELECT wc.doc_id, sum(fin.n) AS n_bpe FROM wc JOIN fin USING (w)
+      |        GROUP BY 1)
+      |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+      |  CASE WHEN (SELECT bad FROM chk) > 0
+      |       THEN CAST(error('bpe oracle: merges not converged in 5 replace passes') AS BIGINT)
+      |       ELSE CAST(coalesce(agg.n_bpe, 0) AS BIGINT) END AS n_bpe
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY doc_id""".stripMargin
   }
 
   private val dedupGroupsOracle: String =

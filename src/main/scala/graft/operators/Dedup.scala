@@ -254,10 +254,14 @@ object Dedup {
     val idx = spark.table(table)
     val deltaBanded =
       bandedSignatures(delta, idCol, textCol, n, k, bands, seed)
-    val cands = idx.join(deltaBanded.withColumnRenamed("doc", "doc_b"),
-        Seq("band", "bhash"))
-      .select(col("doc").as("doc_a"), col("doc_b"))
-      .distinct()
+    // cands is referenced twice below (oldIds + the verify join); without a
+    // lineage cut the index probe AND the delta banding would execute twice
+    // per action, breaking the "delta pays ONE sketch pass" cost model
+    val cands = Lineage.cut(
+      idx.join(deltaBanded.withColumnRenamed("doc", "doc_b"),
+          Seq("band", "bhash"))
+        .select(col("doc").as("doc_a"), col("doc_b"))
+        .distinct())
     // candidate ids filter the corpus BEFORE the shingle projection, so the
     // (non-codegen) shingle kernel runs only on candidate rows
     val oldIds = cands.select(col("doc_a").as("doc")).distinct()
@@ -282,12 +286,29 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int, seed: Long = 42L,
                    md5: Boolean = false): DataFrame = {
-    val nBlocks = maxDist + 1
-    val width = 64 / nBlocks
     val hashCol =
       if (md5) VectorFunctions.simhashMd5(TextFunctions.tokens(col(textCol)))
       else VectorFunctions.simhash(TextFunctions.tokens(col(textCol)), seed)
-    val fp = docs.select(col(idCol).as("doc"), hashCol.as("fp"))
+    fingerprintPairs(docs.select(col(idCol).as("doc"), hashCol.as("fp")),
+      "doc", "fp", maxDist)
+  }
+
+  /** Pigeonhole-blocked near-dup pairs over ANY precomputed 64-bit
+    * fingerprint column (SimHash, image dHash/pHash, audio fingerprints —
+    * anything whose similarity measure is Hamming distance): split the 64
+    * bits into maxDist+1 disjoint blocks; any pair within distance must
+    * agree on at least one whole block, so candidates come from an
+    * equi-join on (block_no, block_bits) and are verified with
+    * bit_count(xor). Same scale contract as the SimHash operator it was
+    * factored out of: ids + fingerprints only cross the join, per-bucket
+    * fanout bounded by the block width.
+    */
+  def fingerprintPairs(fps: DataFrame, idCol: String, fpCol: String,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    val fp = fps.select(col(idCol).as("doc"), col(fpCol).as("fp"))
     val blockStructs = (0 until nBlocks).map { b =>
       struct(lit(b).as("blk"),
         shiftright(col("fp"), b * width)

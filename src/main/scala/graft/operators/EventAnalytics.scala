@@ -45,13 +45,13 @@ object EventAnalytics {
     */
   def funnel(events: DataFrame, userCol: String, ordCol: String,
              steps: Seq[(String, Column)]): DataFrame = {
-    // One global aggregate pivots the per-step user rows into a single
-    // |steps|-wide row (map-side partials, one tiny shuffle), then explode
-    // unpivots it — no global window, no join, one pass over the events.
-    val fu = funnelUsers(events, userCol, ordCol, steps)
+    // One global aggregate counts non-null first-ords per step straight
+    // off the per-user rows into a single |steps|-wide row (map-side
+    // partials, one tiny shuffle), then explode unpivots it.
     val aggs = steps.indices.map(i =>
-      count(when(col("step") === (i + 1), 1)).as(s"_s${i + 1}"))
-    val row = fu.agg(aggs.head, aggs.tail: _*)
+      count(col(s"_f${i + 1}")).as(s"_s${i + 1}"))
+    val row = perUserFirstOrds(events, userCol, ordCol, steps)
+      .agg(aggs.head, aggs.tail: _*)
     val entries = steps.zipWithIndex.map { case ((name, _), i) =>
       struct(
         lit((i + 1).toLong).as("step"), lit(name).as("step_name"),
@@ -68,36 +68,58 @@ object EventAnalytics {
     */
   def funnelUsers(events: DataFrame, userCol: String, ordCol: String,
                   steps: Seq[(String, Column)]): DataFrame = {
-    require(steps.nonEmpty, "funnel needs at least one step")
-    // The chained min-agg plan references the event set once per (step,
-    // chain-position) — triangular, k(k+1)/2 scans if left on the raw
-    // lineage. Materialize ONE slim projection (user, ord, one boolean per
-    // step — predicates evaluated exactly once) through Lineage.cut (the
-    // Dedup.duplicateGroups pattern): blocks are computed once on the first
-    // action, every chain stage reuses them, and — unlike `.cache()`, which
-    // parks an InMemoryRelation in the CacheManager until someone remembers
-    // to unpersist — the blocks are released by the ContextCleaner as soon
-    // as the returned frame is unreferenced. No per-session cache
-    // accumulation across distinct funnels; on a real cluster
-    // spark.graft.reliableCheckpoints upgrades the cut to survive executor
-    // churn.
-    val anyStep = steps.map(_._2).reduce(_ || _)
-    val base = Lineage.cut(events.filter(anyStep).select(
-      col(userCol) +: col(ordCol) +:
-        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"_p${i + 1}") }: _*))
-    var reached = base.filter(col("_p1"))
-      .groupBy(col(userCol)).agg(min(col(ordCol)).as("first_ord"))
-    var acc = reached.select(lit(1L).as("step"),
-      lit(steps.head._1).as("step_name"), col(userCol), col("first_ord"))
-    for (((name, _), idx) <- steps.zipWithIndex.drop(1)) {
-      reached = base.filter(col(s"_p${idx + 1}"))
-        .join(reached, Seq(userCol))
-        .filter(col(ordCol) > col("first_ord"))
-        .groupBy(col(userCol)).agg(min(col(ordCol)).as("first_ord"))
-      acc = acc.unionByName(reached.select(lit(idx + 1L).as("step"),
-        lit(name).as("step_name"), col(userCol), col("first_ord")))
+    val fs = steps.indices.map(i => s"_f${i + 1}")
+    val reachStructs = steps.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit((i + 1).toLong).as("step"), lit(name).as("step_name"),
+        col(s"_f${i + 1}").as("first_ord"))
     }
-    acc
+    perUserFirstOrds(events, userCol, ordCol, steps)
+      .select(col(userCol), explode(array(reachStructs: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col(userCol),
+        col("r.first_ord"))
+      .filter(col("first_ord").isNotNull)
+  }
+
+  /** One row per user with `_f1.._fk` = the first-qualifying ord at each
+    * step (NULL once the chain breaks) — the single-pass core every funnel
+    * shape derives from.
+    *
+    * Plan: one slim projection (user, ord, one pre-evaluated boolean per
+    * step), ONE user-key shuffle, then k CASCADED window min-aggs over the
+    * same user partitioning — `_fk` references `_f(k-1)` inside its
+    * predicate, so Catalyst stacks k Window operators but inserts exactly
+    * one Exchange+Sort (each later window's requirement is already
+    * satisfied). A per-user groupBy (no further Exchange — the window
+    * output is already hash-partitioned on user) collapses to one row per
+    * user. Versus the previous chained agg+join formulation (k hash-aggs +
+    * k-1 user-keyed joins + a multiply-referenced projection needing a
+    * cache/checkpoint lifecycle) this is one shuffle instead of 2k-1, a
+    * single-reference plan (nothing to cache, nothing to leak — the
+    * round-8 cache-vs-checkpoint regression dissolves), and ~4x fewer
+    * sequential stages of per-job overhead at bench scale. The window
+    * buffers one user's qualifying events (spillable) — bounded by a
+    * single key's history, the same contract as [[transitions]].
+    */
+  private def perUserFirstOrds(events: DataFrame, userCol: String,
+                               ordCol: String,
+                               steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val anyStep = steps.map(_._2).reduce(_ || _)
+    val base = events.filter(anyStep).select(
+      col(userCol) +: col(ordCol) +:
+        steps.zipWithIndex.map { case ((_, p), i) => p.as(s"_p${i + 1}") }: _*)
+    val w = Window.partitionBy(col(userCol))
+    var cur = base.withColumn("_f1",
+      min(when(col("_p1"), col(ordCol))).over(w))
+    for (i <- 2 to steps.size)
+      cur = cur.withColumn(s"_f$i",
+        min(when(col(s"_p$i") && col(ordCol) > col(s"_f${i - 1}"),
+          col(ordCol))).over(w))
+    val fs = steps.indices.map(i => s"_f${i + 1}")
+    // all _fi are per-user constants; min() just picks the constant
+    cur.groupBy(col(userCol))
+      .agg(min(col(fs.head)).as(fs.head),
+        fs.tail.map(f => min(col(f)).as(f)): _*)
   }
 
   /** Per-user step-to-step conversion latency: for every user who reached
@@ -109,13 +131,18 @@ object EventAnalytics {
     */
   def funnelLatencies(events: DataFrame, userCol: String, ordCol: String,
                       steps: Seq[(String, Column)]): DataFrame = {
-    val fu = funnelUsers(events, userCol, ordCol, steps)
-    val prev = fu.select((col("step") + 1).as("step"), col(userCol),
-      col("first_ord").as("prev_ord"))
-    fu.filter(col("step") > 1)
-      .join(prev, Seq("step", userCol))
-      .select(col("step"), col("step_name"), col(userCol),
-        (col("first_ord") - col("prev_ord")).as("latency"))
+    require(steps.size >= 2, "latency needs at least two steps")
+    // consecutive first-ords live in the SAME per-user row, so latency is
+    // a plain column difference — no reach-set self-join
+    val latStructs = (2 to steps.size).map { k =>
+      struct(lit(k.toLong).as("step"), lit(steps(k - 1)._1).as("step_name"),
+        (col(s"_f$k") - col(s"_f${k - 1}")).as("latency"))
+    }
+    perUserFirstOrds(events, userCol, ordCol, steps)
+      .select(col(userCol), explode(array(latStructs: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col(userCol),
+        col("r.latency"))
+      .filter(col("latency").isNotNull)
   }
 
   /** Cohort retention. Each user's cohort is the bucket of their FIRST

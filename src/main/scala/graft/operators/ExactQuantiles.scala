@@ -54,24 +54,42 @@ object ExactQuantiles {
                        buckets: Int = 4096): Map[(String, Long), Long] = {
     require(ranksByGroup.nonEmpty && ranksByGroup.values.forall(_.nonEmpty),
       "no ranks requested")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val g = col(groupCol).cast("string")
-    val v = col(valueCol).cast("long")
-    val slim = df.select(g.as("_g"), v.as("_v")).na.drop()
-
-    val bounds = slim.groupBy(col("_g"))
-      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
+    val (slim, bounds) = slimAndBounds(df, groupCol, valueCol)
     ranksByGroup.foreach { case (grp, ranks) =>
       val (_, _, n) = bounds.getOrElse(grp,
         throw new IllegalArgumentException(s"group '$grp' has no rows"))
       ranks.foreach(r => require(r >= 1 && r <= n,
         s"rank $r out of range [1, $n] for group '$grp'"))
     }
+    search(slim, bounds, ranksByGroup, buckets)
+  }
+
+  /** The (group, value) projection plus one (lo, hi, n) aggregate over it —
+    * the single pre-pass every entry point shares (the grouped quantile
+    * path used to pay this aggregate twice: once for counts, once for
+    * bounds).
+    */
+  private def slimAndBounds(df: DataFrame, groupCol: String,
+                            valueCol: String)
+      : (DataFrame, Map[String, (Long, Long, Long)]) = {
+    val g = col(groupCol).cast("string")
+    val v = col(valueCol).cast("long")
+    val slim = df.select(g.as("_g"), v.as("_v")).na.drop()
+    val bounds = slim.groupBy(col("_g"))
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    (slim, bounds)
+  }
+
+  private def search(slim: DataFrame,
+                     bounds: Map[String, (Long, Long, Long)],
+                     ranksByGroup: Map[String, Seq[Long]],
+                     buckets: Int): Map[(String, Long), Long] = {
+    val spark = slim.sparkSession
+    import spark.implicits._
 
     val resolved = scala.collection.mutable.Map.empty[(String, Long), Long]
     var nextId = 0
@@ -158,19 +176,16 @@ object ExactQuantiles {
                             quantiles: Seq[(String, Long, Long)],
                             buckets: Int = 4096)
       : Map[(String, String), (Long, Long, Long)] = {
-    val counts = df
-      .filter(col(groupCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("_g"))
-      .agg(count(col(valueCol)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      .filter(_._2 > 0)
-    val ranksByGroup = counts.map { case (grp, n) =>
+    // one shared (slim, bounds) pre-pass: group sizes for the rank
+    // arithmetic come from the same aggregate that seeds the search
+    val (slim, bounds) = slimAndBounds(df, groupCol, valueCol)
+    val ranksByGroup = bounds.map { case (grp, (_, _, n)) =>
       grp -> quantiles.map { case (_, qn, qd) => lowerQuantileRank(n, qn, qd) }
     }
     if (ranksByGroup.isEmpty) return Map.empty
-    val values = longRanksGrouped(df, groupCol, valueCol, ranksByGroup, buckets)
+    val values = search(slim, bounds, ranksByGroup, buckets)
     (for {
-      (grp, n) <- counts.toSeq
+      (grp, (_, _, n)) <- bounds.toSeq
       (label, qn, qd) <- quantiles
       r = lowerQuantileRank(n, qn, qd)
     } yield (grp, label) -> ((n, r, values((grp, r))))).toMap

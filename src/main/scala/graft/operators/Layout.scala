@@ -76,11 +76,23 @@ object Layout {
           def asLong(v: Comparable[_]): Long = v match {
             case l: java.lang.Long => l.longValue()
             case i: java.lang.Integer => i.longValue()
+            case null => throw new IllegalArgumentException(
+              s"fileStats: null min/max for '$c' despite hasNonNullValue")
             case o => throw new IllegalArgumentException(
               s"fileStats: non-integral stats for '$c': ${o.getClass}")
           }
-          val mins = chunks.map(ch => asLong(ch.getStatistics.genericGetMin()))
-          val maxs = chunks.map(ch => asLong(ch.getStatistics.genericGetMax()))
+          // a writer may omit statistics, and an all-null column chunk has
+          // stats with no values — either way there is no usable min/max
+          // and pretending otherwise would mis-prune files
+          val usable = chunks.map(_.getStatistics).map { s =>
+            if (s == null || s.isEmpty || !s.hasNonNullValue)
+              throw new IllegalArgumentException(
+                s"fileStats: missing or all-null statistics for '$c' in " +
+                  s"${st.getPath}")
+            s
+          }
+          val mins = usable.map(s => asLong(s.genericGetMin()))
+          val maxs = usable.map(s => asLong(s.genericGetMax()))
           c -> (mins.min, maxs.max)
         }.toMap
       } finally reader.close()

@@ -547,4 +547,213 @@ object Multimodal {
         }
       }
   }
+
+  // ---------------------------------------------------------------------
+  // Image perceptual hashing (dHash) — the image arm of near-dup detection.
+  // ---------------------------------------------------------------------
+
+  /** Lossless 8-bit grayscale PNG plumbing via the raw raster (no getRGB —
+    * that path applies color-space conversion; raster samples round-trip
+    * byte-exact through the PNG codec, which is what makes a perceptual
+    * hash over a decode→hash pipeline deterministic).
+    */
+  object GrayPng {
+    def encode(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(px.length == w * h, "pixel buffer size mismatch")
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    /** Decoded gray samples (row-major) + dimensions; None if undecodable.
+      * Non-gray images are converted through the default luminance op —
+      * only the gray fast path is bit-contracted.
+      */
+    def decode(payload: Array[Byte]): Option[(Array[Int], Int, Int)] =
+      ImageIoCodec.decodeImage(payload).map { img =>
+        val gray =
+          if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new java.awt.image.BufferedImage(img.getWidth,
+              img.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val gr = g.createGraphics()
+            try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+            g
+          }
+        val (w, h) = (gray.getWidth, gray.getHeight)
+        val raster = gray.getRaster
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        (px, w, h)
+      }
+  }
+
+  /** Deterministic grayscale rendering of a token sequence into a w×h
+    * image: pixel i takes the low byte of the oracle-replayable 60-bit md5
+    * hash of `word:i`, where the word index is the integer-proportional
+    * position `(i * n) div (w*h)` — each word paints a contiguous run, so
+    * documents are visually distinct while identical texts render
+    * identical images. This is the synthesis stage standing in for real
+    * photos (none exist in the test corpus); everything downstream — PNG
+    * encode/decode, resampling, hashing, pairing — is the real pipeline.
+    */
+  def renderTextImage(words: Array[String], w: Int, h: Int): Array[Byte] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    require(words.nonEmpty, "renderTextImage needs at least one word")
+    val n = words.length
+    val p = w * h
+    val px = new Array[Int](p)
+    var i = 0
+    while (i < p) {
+      px(i) = (graft.functions.Kernels.md5hash60(
+        UTF8String.fromString(
+          words(((i.toLong * n) / p).toInt) + ":" + i)) % 256).toInt
+      i += 1
+    }
+    GrayPng.encode(px, w, h)
+  }
+
+  /** Exact nearest-neighbour integer upscale (pixel duplication), re-encoded
+    * as PNG — the deterministic "resized duplicate" transform. (AWT's own
+    * scaler has implementation-defined sample points even in NN mode, so
+    * the raster is duplicated directly; [[ImageIoCodec.resize]] remains the
+    * real-world bilinear path, exercised by the spec's tolerant law.)
+    */
+  def upscaleNearest(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    require(factor >= 1, "factor must be >= 1")
+    GrayPng.decode(payload).map { case (px, w, h) =>
+      val out = new Array[Int](w * factor * h * factor)
+      var y = 0
+      while (y < h * factor) {
+        var x = 0
+        while (x < w * factor) {
+          out(y * w * factor + x) = px((y / factor) * w + x / factor)
+          x += 1
+        }
+        y += 1
+      }
+      GrayPng.encode(out, w * factor, h * factor)
+    }
+  }
+
+  /** Clamped brightness shift, re-encoded as PNG — the "re-encoded with a
+    * slight global transform" duplicate family.
+    */
+  def brighten(payload: Array[Byte], delta: Int): Option[Array[Byte]] =
+    GrayPng.decode(payload).map { case (px, w, h) =>
+      val out = new Array[Int](px.length)
+      var i = 0
+      while (i < px.length) {
+        out(i) = math.max(0, math.min(255, px(i) + delta)); i += 1
+      }
+      GrayPng.encode(out, w, h)
+    }
+
+  /** 64-bit dHash (difference hash — public algorithm: Krawetz 2013"kind of
+    * like that"): box-average the gray image onto a 9×8 grid with
+    * integer-division cell boundaries and integer-division averages (so any
+    * SQL engine replays it bit-for-bit), then bit r*8+c = 1 iff
+    * grid[r][c] > grid[r][c+1]. Integer box averaging makes the hash
+    * EXACTLY invariant under integer-factor pixel duplication — the
+    * resized-duplicate law the pairs query relies on.
+    */
+  def dhash64(px: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dhash needs at least 9x8 pixels, got ${w}x$h")
+    val g = new Array[Long](8 * 9)
+    var r = 0
+    while (r < 8) {
+      val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += px(y * w + x); x += 1 }
+          y += 1
+        }
+        g(r * 9 + c) = s / ((y1 - y0).toLong * (x1 - x0))
+        c += 1
+      }
+      r += 1
+    }
+    var bits = 0L
+    r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) > g(r * 9 + c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  case class PhashRow(media_id: Long, phash: Long)
+
+  /** Partition-batched perceptual hash over image payloads: real PNG decode
+    * ([[ImageIoCodec]]) then [[dhash64]]. Undecodable payloads are DROPPED
+    * (a corrupt image has no perceptual identity; zeroing would alias all
+    * corrupt rows into one giant near-dup cluster).
+    */
+  def imagePhash(spark: SparkSession, media: DataFrame): Dataset[PhashRow] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { iter =>
+        // stateful codec init would happen here, once per partition
+        iter.flatMap { r =>
+          GrayPng.decode(r.payload).map { case (px, w, h) =>
+            PhashRow(r.media_id, dhash64(px, w, h))
+          }
+        }
+      }
+  }
+
+  /** The driver-facing image corpus for the pHash near-dup query: every
+    * non-blank document renders to an 18×16 gray PNG, and two planted
+    * transformed-duplicate families ride along under offset ids — an exact
+    * 2× nearest-neighbour upscale (id+100000, every 7th doc) and a +4
+    * clamped brightness shift (id+200000, every 7th doc offset 1). Both
+    * variants round-trip the REAL PNG codec (decode → transform → encode);
+    * the pairs query then recovers exactly these transform pairs, the way
+    * image near-dup in a crawl pipeline recovers re-encoded/rescaled
+    * copies rather than content edits.
+    */
+  def textImageCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textCol: String, w: Int = 18,
+                      h: Int = 16): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("media_id"),
+        trim(col(textCol)).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val png = renderTextImage(text.split("\\s+"), w, h)
+        val base = MediaRow(id, "image/png", png)
+        val variant =
+          if (id % 7 == 0)
+            upscaleNearest(png, 2).map(p =>
+              MediaRow(id + 100000, "image/png", p))
+          else if (id % 7 == 1)
+            brighten(png, 4).map(p => MediaRow(id + 200000, "image/png", p))
+          else None
+        Iterator(base) ++ variant.iterator
+      }
+  }
 }

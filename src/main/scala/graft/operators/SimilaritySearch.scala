@@ -194,9 +194,90 @@ object SimilaritySearch {
         col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
       table, Seq("cell"), nBuckets,
       org.apache.spark.sql.SaveMode.Overwrite)
+    // build-time distribution snapshot (one scan of the fresh index): the
+    // reference state the drift audit compares against. Written LAST — a
+    // crash before this line leaves a queryable index whose audit fails
+    // loudly ("no build stats") rather than silently comparing to nothing.
+    dropTableAndOrphan(spark, buildStatsTable(table))
+    perCellStats(spark, table)
+      .withColumnRenamed("n", "n_build")
+      .withColumnRenamed("poor", "poor_build")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(buildStatsTable(table))
   }
 
   private def quantizerTable(table: String): String = s"${table}_quantizer"
+  private def buildStatsTable(table: String): String = s"${table}_buildstats"
+
+  /** The build-time (cell, n_build, poor_build) snapshot of a persisted IVF
+    * index — public so callers can e.g. locate the busiest cell without
+    * re-aggregating the index.
+    */
+  def ivfBuildStats(spark: org.apache.spark.sql.SparkSession,
+                    table: String): DataFrame =
+    spark.table(buildStatsTable(table))
+
+  /** One aggregate pass over a persisted IVF table: per cell, the row count
+    * and the count of rows whose dot product with their own centroid is
+    * <= 0 ("poor fit": the assigned centroid is not even positively
+    * correlated — a SIGN, so the IEEE comparison is replay-stable in a way
+    * a magnitude threshold would not be). Centroids ride a broadcast of
+    * the nlist-row quantizer table.
+    */
+  private def perCellStats(spark: org.apache.spark.sql.SparkSession,
+                           table: String): DataFrame = {
+    val cents = spark.table(quantizerTable(table))
+      .select(col("pos").as("cell"), col("v").as("_cent"))
+    spark.table(table)
+      .join(broadcast(cents), "cell")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(VectorFunctions.dot(col("cv"), col("_cent")) <= 0.0, 1L)
+          .otherwise(0L)).as("poor"))
+  }
+
+  /** IVF drift audit — the signal that says "the frozen quantizer has gone
+    * stale, rebuild now". Compares the CURRENT per-cell occupancy and
+    * poor-fit distribution of a [[buildIvfIndex]]+[[insertIvfIndex]] table
+    * against the build-time snapshot stored with the index:
+    *
+    *   share_shift_ppm = | (n_now·10⁶) div total_now − (n_build·10⁶) div
+    *   total_build | — the cell's occupancy-share movement in ppm, exact
+    *   integer arithmetic (two floor-divides and a subtraction, replayable
+    *   by any SQL engine; floors taken BEFORE subtracting keeps every term
+    *   within long range up to ~9·10¹² index rows).
+    *
+    * A cell is `drifted` when its share moved more than
+    * `shiftPpmThreshold` (default 2 percentage points). Deltas only ever
+    * ADD rows, so drift here means the incoming distribution no longer
+    * matches the build distribution — exactly the condition under which
+    * FAISS-style add-with-frozen-centroids degrades (new mass crowds into
+    * few cells: nprobe recall drops, cell scans skew).
+    *
+    * Cost: one aggregate scan of the index + two bounded collects (the
+    * nlist-row stats frames); the audit output is nlist rows.
+    */
+  def auditIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                    shiftPpmThreshold: Long = 20000L): DataFrame = {
+    val btab = buildStatsTable(table)
+    require(spark.catalog.tableExists(btab),
+      s"auditIvfIndex: no build stats for '$table' — (re)build the index " +
+        "with this version first")
+    val bstats = spark.table(btab)
+    val totalBuild = bstats.agg(sum(col("n_build"))).collect()(0).getLong(0)
+    val totalNow = spark.table(table).count()
+    require(totalBuild > 0 && totalNow > 0, "empty index")
+    bstats.join(perCellStats(spark, table)
+        .withColumnRenamed("n", "n_now").withColumnRenamed("poor", "poor_now"),
+        Seq("cell"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_build"), col("n_now"), col("poor_build"), col("poor_now"))
+      .withColumn("share_shift_ppm", abs(
+        expr(s"(n_now * 1000000L) div ${totalNow}L") -
+          expr(s"(n_build * 1000000L) div ${totalBuild}L")))
+      .withColumn("drifted",
+        (col("share_shift_ppm") > shiftPpmThreshold).cast("long"))
+  }
 
   /** Drop the table AND its (possibly orphaned) managed location — a dead
     * ephemeral catalog leaves the warehouse dir behind, and saveAsTable

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming near-duplicate ingest gate — the ingestion-time loop of the
+  * persisted-MinHash family ([[graft.operators.Dedup.buildMinhashIndex]] /
+  * [[graft.operators.Dedup.incrementalNearDupPairs]] /
+  * [[graft.operators.Dedup.insertMinhashIndex]]) wired into Structured
+  * Streaming: every micro-batch of incoming documents probes the banding
+  * index in place, near-duplicates of the ACCUMULATED ACCEPTED CORPUS are
+  * rejected, and the surviving docs fold into both the corpus table and
+  * the index — so the next epoch's batch collides with this epoch's
+  * acceptances. This is the daily 100 TB ingest loop running continuously:
+  * only each delta pays a sketch pass, the index join stays Exchange-free
+  * on the bucketed (band, bhash) layout across any number of epochs
+  * (Spark honors the bucket spec on every append).
+  *
+  * Epoch semantics:
+  *   - the FIRST epoch founds the corpus: its docs are accepted wholesale
+  *     and indexed (the [[Dedup.buildMinhashIndex]] contract — dedupe
+  *     within the founding corpus is the batch operators' job);
+  *   - every later epoch rejects docs whose exact Jaccard against ANY
+  *     indexed doc reaches `threshold`; intra-batch duplicates (two new
+  *     docs duplicating each other, neither indexed) pass the gate — the
+  *     contract is new-vs-corpus, compose [[Dedup.minhashLshPairs]]
+  *     upstream if intra-batch dedupe is needed.
+  *
+  * Replay: foreachBatch is at-least-once. A RE-DELIVERED epoch is
+  * corpus-idempotent BY CONSTRUCTION: its docs are already indexed, so
+  * each re-probed doc exact-matches itself (jaccard 1 ≥ threshold) and is
+  * rejected — nothing double-inserts. The narrow caveat is a crash BETWEEN
+  * the index append and the corpus append: the replayed doc is then
+  * index-rejected and the corpus row is never written; recover by
+  * rebuilding the corpus table from the index's doc ids.
+  */
+object StreamingIngestGate {
+
+  /** Per-epoch gate body (also callable on plain batches — the streaming
+    * run and a manual batch-by-batch replay produce identical state, which
+    * is the spec's equivalence law). Persists into `corpusTable` +
+    * `indexTable` and returns the accepted (id, text) slice.
+    */
+  def gateBatch(batch: DataFrame, idCol: String, textCol: String,
+                corpusTable: String, indexTable: String,
+                n: Int, k: Int, bands: Int, threshold: Double,
+                seed: Long = 42L, nBuckets: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val slim = batch.select(col(idCol), col(textCol))
+    val accepted =
+      if (!spark.catalog.tableExists(indexTable)) {
+        Dedup.buildMinhashIndex(slim, idCol, textCol, indexTable,
+          n, k, bands, seed = seed, nBuckets = nBuckets)
+        slim
+      } else {
+        // defensive metadata refresh: micro-batches run in a long-lived
+        // cloned session, and a cached file listing taken when an earlier
+        // epoch first touched the tables would silently hide that epoch's
+        // appends from this probe. One catalog round-trip per epoch.
+        spark.catalog.refreshTable(indexTable)
+        spark.catalog.refreshTable(corpusTable)
+        val dupIds = Dedup.incrementalNearDupPairs(slim,
+            spark.table(corpusTable), idCol, textCol, indexTable,
+            n, k, bands, threshold, seed = seed)
+          .select(col("doc_b").as(idCol)).distinct()
+        val acc = slim.join(dupIds, Seq(idCol), "left_anti").cache()
+        // NAMED nBuckets: the positional slot after `bands` is the SEED —
+        // passing nBuckets there silently bands the insert under a
+        // different hash family than the build/probe (epoch appends become
+        // invisible to every later probe; found the hard way)
+        Dedup.insertMinhashIndex(acc, idCol, textCol, indexTable,
+          n, k, bands, seed = seed, nBuckets = nBuckets)
+        acc
+      }
+    accepted.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .format("parquet").saveAsTable(corpusTable)
+    accepted
+    // NOTE: the returned frame stays cached (founding epoch aside) — its
+    // lazy plan reads the pre-insert index state, so recomputing it AFTER
+    // the appends above would self-match every accepted doc and return
+    // empty. The caller (or [[start]]'s wrapper) unpersists once done.
+  }
+
+  /** Start the gate over a streaming document source. `onBatch` observes
+    * each epoch's accepted slice (side outputs, metrics); the persisted
+    * corpus/index state is the primary output.
+    */
+  def start(docs: DataFrame, idCol: String, textCol: String,
+            corpusTable: String, indexTable: String,
+            n: Int, k: Int, bands: Int, threshold: Double,
+            checkpointDir: String, seed: Long = 42L, nBuckets: Int = 8)
+           (onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val accepted = gateBatch(batch, idCol, textCol, corpusTable,
+          indexTable, n, k, bands, threshold, seed, nBuckets)
+        try onBatch(accepted, epoch)
+        finally accepted.unpersist(blocking = false)
+      }
+      .start()
+}

@@ -371,4 +371,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.map(_.ts_ms).toSeq == Seq(0L, 33L, 67L),
       "stub arm keeps the round(i*1000/fps) timestamps the oracle replays")
   }
+
+  // ---- image perceptual hashing (dHash) ----
+
+  test("gray PNG raster round-trips byte-exact through the real codec") {
+    val px = Array.tabulate(18 * 16)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.GrayPng.encode(px, 18, 16)
+    val Some((back, w, h)) = Multimodal.GrayPng.decode(png)
+    assert(w == 18 && h == 16 && back.toSeq == px.toSeq,
+      "lossless gray PNG is the determinism foundation of the phash pipeline")
+  }
+
+  test("dhash is exactly invariant under integer nearest-neighbour upscale " +
+      "through the real codec") {
+    val words = Array("spark", "stream", "batch", "window", "value")
+    val png = Multimodal.renderTextImage(words, 18, 16)
+    val up = Multimodal.upscaleNearest(png, 2).get
+    val Some((p0, w0, h0)) = Multimodal.GrayPng.decode(png)
+    val Some((p2, w2, h2)) = Multimodal.GrayPng.decode(up)
+    assert((w2, h2) == (36, 32))
+    assert(Multimodal.dhash64(p0, w0, h0) == Multimodal.dhash64(p2, w2, h2),
+      "integer box-avg over duplicated pixels equals the original average")
+  }
+
+  test("planted transformed duplicates pair up; distinct images do not") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (0L, "spark table stream batch window column value filter"),   // %7==0 -> upscale twin
+      (1L, "the customer data join key row order group sort line"),  // %7==1 -> brighten twin
+      (2L, "hash scan query agg merge small big fast slow vector"),
+      (3L, "spark table stream batch window column value filter")    // exact content dup of 0
+    ).toDF("doc_id", "text")
+    val media = Multimodal.textImageCorpus(spark, docs, "doc_id", "text").toDF()
+    val fps = Multimodal.imagePhash(spark, media).toDF()
+    val pairs = Dedup.fingerprintPairs(fps, "media_id", "phash", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = pairs.map { case (a, b, _) => (a, b) }
+    assert(got.contains((0L, 100000L)), "2x-upscaled twin must pair at 0")
+    assert(got.contains((1L, 200001L)), "brightness twin must pair (clamp-only drift)")
+    assert(pairs.filter { case (a, b, _) => Set(a, b) == Set(0L, 3L) }
+      .forall(_._3 == 0) && got.contains((0L, 3L)),
+      "identical content renders identical images")
+    assert(!got.exists { case (a, b) => Set(a, b) == Set(0L, 2L) } &&
+      !got.exists { case (a, b) => Set(a, b) == Set(1L, 2L) },
+      "distinct images stay far apart")
+  }
+
+  test("real-world bilinear resize (ImageIoCodec) stays NEAR in hash space " +
+      "(tolerant law -- interpolation is not bit-contracted)") {
+    val words = Array("stream", "spark", "data", "key", "row", "table")
+    val png = Multimodal.renderTextImage(words, 18, 16)
+    val resized = Multimodal.ImageIoCodec.resize(png, 36, 32).get
+    val Some((p0, w0, h0)) = Multimodal.GrayPng.decode(png)
+    val Some((p2, w2, h2)) = Multimodal.GrayPng.decode(resized)
+    val d = java.lang.Long.bitCount(
+      Multimodal.dhash64(p0, w0, h0) ^ Multimodal.dhash64(p2, w2, h2))
+    assert(d <= 12, s"bilinear 2x resize drifted $d bits -- dHash should " +
+      "keep a rescaled copy near its original")
+  }
 }

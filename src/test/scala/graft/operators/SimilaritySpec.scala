@@ -381,4 +381,73 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(again == inline)
   }
+
+  test("IVF drift audit: planted crowding trips exactly the crowded cell; " +
+      "an undrifted index trips nothing; poor-fit counts the sign flips") {
+    val table = "simspec_ivf_drift"
+    SimilaritySearch.buildIvfIndex(clustered, "vec_id", "embedding", table,
+      nlist = 8)
+    // no-shift audit: shares unchanged, nothing drifts
+    val calm = SimilaritySearch.auditIvfIndex(spark, table).collect()
+    assert(calm.nonEmpty && calm.forall(_.getAs[Long]("drifted") == 0L))
+    assert(calm.forall(r =>
+      r.getAs[Long]("n_build") == r.getAs[Long]("n_now") &&
+        r.getAs[Long]("share_shift_ppm") == 0L))
+    // planted crowding: double one cell via a frozen-quantizer delta
+    val cstar = SimilaritySearch.ivfBuildStats(spark, table)
+      .orderBy(col("n_build").desc, col("cell")).limit(1).collect()(0).getInt(0)
+    val delta = spark.table(table).filter(col("cell") === cstar)
+      .select((col("neighbor_id") + 100000L).as("vec_id"),
+        col("cv").as("embedding"))
+    SimilaritySearch.insertIvfIndex(delta, "vec_id", "embedding", table,
+      nlist = 8)
+    val shifts = SimilaritySearch.auditIvfIndex(spark, table).collect()
+      .map(r => r.getAs[Long]("cell") -> r.getAs[Long]("share_shift_ppm"))
+      .toMap
+    val cstarShift = shifts(cstar.toLong)
+    val maxOther = shifts.collect {
+      case (c, s) if c != cstar.toLong => s }.max
+    // the crowding signal must clearly separate from the passive shrink
+    // every other cell sees (at nlist=8 the shares are big, so the shrink
+    // is nontrivial — the LAW is separation, the absolute threshold is
+    // configuration)
+    assert(cstarShift > 2 * maxOther,
+      s"crowded-cell shift $cstarShift must dominate max passive shift $maxOther")
+    val thr = (cstarShift + maxOther) / 2
+    val hot = SimilaritySearch.auditIvfIndex(spark, table, thr).collect()
+      .map(r => r.getAs[Long]("cell") -> r).toMap
+    assert(hot(cstar.toLong).getAs[Long]("drifted") == 1L,
+      "the crowded cell must trip the rebuild signal")
+    assert(hot(cstar.toLong).getAs[Long]("n_now") ==
+      2 * hot(cstar.toLong).getAs[Long]("n_build"))
+    assert(hot.count(_._2.getAs[Long]("drifted") == 1L) == 1,
+      "no uncrowded cell may false-trip between the separation bounds")
+
+    // poor-fit = dot <= 0 with the own-cell centroid: plant vectors
+    // anti-correlated with every centroid direction by building a tiny
+    // index whose later rows are exact negations of the md5-picked seeds
+    import spark.implicits._
+    val dim = 4
+    val base = (0 until 8).map { i =>
+      val v = Array.tabulate(dim)(d => if (d == i % dim) 1.0f else 0.1f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val t2 = "simspec_ivf_drift_poor"
+    SimilaritySearch.buildIvfIndex(base, "vec_id", "embedding", t2, nlist = 2)
+    val neg = base.select((col("vec_id") + 100L).as("vec_id"),
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => (-x).cast("float")).as("embedding"))
+    SimilaritySearch.insertIvfIndex(neg, "vec_id", "embedding", t2, nlist = 2)
+    val audit2 = SimilaritySearch.auditIvfIndex(spark, t2).collect()
+    assert(audit2.map(_.getAs[Long]("poor_build")).sum == 0L,
+      "aligned build vectors fit their centroids")
+    assert(audit2.map(_.getAs[Long]("poor_now")).sum == 8L,
+      "every negated delta row is a sign-flip poor fit")
+    // an index built before the stats snapshot existed refuses the audit
+    spark.sql(s"DROP TABLE IF EXISTS ${t2}_buildstats")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.auditIvfIndex(spark, t2)
+    }
+    assert(e.getMessage.contains("build stats"))
+  }
 }
