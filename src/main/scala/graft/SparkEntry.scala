@@ -1874,6 +1874,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "mm_audio_fp_pairs" -> ((s, d) => {
+      // audio near-dup, completing the multimodal near-dup set (text 14
+      // operators, image dHash, now audio): every doc renders to real
+      // 16-bit WAV (plus planted duplicate families — a decode→re-encode
+      // copy and a half-volume copy, both through javax.sound.sampled),
+      // 64-bit energy-gradient fingerprint over the decoded samples, then
+      // the same pigeonhole banding + Hamming verify as image/simhash
+      import graft.operators.Multimodal
+      val media = Multimodal.textAudioCorpus(s, t(s, d, "documents"),
+        "doc_id", "text").toDF()
+      val fps = Multimodal.audioFp(s, media).toDF()
+      Dedup.fingerprintPairs(fps, "media_id", "phash", maxDist = 6)
+        .select(col("doc_a").cast("long").as("id_a"),
+          col("doc_b").cast("long").as("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "graph_triangles" -> ((s, d) => {
       // exact triangle census of the parts-bought-together graph over the
       // most recent shipping year: co-occurrence edges (orders are the
@@ -3511,6 +3529,53 @@ object SparkEntry {
         |  SELECT CAST(doc_id AS BIGINT) AS id, fp FROM sg
         |  UNION ALL SELECT CAST(doc_id + 100000 AS BIGINT), fp FROM sg WHERE doc_id % 7 = 0
         |  UNION ALL SELECT CAST(doc_id + 200000 AS BIGINT), fp FROM sgb),
+        |blk AS (SELECT id, fp, b.b AS blk, (fp >> (b.b * 9)) & 511 AS bits
+        |        FROM allfp, range(7) b(b)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, a.fp AS fa, c.id AS id_b, c.fp AS fb
+        |         FROM blk a JOIN blk c ON c.blk = a.blk AND c.bits = a.bits AND a.id < c.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The mm_phash_pairs replay transposed to audio: absolute md5-derived
+    // samples, 64-sample window energies (exact integer sums; the
+    // half-volume family as floor-halved absolute samples — |trunc(s/2)|
+    // == |s| div 2), gradient bits packed two's-complement, re-encode as
+    // hash identity (codec losslessness pinned by MultimodalSpec), same
+    // banding + Hamming verify.
+    "mm_audio_fp_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        |           FROM documents WHERE length(trim(text)) > 0),
+        |sm AS (SELECT doc_id, i.i AS i,
+        |         abs(CAST(concat('0x', substr(md5(ws[CAST((i.i * len(ws)) // 4160 AS INT) + 1] || ':' || i.i), 1, 15)) AS BIGINT) % 65536 - 32768) AS a
+        |       FROM w, range(4160) i(i)),
+        |e AS (SELECT doc_id, i // 64 AS win, sum(a) AS ev FROM sm GROUP BY 1, 2),
+        |eh AS (SELECT doc_id, i // 64 AS win, sum(a // 2) AS ev
+        |       FROM sm WHERE doc_id % 7 = 3 GROUP BY 1, 2),
+        |hb AS (SELECT x.doc_id,
+        |         sum(CASE WHEN x.ev > y.ev AND x.win < 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(x.win AS INT) ELSE 0 END) AS lo,
+        |         sum(CASE WHEN x.ev > y.ev AND x.win >= 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(x.win - 32 AS INT) ELSE 0 END) AS hi
+        |       FROM e x JOIN e y ON y.doc_id = x.doc_id AND y.win = x.win + 1
+        |       WHERE x.win < 64 GROUP BY 1),
+        |hbr AS (SELECT x.doc_id,
+        |         sum(CASE WHEN x.ev > y.ev AND x.win < 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(x.win AS INT) ELSE 0 END) AS lo,
+        |         sum(CASE WHEN x.ev > y.ev AND x.win >= 32
+        |                  THEN CAST(1 AS BIGINT) << CAST(x.win - 32 AS INT) ELSE 0 END) AS hi
+        |       FROM eh x JOIN eh y ON y.doc_id = x.doc_id AND y.win = x.win + 1
+        |       WHERE x.win < 64 GROUP BY 1),
+        |sg AS (SELECT doc_id, CAST(CASE WHEN lo + hi * 4294967296 >= 9223372036854775808
+        |            THEN lo + hi * 4294967296 - 18446744073709551616
+        |            ELSE lo + hi * 4294967296 END AS BIGINT) AS fp FROM hb),
+        |sgb AS (SELECT doc_id, CAST(CASE WHEN lo + hi * 4294967296 >= 9223372036854775808
+        |            THEN lo + hi * 4294967296 - 18446744073709551616
+        |            ELSE lo + hi * 4294967296 END AS BIGINT) AS fp FROM hbr),
+        |allfp AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, fp FROM sg
+        |  UNION ALL SELECT CAST(doc_id + 300000 AS BIGINT), fp FROM sg WHERE doc_id % 7 = 2
+        |  UNION ALL SELECT CAST(doc_id + 400000 AS BIGINT), fp FROM sgb),
         |blk AS (SELECT id, fp, b.b AS blk, (fp >> (b.b * 9)) & 511 AS bits
         |        FROM allfp, range(7) b(b)),
         |cand AS (SELECT DISTINCT a.id AS id_a, a.fp AS fa, c.id AS id_b, c.fp AS fb

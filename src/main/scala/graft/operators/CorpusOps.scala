@@ -101,12 +101,23 @@ object CorpusOps {
     * ~quota/avg_tokens hashes is a safe pre-filter.
     */
   def mixByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
-                       textCol: String, quota: Long): DataFrame = {
+                       textCol: String, quota: Long): DataFrame =
+    mixByTokenBudget(df, groupCol, idCol, textCol, quota,
+      TextFunctions.nTokens(_).cast("long"))
+
+  /** Variant with a pluggable token counter — budgets should be keyed to
+    * the count the TRAINING RUN will see, so pass the real tokenizer
+    * (e.g. `graft.functions.Bpe.bpeCount(_)`) instead of the whitespace
+    * default when the downstream consumer is BPE-tokenized.
+    */
+  def mixByTokenBudget(df: DataFrame, groupCol: String, idCol: String,
+                       textCol: String, quota: Long,
+                       tokenCount: Column => Column): DataFrame = {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(idCol))
     // null text counts as 0 tokens EXPLICITLY — a null n_tokens would be
     // skipped by the window sum and the doc would ride in quota-free
     df.select(col(groupCol), col(idCol).cast("long").as(idCol),
-        coalesce(TextFunctions.nTokens(col(textCol)).cast("long"), lit(0L))
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L))
           .as("n_tokens"),
         md5(col(idCol).cast("string")).as("_h"))
       .withColumn("cum_before",
@@ -266,14 +277,23 @@ object CorpusOps {
     * finer strata (e.g. source × day) so no single group exceeds one task.
     */
   def packSequences(df: DataFrame, groupCol: String, idCol: String,
-                    textCol: String, budget: Long): DataFrame = {
+                    textCol: String, budget: Long): DataFrame =
+    packSequences(df, groupCol, idCol, textCol, budget,
+      TextFunctions.nTokens(_).cast("long"))
+
+  /** Variant with a pluggable token counter (see [[mixByTokenBudget]]) —
+    * bin capacities keyed to the real tokenizer's counts.
+    */
+  def packSequences(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, budget: Long,
+                    tokenCount: Column => Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // null text packs as a 0-token doc; null id fails fast (encoder slots
     // below are non-nullable Longs)
     df.select(col(groupCol).cast("string"),
         checkedLongId(idCol, "packSequences"),
-        coalesce(TextFunctions.nTokens(col(textCol)).cast("long"), lit(0L)))
+        coalesce(tokenCount(col(textCol)).cast("long"), lit(0L)))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>

@@ -725,6 +725,178 @@ object Multimodal {
       }
   }
 
+  // ---------------------------------------------------------------------
+  // Audio perceptual fingerprinting — the audio arm of near-dup detection.
+  // ---------------------------------------------------------------------
+
+  /** Lossless 16-bit mono PCM WAV plumbing through the real
+    * javax.sound.sampled codec (the audio sibling of [[GrayPng]]): signed
+    * little-endian samples round-trip byte-exact, which is what makes a
+    * fingerprint over a decode→hash pipeline deterministic.
+    */
+  object WavPcm {
+    private def fmt(sampleRate: Float) = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, sampleRate,
+      16, 1, 2, sampleRate, false)
+
+    def encode(samples: Array[Int], sampleRate: Float = 8000f): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        require(s >= Short.MinValue && s <= Short.MaxValue,
+          s"sample $s out of 16-bit range")
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt(sampleRate),
+        samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+
+    /** Decoded signed samples; None for undecodable or non-16-bit-PCM
+      * payloads (only the bit-contracted format is fingerprintable).
+      */
+    def decode(payload: Array[Byte]): Option[Array[Int]] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+            f.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+        else {
+          val bytes = ais.readAllBytes()
+          val out = new Array[Int](bytes.length / 2)
+          var i = 0
+          while (i < out.length) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt
+            out(i) = if (f.isBigEndian) (bytes(2 * i).toInt << 8) | (bytes(2 * i + 1) & 0xff)
+                     else (hi << 8) | lo
+            i += 1
+          }
+          Some(out)
+        }
+      } catch {
+        case _: java.io.IOException => None
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      }
+  }
+
+  /** Deterministic PCM rendering of a token sequence (the audio analogue of
+    * [[renderTextImage]]): sample i takes the md5-derived 16-bit value of
+    * `word:i` with words covering contiguous runs. Real WAV bytes out.
+    */
+  def renderTextAudio(words: Array[String], nSamples: Int): Array[Byte] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    require(words.nonEmpty, "renderTextAudio needs at least one word")
+    val n = words.length
+    val out = new Array[Int](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(i) = (graft.functions.Kernels.md5hash60(
+        UTF8String.fromString(
+          words(((i.toLong * n) / nSamples).toInt) + ":" + i)) % 65536).toInt -
+        32768
+      i += 1
+    }
+    WavPcm.encode(out)
+  }
+
+  /** Decode → re-encode through the codec (the "same audio, different file"
+    * duplicate family).
+    */
+  def reencodeWav(payload: Array[Byte]): Option[Array[Byte]] =
+    WavPcm.decode(payload).map(WavPcm.encode(_))
+
+  /** Halved amplitude (integer truncation toward zero), re-encoded — the
+    * "volume-normalized copy" duplicate family. |s/2| == |s| div 2 for
+    * truncating division, which is what lets a SQL replay use a plain
+    * floor-divide on the ABSOLUTE sample value.
+    */
+  def halfVolume(payload: Array[Byte]): Option[Array[Byte]] =
+    WavPcm.decode(payload).map(ss => WavPcm.encode(ss.map(_ / 2)))
+
+  /** 64-bit energy-gradient fingerprint (dHash transposed to audio): the
+    * signal splits into 65 equal windows, each window's energy is the exact
+    * integer sum of absolute sample values, bit k = 1 iff E[k] > E[k+1].
+    * Integer-exact ⇒ SQL-replayable; invariant under re-encode, near-
+    * invariant under uniform amplitude scaling (energies scale together;
+    * only floor-rounding ties can flip).
+    */
+  def audioFingerprint(samples: Array[Int], nWindows: Int = 65): Long = {
+    require(samples.length >= nWindows, "too few samples")
+    val ws = samples.length / nWindows
+    val es = new Array[Long](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      var e = 0L
+      var i = w * ws
+      while (i < (w + 1) * ws) { e += math.abs(samples(i)); i += 1 }
+      es(w) = e
+      w += 1
+    }
+    var bits = 0L
+    var k = 0
+    while (k < 64 && k < nWindows - 1) {
+      if (es(k) > es(k + 1)) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  /** Partition-batched audio fingerprint over WAV payloads: real codec
+    * decode then [[audioFingerprint]]; undecodable payloads dropped (same
+    * contract as [[imagePhash]]).
+    */
+  def audioFp(spark: SparkSession, media: DataFrame): Dataset[PhashRow] = {
+    import spark.implicits._
+    media.select("media_id", "mime", "payload").as[MediaRow]
+      .mapPartitions { iter =>
+        // stateful codec init would happen here, once per partition
+        iter.flatMap { r =>
+          WavPcm.decode(r.payload).map { ss =>
+            PhashRow(r.media_id, audioFingerprint(ss))
+          }
+        }
+      }
+  }
+
+  /** The driver-facing audio corpus for the fingerprint near-dup query:
+    * every non-blank document renders to 4160 samples of real 16-bit WAV,
+    * with two planted duplicate families riding under offset ids — a
+    * decode→re-encode copy (id+300000, every 7th doc offset 2) and a
+    * half-volume copy (id+400000, every 7th doc offset 3), both through
+    * the real codec.
+    */
+  def textAudioCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                      textCol: String,
+                      nSamples: Int = 65 * 64): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("media_id"),
+        trim(col(textCol)).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val wav = renderTextAudio(text.split("\\s+"), nSamples)
+        val base = MediaRow(id, "audio/wav", wav)
+        val variant =
+          if (id % 7 == 2)
+            reencodeWav(wav).map(p => MediaRow(id + 300000, "audio/wav", p))
+          else if (id % 7 == 3)
+            halfVolume(wav).map(p => MediaRow(id + 400000, "audio/wav", p))
+          else None
+        Iterator(base) ++ variant.iterator
+      }
+  }
+
   /** The driver-facing image corpus for the pHash near-dup query: every
     * non-blank document renders to an 18×16 gray PNG, and two planted
     * transformed-duplicate families ride along under offset ids — an exact

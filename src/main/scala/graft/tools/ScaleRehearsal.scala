@@ -109,7 +109,11 @@ object ScaleRehearsal {
     // round 8: the ingest near-dup gate — index build (first touch) + delta
     // sketch + bucketed probe; at 10x the corpus the delta side is what
     // grows, exactly the daily-batch regime the operator exists for
-    "dedup_incremental_near")
+    "dedup_incremental_near",
+    // round 9: the real BPE kernel (per-row scan work — must scale flat per
+    // row) and the two multimodal near-dup pipelines (codec map stage +
+    // pigeonhole banding join — the banding shuffle must stay linear)
+    "text_bpe_tokens", "mm_phash_pairs", "mm_audio_fp_pairs")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +

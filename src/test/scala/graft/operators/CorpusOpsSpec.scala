@@ -505,4 +505,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     // gpos is a permutation of 1..n
     assert(want.values.toSeq.sorted == (1L to corpus.size).toSeq)
   }
+
+  test("budget operators accept a pluggable token counter (real BPE)") {
+    import graft.functions.Bpe
+    val df = Seq(
+      (1L, "en", "spark table stream"),      // 3 BPE tokens (whole words)
+      (2L, "en", "customer customer"),       // 12 BPE tokens (6 each)
+      (3L, "en", "the the the the")          // 4 BPE tokens
+    ).toDF("doc_id", "lang", "text")
+    // default (whitespace) and BPE counters budget differently: doc 2 is
+    // 2 whitespace tokens but 12 BPE tokens
+    val bpeCounts = CorpusOps.packSequences(df, "lang", "doc_id", "text",
+        budget = 12L, Bpe.bpeCount(_))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(bpeCounts == Map(1L -> 3L, 2L -> 12L, 3L -> 4L),
+      "bin token counts must be the REAL tokenizer's counts")
+    val mixed = CorpusOps.mixByTokenBudget(df, "lang", "doc_id", "text",
+        quota = 1L, Bpe.bpeCount(_))
+      .collect().map(_.getLong(1)).toSet
+    // quota 1: only the md5-first doc is admitted, and its n_tokens column
+    // carries the BPE count
+    assert(mixed.size == 1)
+    // default-counter overloads unchanged (delegation law)
+    val d1 = CorpusOps.packSequences(df, "lang", "doc_id", "text", 12L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val d2 = CorpusOps.packSequences(df, "lang", "doc_id", "text", 12L,
+        graft.functions.TextFunctions.nTokens(_).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(d1 == d2)
+  }
 }

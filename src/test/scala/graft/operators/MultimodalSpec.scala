@@ -417,6 +417,43 @@ class MultimodalSpec extends AnyFunSuite {
       "distinct images stay far apart")
   }
 
+  // ---- audio perceptual fingerprinting ----
+
+  test("16-bit PCM WAV round-trips sample-exact through the real codec") {
+    val ss = Array.tabulate(4160)(i => ((i * 2731 + 17) % 65536) - 32768)
+    val wav = Multimodal.WavPcm.encode(ss)
+    val Some(back) = Multimodal.WavPcm.decode(wav)
+    assert(back.toSeq == ss.toSeq,
+      "lossless PCM is the determinism foundation of the audio fingerprint")
+  }
+
+  test("audio fingerprint is invariant under decode->re-encode and stable " +
+      "under half volume; corrupt payloads are dropped") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (2L, "spark table stream batch window column value filter data row"),
+      (3L, "the customer data join key row order group sort line merge"),
+      (4L, "hash scan query agg merge small big fast slow vector part")
+    ).toDF("doc_id", "text")
+    val media = Multimodal.textAudioCorpus(spark, docs, "doc_id", "text").toDF()
+    val fps = Multimodal.audioFp(spark, media).toDF()
+    val pairs = Dedup.fingerprintPairs(fps, "media_id", "phash", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = pairs.map { case (a, b, _) => (a, b) }
+    assert(pairs.contains((2L, 300002L, 0)),
+      "re-encoded copy must hash identically (codec losslessness)")
+    assert(got.contains((3L, 400003L)),
+      "half-volume copy must pair (floor-rounding drift only)")
+    assert(!got.exists { case (a, b) =>
+      Set(a, b).subsetOf(Set(2L, 3L, 4L)) && a != b },
+      "distinct audio stays far apart")
+    // corrupt payload: dropped, not failed
+    import spark.implicits._
+    val corrupt = Seq(Multimodal.MediaRow(9L, "audio/wav",
+      Array.fill[Byte](64)(3))).toDF()
+    assert(Multimodal.audioFp(spark, corrupt).count() == 0L)
+  }
+
   test("real-world bilinear resize (ImageIoCodec) stays NEAR in hash space " +
       "(tolerant law -- interpolation is not bit-contracted)") {
     val words = Array("stream", "spark", "data", "key", "row", "table")
