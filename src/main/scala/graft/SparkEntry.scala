@@ -550,6 +550,23 @@ object SparkEntry {
         .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
         .limit(100)),
 
+    "q_hilbert_curve" -> ((s, d) =>
+      // Hilbert curve key (Skilling 2004, public) on the same columns as
+      // q_zorder_curve: every unit step along this curve moves exactly one
+      // coordinate by ±1, so contiguous curve segments — what
+      // Layout.hilbertWrite puts in one file — are tighter boxes than the
+      // Morton curve's (whose power-of-two diagonal jumps widen file
+      // min/max stats). Same in-scan codegen shape as ZValue
+      t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_partkey").cast("long").as("l_partkey"),
+          col("l_suppkey").cast("long").as("l_suppkey"),
+          graft.operators.Layout.hilbert(16,
+            col("l_partkey"), col("l_suppkey")).as("h"))
+        .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
     "corpus_global_order" -> ((s, d) =>
       // exact global training permutation WITHOUT a single-partition
       // window: deterministic top-bit range buckets rank locally, a
@@ -738,6 +755,19 @@ object SparkEntry {
           col("id_b").cast("long").as("id_b"),
           col("cell").cast("long").as("cell"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    "corpus_decontaminate_semantic" -> ((s, d) =>
+      // embedding-space decontamination: train vectors within cosine 0.3 of
+      // any eval vector (eval = every 7th id), candidates bounded by the
+      // same md5-seeded quantizer cells as dedup_semantic, eval side
+      // broadcast — the paraphrase leak the 13-gram decontaminate misses
+      graft.operators.CorpusOps.decontaminateSemantic(t(s, d, "embeddings"),
+          col("vec_id") % 7 === 3, "vec_id", "embedding",
+          nlist = 16, threshold = 0.3)
+        .select(col("train_id").cast("long").as("train_id"),
+          col("n_eval_hits").cast("long").as("n_eval_hits"),
+          col("eval_witness").cast("long").as("eval_witness"))
+        .orderBy(col("train_id"))),
 
     "dedup_groups" -> ((s, d) => {
       // full dedup deliverable: near-dup pairs -> connected-component
@@ -1573,6 +1603,19 @@ object SparkEntry {
         col("doc_id").cast("long").as("doc_id"),
         graft.functions.Bpe.bpeCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))),
+
+    "text_bpe_train" -> ((s, d) =>
+      // distributed BPE vocabulary TRAINING (Sennrich 2016) — the
+      // complement of text_bpe_tokens' applier: one corpus pass builds a
+      // capped word-frequency table, then each merge round is a pair-count
+      // hash agg + 1-row argmax + literal replace on the delimiter-encoded
+      // symbol strings. The oracle replays every round (12 unrolled
+      // count/argmax/replace CTE triples over the same encoding)
+      graft.operators.BpeTrain.trainDF(s, t(s, d, "documents"), "text",
+          nMerges = 12, maxWords = 2000)
+        .select(col("step").cast("long").as("step"), col("x"), col("y"),
+          col("merged"), col("cnt").cast("long").as("cnt"))
+        .orderBy(col("step"))),
 
     // ---------- multimodal columns ----------
     "mm_media_meta" -> ((s, d) =>
@@ -2669,6 +2712,14 @@ object SparkEntry {
         |  CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(z AS BIGINT) AS z
         |FROM t ORDER BY z, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
 
+    // full arithmetic replay of the Skilling AxesToTranspose passes — the
+    // inverse-undo loop unrolled into 15 chained CTEs (lateral aliases get
+    // per-iteration names: a bare `xa` would resolve to the PREVIOUS CTE's
+    // column, not the new alias), the Gray-pass XOR accumulator in closed
+    // form (bit c of t = parity of popcount(y >> (c+1))), then the
+    // transposed-bit interleave
+    "q_hilbert_curve" -> hilbertOracle16,
+
     "corpus_global_order" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(concat('0x', substr(md5('order-v1|' ||
@@ -2985,6 +3036,39 @@ object SparkEntry {
         |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         |  CAST(cell AS BIGINT) AS cell
         |FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    // the dedup_semantic quantizer replay applied cross-set: same 16
+    // md5-seeded centroids and nearest-cell assignment, then train↔eval
+    // candidates within a cell, exact-cosine verify, per-train aggregation
+    "corpus_decontaminate_semantic" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |tr AS (SELECT vec_id AS train_id, cell FROM assign WHERE vec_id % 7 != 3),
+        |ev AS (SELECT vec_id AS eval_id, cell FROM assign WHERE vec_id % 7 = 3),
+        |hits AS (
+        |  SELECT t.train_id, e2.eval_id
+        |  FROM tr t JOIN ev e2 ON e2.cell = t.cell
+        |  JOIN v vt ON vt.vec_id = t.train_id
+        |  JOIN v ve ON ve.vec_id = e2.eval_id
+        |  WHERE list_cosine_similarity(vt.e, ve.e) >= 0.3)
+        |SELECT CAST(train_id AS BIGINT) AS train_id,
+        |  CAST(count(*) AS BIGINT) AS n_eval_hits,
+        |  CAST(min(eval_id) AS BIGINT) AS eval_witness
+        |FROM hits GROUP BY train_id ORDER BY train_id""".stripMargin,
 
     "dedup_embedding_exact" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -3546,9 +3630,12 @@ object SparkEntry {
     "mm_audio_fp_pairs" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
         |           FROM documents WHERE length(trim(text)) > 0),
-        |sm AS (SELECT doc_id, i.i AS i,
-        |         abs(CAST(concat('0x', substr(md5(ws[CAST((i.i * len(ws)) // 4160 AS INT) + 1] || ':' || i.i), 1, 15)) AS BIGINT) % 65536 - 32768) AS a
-        |       FROM w, range(4160) i(i)),
+        |ab AS (SELECT doc_id, b.b AS b,
+        |         CAST(concat('0x', substr(md5(ws[CAST((b.b * 3 * len(ws)) // 4160 AS INT) + 1] || ':' || b.b), 1, 15)) AS BIGINT) AS hh
+        |       FROM w, range(1387) b(b)),
+        |sm AS (SELECT doc_id, b * 3 + j.j AS i,
+        |         abs(((hh >> CAST(16 * j.j AS INT)) & 65535) - 32768) AS a
+        |       FROM ab, range(3) j(j) WHERE b * 3 + j.j < 4160),
         |e AS (SELECT doc_id, i // 64 AS win, sum(a) AS ev FROM sm GROUP BY 1, 2),
         |eh AS (SELECT doc_id, i // 64 AS win, sum(a // 2) AS ev
         |       FROM sm WHERE doc_id % 7 = 3 GROUP BY 1, 2),
@@ -3680,6 +3767,13 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_bpe_tokens" -> bpeTokensOracle,
+
+    // full training replay: 12 unrolled rounds of (pair-count over the
+    // delimiter-encoded word table, argmax with the (cnt desc, x, y)
+    // tiebreak, literal merge replace) — w/m CTEs MATERIALIZED because the
+    // w-chain is referenced twice per round and DuckDB would otherwise
+    // re-execute the prefix exponentially
+    "text_bpe_train" -> graft.operators.BpeTrain.oracleSql(12, 2000),
 
     "mm_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
@@ -4092,6 +4186,55 @@ object SparkEntry {
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id) AS rnk
       |FROM ranked QUALIFY rnk <= 10""".stripMargin
+
+  /** DuckDB replay of [[graft.functions.Kernels.hilbertPos]] for d=2,
+    * bits=16 over (l_partkey, l_suppkey) — Skilling's AxesToTranspose with
+    * the Q-loop unrolled into chained CTEs. Each iteration's intermediate
+    * aliases carry the iteration number: DuckDB resolves a bare repeated
+    * alias name to the previous CTE's COLUMN, not the new lateral alias,
+    * which silently corrupts every iteration after the first. The final
+    * stage applies the Gray encode, the XOR accumulator in closed form
+    * (bit c of t = popcount(y >> (c+1)) mod 2 — the loop XORs (2^j)-1 for
+    * every set bit j ≥ 1, so bit c flips once per set bit above it), and
+    * the transposed-bit interleave (axis 0 most significant).
+    */
+  private val hilbertOracle16: String = {
+    val bits = 16
+    val max = (1L << bits) - 1
+    val head =
+      s"""h0 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  CAST(least(greatest(l_partkey, 0), $max) AS BIGINT) AS x0,
+         |  CAST(least(greatest(l_suppkey, 0), $max) AS BIGINT) AS y0
+         |  FROM lineitem)""".stripMargin
+    val steps = (1 until bits).map { k =>
+      val q = 1L << (bits - k); val p = q - 1; val a = k - 1
+      val drop = if (k == 1) s"x$a, y$a" else s"x$a, y$a, xa$a, tt$a"
+      s"""h$k AS (SELECT * EXCLUDE ($drop),
+         |  CASE WHEN (x$a & $q) != 0 THEN xor(x$a, $p) ELSE x$a END AS xa$k,
+         |  xor(xa$k, y$a) & $p AS tt$k,
+         |  CASE WHEN (y$a & $q) != 0 THEN xor(xa$k, $p)
+         |       ELSE xor(xa$k, tt$k) END AS x$k,
+         |  CASE WHEN (y$a & $q) != 0 THEN y$a ELSE xor(y$a, tt$k) END AS y$k
+         |  FROM h$a)""".stripMargin
+    }
+    val l = bits - 1
+    val tail =
+      s"""hg AS (SELECT * EXCLUDE (x$l, y$l, xa$l, tt$l),
+         |  xor(y$l, x$l) AS yg,
+         |  list_sum([(bit_count(yg >> (c + 1)) % 2) << c
+         |            FOR c IN range(0, ${bits - 1})]) AS tg,
+         |  xor(x$l, tg) AS xf, xor(yg, tg) AS yf,
+         |  list_sum([((xf >> j) & 1) << (2*j + 1) FOR j IN range(0, $bits)])
+         |  + list_sum([((yf >> j) & 1) << (2*j) FOR j IN range(0, $bits)]) AS h
+         |  FROM h$l)""".stripMargin
+    (Seq("WITH " + head) ++ steps ++ Seq(tail)).mkString(",\n") +
+      """
+        |SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(l_partkey AS BIGINT) AS l_partkey,
+        |  CAST(l_suppkey AS BIGINT) AS l_suppkey, CAST(h AS BIGINT) AS h
+        |FROM hg ORDER BY h, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+  }
 
   private val annCosineOracle: String =
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

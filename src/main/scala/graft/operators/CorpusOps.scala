@@ -149,6 +149,46 @@ object CorpusOps {
       .agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space complement of
+    * the n-gram [[decontaminate]]: a paraphrased eval question shares no
+    * 13-gram with its train-set leak, but the embeddings sit at cosine ≈ 1.
+    * Flags every train vector whose cosine to ANY eval vector reaches
+    * `threshold`, with the same blocked plan as
+    * [[Dedup.semanticDedupPairs]] (SemDeDup, arXiv:2303.09540, applied
+    * cross-set): md5-seeded coarse-quantizer cells over the WHOLE corpus,
+    * then a train↔eval candidate join on (cell) only — the eval side of the
+    * join is (id, cell) pairs, broadcast (an eval benchmark is thousands of
+    * rows; the 100 TB side never shuffles more than its cell assignment) —
+    * and exact-cosine verification re-attaches vectors by id for candidate
+    * rows only. Output per contaminated train id: how many eval vectors it
+    * matched and the smallest matching eval id (deterministic witness).
+    *
+    * A quantizer cell can split a true near-pair across cells (the same
+    * recall boundary [[Dedup.semanticDedupPairs]] declares and
+    * `ann_ivf_recall_audit` measures); raise nlist-to-probe or rerun with a
+    * different seed family for belt-and-braces hygiene.
+    */
+  def decontaminateSemantic(emb: DataFrame, evalPred: Column, idCol: String,
+                            vecCol: String, nlist: Int,
+                            threshold: Double): DataFrame = {
+    val (flat, norms, dim) = SimilaritySearch.seedCentroids(
+      emb, idCol, vecCol, nlist, "decontaminateSemantic")
+    val assigned = emb.select(col(idCol).as("id"), evalPred.as("is_eval"),
+      VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
+    val train = assigned.filter(!col("is_eval"))
+      .select(col("id").as("train_id"), col("cell"))
+    val evalSide = assigned.filter(col("is_eval"))
+      .select(col("id").as("eval_id"), col("cell"))
+    val vt = emb.select(col(idCol).as("train_id"), col(vecCol).as("_vt"))
+    val ve = emb.select(col(idCol).as("eval_id"), col(vecCol).as("_ve"))
+    train.join(broadcast(evalSide), "cell")
+      .join(vt, "train_id")
+      .join(broadcast(ve), "eval_id")
+      .filter(VectorFunctions.cosine(col("_vt"), col("_ve")) >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("eval_id")).as("eval_witness"))
+  }
+
   /** Source×source contamination matrix: for every pair of corpus sources,
     * how many winnow fingerprints ([[VectorFunctions.winnowMd5]] — the same
     * oracle-replayable family `dedup_containment` uses) they share, plus

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.ZValue
+import graft.functions.{HValue, ZValue}
 import org.apache.spark.sql.GraftBridge.{column, expression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -25,6 +25,19 @@ object Layout {
   def zvalue(bits: Int, cols: Column*): Column =
     column(ZValue(cols.map(expression), bits))
 
+  /** Hilbert curve position of `cols` (same clamping contract as
+    * [[zvalue]]). Consecutive Hilbert positions are always ADJACENT cells —
+    * the Morton curve's long diagonal jumps at power-of-two boundaries are
+    * exactly what widen a file's min/max box — so under the identical
+    * range-partition + sort layout pass, Hilbert files carry tighter
+    * per-column stats and range predicates prune at least as many files.
+    * This is the curve production OPTIMIZE/CLUSTER BY passes prefer for
+    * 2+ dimensions; both keys are pure codegen expressions computed
+    * in-scan.
+    */
+  def hilbert(bits: Int, cols: Column*): Column =
+    column(HValue(cols.map(expression), bits))
+
   /** Write `df` as `nFiles` Z-ordered parquet files: range-partition on the
     * curve key (contiguous curve segments per file), sort within each file,
     * drop the key. At cluster scale this is the standard OPTIMIZE/ZORDER
@@ -32,7 +45,18 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, bits: Int, zcols: Seq[String], path: String,
                   nFiles: Int): Unit =
-    df.withColumn("_z", zvalue(bits, zcols.map(col): _*))
+    curveWrite(df, zvalue(bits, zcols.map(col): _*), path, nFiles)
+
+  /** [[zorderWrite]] with the Hilbert key — one sort at write time, tighter
+    * min/max boxes on every interleaved column at read time.
+    */
+  def hilbertWrite(df: DataFrame, bits: Int, hcols: Seq[String], path: String,
+                   nFiles: Int): Unit =
+    curveWrite(df, hilbert(bits, hcols.map(col): _*), path, nFiles)
+
+  private def curveWrite(df: DataFrame, key: Column, path: String,
+                         nFiles: Int): Unit =
+    df.withColumn("_z", key)
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

@@ -791,8 +791,13 @@ object Multimodal {
   }
 
   /** Deterministic PCM rendering of a token sequence (the audio analogue of
-    * [[renderTextImage]]): sample i takes the md5-derived 16-bit value of
-    * `word:i` with words covering contiguous runs. Real WAV bytes out.
+    * [[renderTextImage]]): one md5 per BLOCK of 3 samples — md5hash60's 60
+    * bits carry three full 16-bit samples, so hashing per sample would
+    * burn 3× the md5 work (and 3× the oracle's replay cost) for the same
+    * entropy; this synthesis stage dominates the bench cost of the audio
+    * query. Block b hashes `word:b` with words covering contiguous runs
+    * (word picked at the block start), and sample b·3+j takes bits
+    * [16j, 16j+16). Real WAV bytes out.
     */
   def renderTextAudio(words: Array[String], nSamples: Int): Array[Byte] = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -800,12 +805,17 @@ object Multimodal {
     val n = words.length
     val out = new Array[Int](nSamples)
     var i = 0
+    var b = 0
     while (i < nSamples) {
-      out(i) = (graft.functions.Kernels.md5hash60(
-        UTF8String.fromString(
-          words(((i.toLong * n) / nSamples).toInt) + ":" + i)) % 65536).toInt -
-        32768
-      i += 1
+      val widx = ((b * 3L) * n / nSamples).toInt
+      val h = graft.functions.Kernels.md5hash60(
+        UTF8String.fromString(words(widx) + ":" + b))
+      var j = 0
+      while (j < 3 && i < nSamples) {
+        out(i) = ((h >>> (16 * j)) & 0xFFFFL).toInt - 32768
+        i += 1; j += 1
+      }
+      b += 1
     }
     WavPcm.encode(out)
   }

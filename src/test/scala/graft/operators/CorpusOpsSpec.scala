@@ -534,4 +534,62 @@ class CorpusOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(d1 == d2)
   }
+
+  test("decontaminateSemantic flags exactly the cross-set cosine hits") {
+    // 4-dim embeddings with controlled geometry: ids 0..15 seed the
+    // quantizer freely; the planted structure is
+    //   eval 100 = (1,0,0,0)
+    //   train 200 = (1,0.01,0,0)   — paraphrase leak, cosine ≈ 0.99995
+    //   train 201 = (0,0,1,0)      — orthogonal to eval 100
+    //   train 202 = (-1,0,0,0)     — anti-parallel, cosine -1
+    //   train 203 ≈ train 201      — a train↔train near-pair: NOT a hit
+    //   eval 101 = (0,0,0.99,0.14) — close to 201/203 (cosine ≈ .98)
+    val base = (0 until 16).map { i =>
+      val a = math.cos(i * 0.39); val b = math.sin(i * 0.39)
+      (i.toLong, Seq(a.toFloat, b.toFloat, (a * b).toFloat, 0.1f))
+    }
+    val planted = Seq(
+      100L -> Seq(1f, 0f, 0f, 0f),
+      200L -> Seq(1f, 0.01f, 0f, 0f),
+      201L -> Seq(0f, 0f, 1f, 0f),
+      202L -> Seq(-1f, 0f, 0f, 0f),
+      203L -> Seq(0f, 0.01f, 1f, 0f),
+      101L -> Seq(0f, 0f, 0.99f, 0.14f))
+    val emb = (base ++ planted.map { case (id, v) => (id, v) })
+      .toDF("vec_id", "embedding")
+    val got = CorpusOps.decontaminateSemantic(emb,
+        col("vec_id") >= 100L && col("vec_id") < 200L,
+        "vec_id", "embedding", nlist = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force reference over the SAME cell assignment the operator
+    // used: recompute cells, then exact cosine per cross-set pair in-cell
+    import graft.operators.{SimilaritySearch => SS}
+    val (flat, norms, dim) = SS.seedCentroids(emb, "vec_id", "embedding",
+      4, "spec")
+    val cells = emb.select(col("vec_id"), graft.functions.VectorFunctions
+        .nearestCentroid(col("embedding"), flat, norms, dim).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = (base ++ planted).map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(u: Seq[Double], v: Seq[Double]): Double = {
+      val dot = u.zip(v).map { case (x, y) => x * y }.sum
+      val nu = math.sqrt(u.map(x => x * x).sum)
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      if (nu == 0 || nv == 0) 0 else dot / (nu * nv)
+    }
+    val evalIds = vecs.keySet.filter(id => id >= 100L && id < 200L)
+    val trainIds = vecs.keySet -- evalIds
+    val want = trainIds.toSeq.flatMap { tId =>
+      val hits = evalIds.filter(eId =>
+        cells(eId) == cells(tId) && cos(vecs(tId), vecs(eId)) >= 0.9)
+      if (hits.isEmpty) None
+      else Some((tId, hits.size.toLong, hits.min))
+    }.toSet
+    assert(got == want)
+    // the planted leak is flagged; the orthogonal and the anti-parallel
+    // train vectors are not flagged BY eval 100; train↔train proximity
+    // (201 vs 203) alone never produces a row
+    assert(got.exists(_._1 == 200L), "paraphrase leak must be flagged")
+    assert(!got.exists(t => t._1 == 202L),
+      "anti-parallel vector must not be flagged")
+  }
 }
