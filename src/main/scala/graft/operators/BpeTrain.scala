@@ -38,6 +38,9 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** Lineage-truncation cadence for the merge loop (rounds per cut). */
+  val CutEvery = 8
+
   /** One learned rule: merge rank (1-based), its sides, and the weighted
     * pair count that won the round.
     */
@@ -63,9 +66,13 @@ object BpeTrain {
     * argmax IS a 1-row collect (declared bounded: nMerges rows total), and
     * the merges table is the KB-sized artifact that ships to the applier.
     * Rounds iterate on the CACHED word table (freed on exit); per-round
-    * lineage is a linear chain of `replace` columns over it, so the k-th
-    * argmax action re-runs k string passes over `maxWords` rows, never the
-    * corpus scan.
+    * lineage is a chain of `replace` columns over it, TRUNCATED every
+    * [[CutEvery]] rounds ([[Lineage.cut]] — the `duplicateGroups`/PageRank
+    * discipline): without the cut, round k re-executes k string passes and
+    * the plan tree grows linearly, which at a production vocabulary
+    * (32k merges) is O(k²) work and a 10⁴-node plan. With it, each argmax
+    * re-runs at most [[CutEvery]] replaces over the checkpointed word
+    * table, so total work stays linear in rounds.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int = 12,
             maxWords: Int = 2000): Seq[LearnedMerge] = {
@@ -93,6 +100,9 @@ object BpeTrain {
           out += LearnedMerge(k, x, y, win(0).getLong(2))
           cur = cur.withColumn("s",
             expr(s"replace(s, ' $x  $y ', ' $x$y ')"))
+          // lazy cut: the next round's argmax collect is the materializing
+          // job, so cut + argmax cost one job, not two
+          if (k % CutEvery == 0) cur = Lineage.cut(cur)
           k += 1
         }
       }
@@ -119,8 +129,22 @@ object BpeTrain {
     * would otherwise re-execute the prefix exponentially.
     */
   def oracleSql(nMerges: Int = 12, maxWords: Int = 2000): String = {
+    val union = (1 to nMerges)
+      .map(k => s"SELECT step, x, y, cnt FROM m$k").mkString("\n  UNION ALL ")
+    s"""WITH ${oracleCtes(nMerges, maxWords)}
+       |SELECT CAST(step AS BIGINT) AS step, x, y, x || y AS merged,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** The trainer replay as a bare CTE chain (no WITH, no final select):
+    * `wf`/`w0` seed, then per round k the (p_k, m_k, w_k) count/argmax/
+    * replace triple — m_k holds round k's learned (x, y). Shared between
+    * [[oracleSql]] and the end-to-end [[e2eOracleSql]].
+    */
+  def oracleCtes(nMerges: Int, maxWords: Int): String = {
     val head =
-      s"""WITH wf AS MATERIALIZED (
+      s"""wf AS MATERIALIZED (
          |  SELECT w, count(*) AS freq FROM (
          |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
          |    FROM documents) u
@@ -145,12 +169,49 @@ object BpeTrain {
          |            ' ' || m.x || m.y || ' ') AS s
          |  FROM w$a, m$k m)""".stripMargin
     }
-    val union = (1 to nMerges)
-      .map(k => s"SELECT step, x, y, cnt FROM m$k").mkString("\n  UNION ALL ")
     s"""$head,
-       |${rounds.mkString(",\n")}
-       |SELECT CAST(step AS BIGINT) AS step, x, y, x || y AS merged,
-       |  CAST(cnt AS BIGINT) AS cnt
-       |FROM ($union) ORDER BY step""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** End-to-end oracle: learn the merges table ([[oracleCtes]] — the same
+    * unrolled train replay `text_bpe_train` verifies) and TOKENIZE the
+    * whole corpus with it, replaying the applier kernel per distinct word.
+    *
+    * The apply replay uses the trainer's own double-delimiter encoding
+    * (' x  y ' → ' xy ', flanking spaces re-emitted), NOT the
+    * single-chr(31) scheme of the static-table oracle: a LEARNED table may
+    * contain a self-pair rule (x == y), and only the double-delimiter
+    * replace is greedy-equivalent for those (the single-delimiter form
+    * consumes the shared boundary and converges to a longer tokenization
+    * on runs of 6+ identical symbols). One replace per rank is exact here
+    * because the kernel itself makes ONE left-to-right non-overlapping
+    * pass per rule, and double-delimited matches never share characters.
+    */
+  def e2eOracleSql(nMerges: Int = 12, maxWords: Int = 2000): String = {
+    val applies = (1 to nMerges).map { k =>
+      val a = k - 1
+      s"""a$k AS MATERIALIZED (
+         |  SELECT a$a.w, replace(a$a.s, ' ' || m.x || '  ' || m.y || ' ',
+         |                        ' ' || m.x || m.y || ' ') AS s
+         |  FROM a$a, m$k m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${oracleCtes(nMerges, maxWords)},
+       |dw AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |a0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', ' \\1 ', 'g') AS s FROM dw),
+       |$applies,
+       |fin AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n
+       |  FROM a$nMerges),
+       |wc AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |       FROM documents WHERE length(trim(text)) > 0),
+       |agg AS (SELECT wc.doc_id, sum(fin.n) AS n_bpe FROM wc JOIN fin USING (w)
+       |        GROUP BY 1)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(coalesce(agg.n_bpe, 0) AS BIGINT) AS n_bpe
+       |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 }

@@ -180,7 +180,11 @@ object CorpusOps {
     val evalSide = assigned.filter(col("is_eval"))
       .select(col("id").as("eval_id"), col("cell"))
     val vt = emb.select(col(idCol).as("train_id"), col(vecCol).as("_vt"))
-    val ve = emb.select(col(idCol).as("eval_id"), col(vecCol).as("_ve"))
+    // eval rows ONLY: broadcasting the unfiltered corpus would ship the
+    // 100 TB side to every executor (the inner join on eval_id would make
+    // it merely correct, not survivable)
+    val ve = emb.filter(evalPred)
+      .select(col(idCol).as("eval_id"), col(vecCol).as("_ve"))
     train.join(broadcast(evalSide), "cell")
       .join(vt, "train_id")
       .join(broadcast(ve), "eval_id")

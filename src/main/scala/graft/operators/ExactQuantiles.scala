@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact order statistics over long-typed columns WITHOUT a global sort,
@@ -26,19 +27,22 @@ import org.apache.spark.sql.functions._
   * no breaking because an order statistic is a VALUE, and every tied row
   * holds it. No floats anywhere ⇒ bit-identical to any SQL engine's rank
   * replay. Ranges spanning more than half the long domain (lo < 0 <= hi
-  * with hi - lo overflowing) are sign-split in their round instead of
-  * bucketed.
+  * with hi - lo overflowing; tested overflow-free as hi > MaxValue + lo
+  * because ANSI arithmetic would throw on the wrap) are sign-split in
+  * their round instead of bucketed.
   *
-  * Driver state per round is one B-entry histogram per active task plus
-  * the per-group bounds row (declared bounded collects — the
-  * codebook/offset-table pattern of `corpus_global_order` and
-  * `Search.bm25TopK`); the caller contract is a BOUNDED group count (the
-  * funnel's steps, a dashboard's segments), while each group's row
-  * population is unbounded.
+  * Scale shape: the task table is a DATAFRAME, not driver state — group
+  * bounds, per-round histograms, and the bucket-descent all stay
+  * distributed (histogram → windowed cumulative sum per task → joined
+  * bounds update), so group cardinality never has to fit on the driver.
+  * Per round the driver sees exactly ONE 2-long row (the done/total
+  * conservation counts that drive the loop and the walked-off-histogram
+  * guard); round frames go through [[Lineage.cut]] so round k never
+  * replays rounds 1..k-1. Only the Map-returning convenience entry points
+  * collect the final (group, rank) → value result — bounded by the
+  * caller's own requested-output size, which a Map return IS.
   */
 object ExactQuantiles {
-
-  private case class Task(id: Int, g: String, lo: Long, hi: Long, rank: Long)
 
   /** Value at each requested 1-based rank of each group of `df`, where a
     * group's order is its `valueCol` longs ascending. One scan per
@@ -54,104 +58,122 @@ object ExactQuantiles {
                        buckets: Int = 4096): Map[(String, Long), Long] = {
     require(ranksByGroup.nonEmpty && ranksByGroup.values.forall(_.nonEmpty),
       "no ranks requested")
-    val (slim, bounds) = slimAndBounds(df, groupCol, valueCol)
-    ranksByGroup.foreach { case (grp, ranks) =>
-      val (_, _, n) = bounds.getOrElse(grp,
-        throw new IllegalArgumentException(s"group '$grp' has no rows"))
-      ranks.foreach(r => require(r >= 1 && r <= n,
-        s"rank $r out of range [1, $n] for group '$grp'"))
-    }
-    search(slim, bounds, ranksByGroup, buckets)
-  }
-
-  /** The (group, value) projection plus one (lo, hi, n) aggregate over it —
-    * the single pre-pass every entry point shares (the grouped quantile
-    * path used to pay this aggregate twice: once for counts, once for
-    * bounds).
-    */
-  private def slimAndBounds(df: DataFrame, groupCol: String,
-                            valueCol: String)
-      : (DataFrame, Map[String, (Long, Long, Long)]) = {
-    val g = col(groupCol).cast("string")
-    val v = col(valueCol).cast("long")
-    val slim = df.select(g.as("_g"), v.as("_v")).na.drop()
-    val bounds = slim.groupBy(col("_g"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = slimmed(df, groupCol, valueCol)
+    // the requested-group bounds ARE driver-bounded here (they validate a
+    // driver-provided Map); the general unbounded-group path is
+    // lowerQuantilesGroupedDF, which never collects bounds
+    val requested = ranksByGroup.keySet.toSeq
+    val bounds = slim.filter(col("_g").isin(requested: _*))
+      .groupBy(col("_g"))
       .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
         count(lit(1)).as("n"))
       .collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    (slim, bounds)
+    val seeds = ranksByGroup.toSeq.flatMap { case (grp, ranks) =>
+      val (lo, hi, n) = bounds.getOrElse(grp,
+        throw new IllegalArgumentException(s"group '$grp' has no rows"))
+      ranks.foreach(r => require(r >= 1 && r <= n,
+        s"rank $r out of range [1, $n] for group '$grp'"))
+      ranks.distinct.map(r => (grp, r, lo, hi, r))
+    }.toDF("_tg", "_r0", "_lo", "_hi", "_rank")
+    searchTasks(slim, seeds, buckets)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
   }
 
-  private def search(slim: DataFrame,
-                     bounds: Map[String, (Long, Long, Long)],
-                     ranksByGroup: Map[String, Seq[Long]],
-                     buckets: Int): Map[(String, Long), Long] = {
-    val spark = slim.sparkSession
-    import spark.implicits._
+  /** The (group, value) projection every entry point shares. */
+  private def slimmed(df: DataFrame, groupCol: String,
+                      valueCol: String): DataFrame =
+    df.select(col(groupCol).cast("string").as("_g"),
+      col(valueCol).cast("long").as("_v")).na.drop()
 
-    val resolved = scala.collection.mutable.Map.empty[(String, Long), Long]
-    var nextId = 0
-    var active: List[(Task, Long)] = // task + the ORIGINAL rank it serves
-      ranksByGroup.toList.flatMap { case (grp, ranks) =>
-        val (lo, hi, _) = bounds(grp)
-        ranks.distinct.map { r =>
-          nextId += 1
-          (Task(nextId, grp, lo, hi, r), r)
-        }
-      }
+  /** The distributed bisection core: advances a task table
+    * (_tg, _r0, _lo, _hi, _rank) against `slim` (_g, _v) until every
+    * task's range is a single value. Returns (_tg, _r0, _value).
+    *
+    * Each round is one scan of `slim` joined to the open tasks (Spark
+    * picks broadcast vs shuffle by the task table's size — never forced,
+    * because at 10^7 groups a forced broadcast is the OOM this operator
+    * exists to avoid), one |tasks|·B-bounded histogram aggregate, a
+    * per-task cumulative-sum window over at most B bucket rows, and an
+    * integer bounds update. The sole driver-side values are the
+    * conservation counts.
+    */
+  private def searchTasks(slim: DataFrame, seeds: DataFrame,
+                          buckets: Int): DataFrame = {
+    val done = col("_lo") === col("_hi")
+    var tasks = seeds
+    var resolved: Option[DataFrame] = None
+    var expected = -1L
+    var rounds = 0
+    while (rounds >= 0) {
+      rounds += 1
+      require(rounds <= 70, s"bisection failed to converge (bug): $rounds rounds")
+      tasks = Lineage.cut(tasks)
+      val cnt = tasks.agg(
+        sum(when(done, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("t")).collect()(0)
+      val nTotal = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+      val nDone = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+      // conservation: every open task must land in exactly one bucket; a
+      // task vanishing means its rank walked off its histogram (an
+      // inconsistent seed — rank > group count)
+      require(expected < 0 || nTotal == expected,
+        s"rank walked off histogram: $expected open tasks advanced to $nTotal")
+      val doneDf = tasks.filter(done)
+        .select(col("_tg"), col("_r0"), col("_lo").as("_value"))
+      resolved = Some(resolved.fold(doneDf)(_.union(doneDf)))
+      if (nDone == nTotal) return resolved.get
+      expected = nTotal - nDone
 
-    while (active.nonEmpty) {
-      // immediately-resolvable tasks don't need a scan
-      val (done, open) = active.partition { case (t, _) => t.lo == t.hi }
-      done.foreach { case (t, r0) => resolved((t.g, r0)) = t.lo }
-      active = open
-      if (active.nonEmpty) {
-        val ranges = active.map { case (t, _) =>
-          val signSplit = t.lo < 0 && t.hi - t.lo < 0
-          val span = if (signSplit) 0L else t.hi - t.lo
-          (t.id, t.g, t.lo, t.hi, span / buckets + 1, signSplit)
-        }.toDF("_tid", "_tg", "_lo", "_hi", "_width", "_sign")
-        // broadcast the bounded task table; a row joins EVERY task whose
-        // range holds it (p50/p90 of one group share round-1 rows)
-        val hist = slim
-          .join(broadcast(ranges),
-            col("_g") === col("_tg") &&
-              col("_v") >= col("_lo") && col("_v") <= col("_hi"))
-          .groupBy(col("_tid"),
-            expr("CASE WHEN _sign THEN (CASE WHEN _v < 0 THEN 0L ELSE 1L END)" +
-              " ELSE ((_v - _lo) div _width) END").as("_b"))
-          .agg(count(lit(1)).as("_c"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (tid, rows: Array[Row]) =>
-            tid -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
-        active = active.map { case (t, r0) =>
-          val h = hist.getOrElse(t.id, Map.empty[Long, Long])
-          if (t.lo < 0 && t.hi - t.lo < 0) {
-            // sign-split round: bucket 0 = negatives, bucket 1 = rest
-            val nNeg = h.getOrElse(0L, 0L)
-            if (t.rank <= nNeg) (t.copy(lo = t.lo, hi = -1L), r0)
-            else (t.copy(lo = 0L, hi = t.hi, rank = t.rank - nNeg), r0)
-          } else {
-            val width = (t.hi - t.lo) / buckets + 1
-            var remaining = t.rank
-            var b = 0L
-            while (remaining > h.getOrElse(b, 0L)) {
-              remaining -= h.getOrElse(b, 0L)
-              b += 1
-              require(b <= (t.hi - t.lo) / width,
-                s"rank walked off histogram (task=$t)")
-            }
-            val blo = t.lo + b * width
-            val bhi = math.min(t.hi, blo + width - 1)
-            (t.copy(lo = blo, hi = bhi, rank = remaining), r0)
-          }
-        }
-      }
+      val open = tasks.filter(!done)
+      // overflow-free "hi - lo wraps" test: lo < 0 && hi > MaxValue + lo
+      // (ANSI arithmetic would throw on the naive subtraction)
+      val ranges = open.withColumn("_sign",
+          col("_lo") < 0 && col("_hi") > lit(Long.MaxValue) + col("_lo"))
+        .withColumn("_width",
+          when(col("_sign"), lit(1L))
+            .otherwise(expr(s"(_hi - _lo) div ${buckets}L + 1L")))
+      val b: Column =
+        when(col("_sign"), when(col("_v") < 0, 0L).otherwise(1L))
+          .otherwise(expr("(_v - _lo) div _width"))
+      val hist = slim
+        .join(ranges, col("_g") === col("_tg") &&
+          col("_v") >= col("_lo") && col("_v") <= col("_hi"))
+        // _lo/_hi/_rank/_sign/_width are functionally dependent on
+        // (_tg, _r0) — riding them as grouping keys keeps them on the
+        // histogram rows without a second join
+        .groupBy(col("_tg"), col("_r0"), col("_lo"), col("_hi"),
+          col("_rank"), col("_sign"), col("_width"), b.as("_b"))
+        .agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("_tg"), col("_r0")).orderBy(col("_b"))
+      tasks = hist
+        .withColumn("_cum", sum(col("_c")).over(w))
+        // the task's bucket: first (only) one where the cumulative count
+        // reaches its rank; empty buckets have no row and contribute 0
+        .filter(col("_cum") - col("_c") < col("_rank") &&
+          col("_rank") <= col("_cum"))
+        .select(col("_tg"), col("_r0"),
+          when(col("_sign") && col("_b") === 0, col("_lo"))
+            .when(col("_sign") && col("_b") === 1, lit(0L))
+            .otherwise(col("_lo") + col("_b") * col("_width")).as("_lo"),
+          when(col("_sign") && col("_b") === 0, lit(-1L))
+            .when(col("_sign") && col("_b") === 1, col("_hi"))
+            // min(hi, blo + width - 1) phrased overflow-free: blo + width
+            // can pass MaxValue when hi sits within one bucket of it, and
+            // ANSI arithmetic throws on the wrap — subtract instead
+            .when(col("_hi") - (col("_lo") + col("_b") * col("_width")) <=
+              col("_width") - 1, col("_hi"))
+            .otherwise(col("_lo") + col("_b") * col("_width") +
+              col("_width") - 1)
+            .as("_hi"),
+          (col("_rank") - (col("_cum") - col("_c"))).as("_rank"))
     }
-    resolved.toMap
+    resolved.get // unreachable
   }
 
   /** Single-population form: value at each 1-based rank of `df` ordered by
@@ -166,30 +188,60 @@ object ExactQuantiles {
     ranks.map(r => m(("g", r)))
   }
 
-  /** Lower quantiles per group in one grouped search: for each group and
-    * each (label, qNum, qDen) quantile, the value at rank
-    * max(1, ceil(q*n)) of that group. Returns (group, label) ->
-    * (n, rank, value); groups with zero rows are absent.
+  /** Lower quantiles per group, fully distributed end to end — the entry
+    * point for UNBOUNDED group cardinality: group bounds seed the task
+    * table without ever touching the driver, so 10^7 groups cost a shuffle,
+    * not a driver OOM. For each group and each (label, qNum, qDen)
+    * quantile, the value at rank max(1, ceil(q*n)) of that group. Returns
+    * (group, label, n, rnk, value); groups with zero rows are absent.
+    */
+  def lowerQuantilesGroupedDF(df: DataFrame, groupCol: String,
+                              valueCol: String,
+                              quantiles: Seq[(String, Long, Long)],
+                              buckets: Int = 4096): DataFrame = {
+    require(quantiles.nonEmpty, "no quantiles requested")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val slim = slimmed(df, groupCol, valueCol)
+    val qdf = quantiles.toDF("_ql", "_qn", "_qd")
+    // one bounds aggregate seeds the search AND carries the group sizes
+    // for the rank arithmetic — never collected
+    val withRank = slim.groupBy(col("_g"))
+      .agg(min(col("_v")).as("_blo"), max(col("_v")).as("_bhi"),
+        count(lit(1)).as("_bn"))
+      .crossJoin(broadcast(qdf)) // |quantiles| literal rows
+      .withColumn("_r0",
+        greatest(lit(1L), expr("(_qn * _bn + _qd - 1) div _qd")))
+    val seeds = withRank
+      .select(col("_g").as("_tg"), col("_r0"), col("_blo").as("_lo"),
+        col("_bhi").as("_hi"), col("_r0").as("_rank"))
+      .distinct() // two quantiles of one group may share a rank
+    // fresh aliases on the search output: `values` descends from `seeds`
+    // which descends from `withRank`, so the raw _tg/_r0 attributes would
+    // trip Spark's ambiguous-self-join detection in this re-join
+    val values = searchTasks(slim, seeds, buckets)
+      .select(col("_tg").as("_vg"), col("_r0").as("_vr"), col("_value"))
+    withRank
+      .join(values, col("_g") === col("_vg") && col("_r0") === col("_vr"))
+      .select(col("_g").as("group"), col("_ql").as("label"),
+        col("_bn").as("n"), col("_r0").as("rnk"), col("_value").as("value"))
+  }
+
+  /** [[lowerQuantilesGroupedDF]] collected into a Map — the convenience
+    * form for BOUNDED group counts (a funnel's steps, a dashboard's
+    * segments); the Map return type is itself the bounded-output contract.
+    * Returns (group, label) -> (n, rank, value).
     */
   def lowerQuantilesGrouped(df: DataFrame, groupCol: String,
                             valueCol: String,
                             quantiles: Seq[(String, Long, Long)],
                             buckets: Int = 4096)
-      : Map[(String, String), (Long, Long, Long)] = {
-    // one shared (slim, bounds) pre-pass: group sizes for the rank
-    // arithmetic come from the same aggregate that seeds the search
-    val (slim, bounds) = slimAndBounds(df, groupCol, valueCol)
-    val ranksByGroup = bounds.map { case (grp, (_, _, n)) =>
-      grp -> quantiles.map { case (_, qn, qd) => lowerQuantileRank(n, qn, qd) }
-    }
-    if (ranksByGroup.isEmpty) return Map.empty
-    val values = search(slim, bounds, ranksByGroup, buckets)
-    (for {
-      (grp, (_, _, n)) <- bounds.toSeq
-      (label, qn, qd) <- quantiles
-      r = lowerQuantileRank(n, qn, qd)
-    } yield (grp, label) -> ((n, r, values((grp, r))))).toMap
-  }
+      : Map[(String, String), (Long, Long, Long)] =
+    lowerQuantilesGroupedDF(df, groupCol, valueCol, quantiles, buckets)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
 
   /** Lower-quantile ranks for a group of size n: rank(q) = max(1, ceil(q*n))
     * computed in exact integer arithmetic ((q_num * n + q_den - 1) / q_den).

@@ -267,11 +267,19 @@ object SimilaritySearch {
     val totalBuild = bstats.agg(sum(col("n_build"))).collect()(0).getLong(0)
     val totalNow = spark.table(table).count()
     require(totalBuild > 0 && totalNow > 0, "empty index")
+    // FULL OUTER on cell, not inner: a cell empty at build time (no n_build
+    // row) that gained delta rows is exactly the drift condition this audit
+    // exists to flag — an inner join would silently drop it. Coalesce both
+    // sides to 0 so a one-sided cell surfaces (and, with share 0 at build,
+    // trivially trips the threshold once it carries real mass).
     bstats.join(perCellStats(spark, table)
         .withColumnRenamed("n", "n_now").withColumnRenamed("poor", "poor_now"),
-        Seq("cell"))
+        Seq("cell"), "full_outer")
       .select(col("cell").cast("long").as("cell"),
-        col("n_build"), col("n_now"), col("poor_build"), col("poor_now"))
+        coalesce(col("n_build"), lit(0L)).as("n_build"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"),
+        coalesce(col("poor_build"), lit(0L)).as("poor_build"),
+        coalesce(col("poor_now"), lit(0L)).as("poor_now"))
       .withColumn("share_shift_ppm", abs(
         expr(s"(n_now * 1000000L) div ${totalNow}L") -
           expr(s"(n_build * 1000000L) div ${totalBuild}L")))

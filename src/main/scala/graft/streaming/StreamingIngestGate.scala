@@ -65,7 +65,17 @@ object StreamingIngestGate {
             spark.table(corpusTable), idCol, textCol, indexTable,
             n, k, bands, threshold, seed = seed)
           .select(col("doc_b").as(idCol)).distinct()
-        val acc = slim.join(dupIds, Seq(idCol), "left_anti").cache()
+        // EAGER lineage cut, not just cache: the accepted frame's lazy plan
+        // reads the PRE-insert index state, and a cache is a hint, not a
+        // pin — if blocks are evicted or an executor is lost between the
+        // index append below and the corpus append, a recompute would
+        // observe the post-insert index, self-match every accepted doc
+        // (jaccard 1), and silently write an empty corpus slice while the
+        // docs stay indexed: permanent corpus/index divergence. The cut
+        // materializes the accepted rows NOW, so no later action can
+        // re-execute the anti-join against mutated state.
+        val acc = graft.operators.Lineage.cut(
+          slim.join(dupIds, Seq(idCol), "left_anti"), eager = true)
         // NAMED nBuckets: the positional slot after `bands` is the SEED —
         // passing nBuckets there silently bands the insert under a
         // different hash family than the build/probe (epoch appends become
@@ -77,10 +87,10 @@ object StreamingIngestGate {
     accepted.write.mode(org.apache.spark.sql.SaveMode.Append)
       .format("parquet").saveAsTable(corpusTable)
     accepted
-    // NOTE: the returned frame stays cached (founding epoch aside) — its
-    // lazy plan reads the pre-insert index state, so recomputing it AFTER
-    // the appends above would self-match every accepted doc and return
-    // empty. The caller (or [[start]]'s wrapper) unpersists once done.
+    // NOTE: the returned frame is an eager localCheckpoint (founding epoch
+    // aside) — its blocks are freed by the ContextCleaner once the caller
+    // drops the reference; the caller-side unpersist is a harmless no-op
+    // kept for the plain-cache case.
   }
 
   /** Start the gate over a streaming document source. `onBatch` observes

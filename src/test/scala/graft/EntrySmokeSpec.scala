@@ -21,11 +21,11 @@ class EntrySmokeSpec extends AnyFunSuite {
     // the round-4 failure mode: a query shipped without an oracle entry and
     // the driver silently downgraded it to a rows-only check. Any rows-only
     // query must be DECLARED here with its reason.
-    val rowsOnlyByDesign = Set(
-      "q_approx_distinct_sketch" // HLL registers are engine-private; the
-                                 // oracle-verified sketch path is the KMV
-                                 // family (q_approx_distinct_kmv/_overlap)
-    )
+    // empty since round 10: q_approx_distinct_sketch (HLL registers,
+    // engine-private → rows-only for nine rounds) was retired into the
+    // oracle-verified KMV family; its plan/error properties moved to
+    // ApproxAggSpec. Every shipped query is now oracle-checked.
+    val rowsOnlyByDesign = Set.empty[String]
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnlyByDesign,
       s"queries without oracle SQL (add an oracle or declare rows-only): " +
