@@ -1802,6 +1802,36 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    "q_exact_customer_median" -> ((s, d) => {
+      // the UNBOUNDED-group-cardinality quantile path: exact per-customer
+      // median order price through the fully-distributed task table
+      // (lowerQuantilesGroupedDF — group bounds, histograms, and bucket
+      // descent never touch the driver; the 1e5-group law in
+      // ExactQuantilesSpec is this code path), rolled up by market
+      // segment so the output stays bounded. At 100 TB this is "median
+      // basket per customer" over 10^8 customers — the shape the Map API
+      // cannot serve.
+      import graft.operators.ExactQuantiles
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      val med = ExactQuantiles.lowerQuantilesGroupedDF(o, "o_custkey",
+        "cents", Seq(("p50", 1L, 2L)))
+      val c = t(s, d, "customer").select(
+        col("c_custkey").cast("string").as("group"), col("c_mktsegment"))
+      med.join(c, "group")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("value")).as("sum_median_cents"),
+          min(col("value")).as("min_median_cents"),
+          max(col("value")).as("max_median_cents"))
+        .select(col("c_mktsegment"),
+          col("n_customers").cast("long").as("n_customers"),
+          col("sum_median_cents").cast("long").as("sum_median_cents"),
+          col("min_median_cents").cast("long").as("min_median_cents"),
+          col("max_median_cents").cast("long").as("max_median_cents"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     "q_linreg_trend" -> ((s, d) => {
       // OLS spend trend per event type: slope/intercept from EXACT moment
       // sums (x = epoch day, y = integer cents), each sum converted
@@ -4036,6 +4066,25 @@ object SparkEntry {
         |  CAST(MAX(CASE WHEN rn = GREATEST(1, (9 * n + 9) // 10) THEN c END)
         |    AS BIGINT) AS p90_cents
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_exact_customer_median" ->
+      """WITH v AS (SELECT o_custkey,
+        |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |               AS BIGINT) AS c
+        |           FROM orders),
+        |r AS (SELECT o_custkey, c,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY c) AS rn,
+        |        COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |      FROM v),
+        |med AS (SELECT o_custkey, c AS median_cents FROM r
+        |        WHERE rn = GREATEST(1, (n + 1) // 2))
+        |SELECT cu.c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(m.median_cents) AS BIGINT) AS sum_median_cents,
+        |  CAST(MIN(m.median_cents) AS BIGINT) AS min_median_cents,
+        |  CAST(MAX(m.median_cents) AS BIGINT) AS max_median_cents
+        |FROM med m JOIN customer cu ON cu.c_custkey = m.o_custkey
+        |GROUP BY cu.c_mktsegment ORDER BY cu.c_mktsegment""".stripMargin,
 
     "q_linreg_trend" ->
       """WITH e AS (

