@@ -51,16 +51,20 @@ object SparkEntry {
     // regenerating the source mid-session rebuilds under a NEW fingerprint;
     // the old fingerprint's tables (index + derived _quantizer/_buildstats
     // siblings) would otherwise accumulate as orphaned managed tables and
-    // warehouse dirs for the life of the catalog — drop them here, where
-    // the stale/current distinction is decidable
-    val stale = s"^${java.util.regex.Pattern.quote(prefix)}_[0-9a-f]{8,16}(_.+)?$$".r
-    s.catalog.listTables().collect().map(_.name).foreach { tn =>
-      if (stale.findFirstIn(tn).isDefined && !tn.startsWith(name)) {
-        s.sql(s"DROP TABLE IF EXISTS `$tn`")
-        val loc = new Path(s.conf.get("spark.sql.warehouse.dir"),
-          tn.toLowerCase(java.util.Locale.ROOT))
-        val wfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (wfs.exists(loc)) wfs.delete(loc, true)
+    // warehouse dirs for the life of the catalog. The sweep runs ONLY when
+    // the current-fp table is absent (i.e. a build is about to happen) —
+    // the steady-state hot path pays one tableExists metadata lookup, not
+    // a catalog listing per query invocation.
+    if (!s.catalog.tableExists(name)) {
+      val stale = s"^${java.util.regex.Pattern.quote(prefix)}_[0-9a-f]{8,16}(_.+)?$$".r
+      s.catalog.listTables().collect().map(_.name).foreach { tn =>
+        if (stale.findFirstIn(tn).isDefined && !tn.startsWith(name)) {
+          s.sql(s"DROP TABLE IF EXISTS `$tn`")
+          val loc = new Path(s.conf.get("spark.sql.warehouse.dir"),
+            tn.toLowerCase(java.util.Locale.ROOT))
+          val wfs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (wfs.exists(loc)) wfs.delete(loc, true)
+        }
       }
     }
     name
