@@ -325,7 +325,14 @@ object Bench {
       s""""stream_probe_worst_ratio":${r4(
         Seq(streamProbeBefore, streamProbeAfter).map(_ / baselineProbe)
           .maxBy(r => math.max(r, 1.0 / r)))},""" +
-      s""""timed_runs":$timedRuns,"load_before":${r4(loadBefore)},""" +
+      s""""timed_runs":$timedRuns,"cdc_timed_runs":3,"stream_timed_runs":2,""" +
+      // the measurement contract rides the record itself (not just code
+      // comments): each throughput plane runs 1 untimed warmup (codegen/JIT)
+      // on a warm JVM whose caches the per-query teardown has cleared, so
+      // every timed run re-reads storage
+      s""""throughput_policy":"warm-jvm/cold-storage; 1 untimed warmup; """ +
+      s"""cdc=median of cdc_timed_runs, stream=best of stream_timed_runs",""" +
+      s""""load_before":${r4(loadBefore)},""" +
       s""""load_after":${r4(loadAfter)},"cgroup_cpus":${r4(cgroupCpus())},""" +
       s""""calibration_probe_sec":${r4(probeSec)},""" +
       s""""calibration_baseline_sec":${r4(baselineProbe)},""" +

@@ -47,7 +47,14 @@ object SparkEntry {
     val key = dir + "|" + ids.mkString("|")
     val fp = f"${(scala.util.hashing.MurmurHash3.stringHash(key).toLong << 32) |
       (scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c).toLong & 0xffffffffL)}%016x"
-    val name = s"${prefix}_$fp"
+    // the name carries a DATASET-DIR segment ("src" + dir hash — the "src"
+    // marker contains non-hex letters so the segment can never parse as a
+    // bare fingerprint) separate from the content fingerprint: the stale
+    // sweep below is scoped to THIS dataset's builds, so a session
+    // alternating between two sf dirs (mixed test/bench runs) no longer
+    // drops and rebuilds the other dataset's live fixtures on every switch
+    val dirFp = f"${scala.util.hashing.MurmurHash3.stringHash(dir)}%08x"
+    val name = s"${prefix}_src${dirFp}_$fp"
     // regenerating the source mid-session rebuilds under a NEW fingerprint;
     // the old fingerprint's tables (index + derived _quantizer/_buildstats
     // siblings) would otherwise accumulate as orphaned managed tables and
@@ -56,9 +63,17 @@ object SparkEntry {
     // the steady-state hot path pays one tableExists metadata lookup, not
     // a catalog listing per query invocation.
     if (!s.catalog.tableExists(name)) {
-      val stale = s"^${java.util.regex.Pattern.quote(prefix)}_[0-9a-f]{8,16}(_.+)?$$".r
+      val pq = java.util.regex.Pattern.quote(prefix)
+      // same-dataset stale builds only (dir hash pinned); {1,16} not {8,16}
+      // because Integer/Long.toHexString never zero-pads — legacy 32-bit
+      // fingerprints can be 1-7 hex chars and must still be collected
+      val stale = s"^${pq}_src${dirFp}_[0-9a-f]{1,16}(_.+)?$$".r
+      // pre-dir-segment name format (prefix_<hex>): stale by construction —
+      // no current code produces it, whatever dataset it belonged to
+      val legacy = s"^${pq}_[0-9a-f]{1,16}(_.+)?$$".r
       s.catalog.listTables().collect().map(_.name).foreach { tn =>
-        if (stale.findFirstIn(tn).isDefined && !tn.startsWith(name)) {
+        if ((stale.findFirstIn(tn).isDefined ||
+             legacy.findFirstIn(tn).isDefined) && !tn.startsWith(name)) {
           s.sql(s"DROP TABLE IF EXISTS `$tn`")
           val loc = new Path(s.conf.get("spark.sql.warehouse.dir"),
             tn.toLowerCase(java.util.Locale.ROOT))

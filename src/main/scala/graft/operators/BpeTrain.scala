@@ -41,6 +41,14 @@ object BpeTrain {
   /** Lineage-truncation cadence for the merge loop (rounds per cut). */
   val CutEvery = 8
 
+  /** Test probe: largest logical-plan node count the round frame reached
+    * during the most recent [[train]] call. The [[CutEvery]] cut bounds it
+    * at O(CutEvery) regardless of round count; an O(rounds) reading means
+    * the cut regressed. Written only by train(), read by BpeTrainSpec's
+    * structural tripwire (a wall-clock bound was flaky on loaded hosts).
+    */
+  private[operators] var lastMaxPlanNodes: Int = 0
+
   /** One learned rule: merge rank (1-based), its sides, and the weighted
     * pair count that won the round.
     */
@@ -77,6 +85,7 @@ object BpeTrain {
   def train(docs: DataFrame, textCol: String, nMerges: Int = 12,
             maxWords: Int = 2000): Seq[LearnedMerge] = {
     val wf = wordTable(docs, textCol, maxWords).cache()
+    lastMaxPlanNodes = 0
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[LearnedMerge]
       var cur = wf
@@ -103,6 +112,8 @@ object BpeTrain {
           // lazy cut: the next round's argmax collect is the materializing
           // job, so cut + argmax cost one job, not two
           if (k % CutEvery == 0) cur = Lineage.cut(cur)
+          lastMaxPlanNodes = math.max(lastMaxPlanNodes,
+            cur.queryExecution.logical.collect { case p => p }.size)
           k += 1
         }
       }
@@ -129,8 +140,11 @@ object BpeTrain {
     * would otherwise re-execute the prefix exponentially.
     */
   def oracleSql(nMerges: Int = 12, maxWords: Int = 2000): String = {
+    // cnt > 0 drops the exhaustion sentinels (cnt = -1) so the learned-rule
+    // listing matches trainDF, which stops emitting on exhaustion
     val union = (1 to nMerges)
-      .map(k => s"SELECT step, x, y, cnt FROM m$k").mkString("\n  UNION ALL ")
+      .map(k => s"SELECT step, x, y, cnt FROM m$k WHERE cnt > 0")
+      .mkString("\n  UNION ALL ")
     s"""WITH ${oracleCtes(nMerges, maxWords)}
        |SELECT CAST(step AS BIGINT) AS step, x, y, x || y AS merged,
        |  CAST(cnt AS BIGINT) AS cnt
@@ -141,6 +155,14 @@ object BpeTrain {
     * `wf`/`w0` seed, then per round k the (p_k, m_k, w_k) count/argmax/
     * replace triple — m_k holds round k's learned (x, y). Shared between
     * [[oracleSql]] and the end-to-end [[e2eOracleSql]].
+    *
+    * Exhaustion is survivable BY CONSTRUCTION: when p_k is empty (the
+    * vocabulary ran out of mergeable pairs before round nMerges), m_k
+    * emits a sentinel ('0','0', cnt=-1) instead of going empty — '0'
+    * cannot appear in any symbol (words are ^[a-z]+$), so the round's
+    * replace is a no-op, exactly matching the trainer's early stop.
+    * Without the sentinel the w_{k-1} x m_k product emptied the WHOLE
+    * chain and every downstream count silently collapsed to 0.
     */
   def oracleCtes(nMerges: Int, maxWords: Int): String = {
     val head =
@@ -161,8 +183,11 @@ object BpeTrain {
          |              FROM w$a)) t
          |  GROUP BY 1, 2),
          |m$k AS MATERIALIZED (
-         |  SELECT $k AS step, x, y, cnt FROM p$k
-         |  ORDER BY cnt DESC, x, y LIMIT 1),
+         |  SELECT * FROM (SELECT $k AS step, x, y, cnt FROM p$k
+         |                 ORDER BY cnt DESC, x, y LIMIT 1)
+         |  UNION ALL
+         |  SELECT $k AS step, '0' AS x, '0' AS y, -1 AS cnt
+         |  WHERE NOT EXISTS (SELECT 1 FROM p$k)),
          |w$k AS MATERIALIZED (
          |  SELECT freq,
          |    replace(s, ' ' || m.x || '  ' || m.y || ' ',

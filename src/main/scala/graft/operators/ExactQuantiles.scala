@@ -127,7 +127,13 @@ object ExactQuantiles {
       val doneDf = tasks.filter(done)
         .select(col("_tg"), col("_r0"), col("_lo").as("_value"))
       resolved = Some(resolved.fold(doneDf)(_.union(doneDf)))
-      if (nDone == nTotal) return resolved.get
+      // final cut: `resolved` is a rounds-wide union of per-round done
+      // frames (each branch shallow — a filter/project over a cut task
+      // frame), so without this the RETURNED plan's width is O(rounds)
+      // (32 branches at the buckets=4 stress setting) and every caller
+      // action re-unions them. One lazy cut makes the output plan O(1)
+      // in round count; the caller's first action materializes it.
+      if (nDone == nTotal) return Lineage.cut(resolved.get)
       expected = nTotal - nDone
 
       val open = tasks.filter(!done)

@@ -115,17 +115,20 @@ class BpeTrainSpec extends AnyFunSuite {
     val docs = words.toSeq.flatMap { case (w, f) =>
       Seq.fill(f.toInt)(w) }.zipWithIndex
       .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
-    val t0 = System.nanoTime()
     val got = BpeTrain.train(docs, "text", nMerges = 220, maxWords = 2000)
-    val secs = (System.nanoTime() - t0) / 1e9
     val want = referenceTrain(words, 220)
     assert(got === want)
     assert(got.size === 220, s"vocabulary exhausted early at ${got.size}")
-    // not a benchmark, a runaway-lineage tripwire: without the cut the
-    // round-k argmax replays k replace passes and 220 rounds take O(k²)
-    // work (measured minutes); with it this comfortably clears 120 s even
-    // on a loaded box
-    assert(secs < 120.0, s"220 rounds took ${secs}s — lineage cut broken?")
+    // STRUCTURAL runaway-lineage tripwire (the old wall-clock <120 s bound
+    // was flaky on loaded CI hosts for reasons unrelated to the cut): with
+    // the every-CutEvery cut the round frame's logical plan is bounded at
+    // O(CutEvery) nodes no matter how many rounds ran (post-cut the frame
+    // is a LogicalRDD plus <= CutEvery replace projections); without it
+    // the plan grows ~1 node per round, so 220 rounds read >= 220 here
+    assert(BpeTrain.lastMaxPlanNodes > 0 &&
+      BpeTrain.lastMaxPlanNodes <= 8 * BpeTrain.CutEvery,
+      s"round-frame plan peaked at ${BpeTrain.lastMaxPlanNodes} logical " +
+        "nodes across 220 rounds — lineage cut broken?")
   }
 
   test("e2e law incl. SELF-PAIR rules: applier(learned table) == greedy " +

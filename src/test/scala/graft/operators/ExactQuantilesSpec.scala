@@ -129,6 +129,26 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(out.count() === nGroups * 2)
   }
 
+  test("law: result plan size is independent of bisection round count " +
+    "(final resolved union is lineage-cut before return)") {
+    import org.apache.spark.sql.functions._
+    // a ~2^40 value span descends ~20 rounds at buckets=4 but only ~4 at
+    // buckets=4096; before the final cut the returned frame carried one
+    // union branch PER ROUND (32-wide at the stress setting), so its plan
+    // size grew with round count. Law: identical plan size at both widths.
+    val df = Seq(("g", 0L), ("g", 1L << 40), ("g", 12345L), ("g", 7L))
+      .toDF("g", "v")
+    def planNodes(buckets: Int): Int =
+      ExactQuantiles.lowerQuantilesGroupedDF(df, "g", "v",
+          Seq(("p50", 1L, 2L)), buckets)
+        .queryExecution.logical.collect { case p => p }.size
+    val deep = planNodes(4)
+    val shallow = planNodes(4096)
+    assert(deep === shallow,
+      s"result plan grew with round count: $deep (4 buckets) vs $shallow " +
+        "(4096 buckets) — final Lineage.cut missing?")
+  }
+
   test("funnelLatencies joins consecutive reach ords") {
     import org.apache.spark.sql.functions._
     val ev = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 10L, "A"))
