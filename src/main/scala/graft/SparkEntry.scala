@@ -1882,20 +1882,21 @@ object SparkEntry {
     "q_exact_global_median" -> ((s, d) => {
       // exact global order statistics with NO global sort and NO per-group
       // value buffering: histogram-bisection over integer cents — at most
-      // ceil(64/12) = 6 B-bounded count-agg passes, later passes scanning
-      // behind a pushed-down range predicate. The only driver state is a
-      // 4096-entry histogram per pass (declared bounded collect).
+      // ceil(64/12) = 6 B-bounded count-agg passes over a projection
+      // that is persisted for the search's duration (read and decoded from
+      // parquet exactly once). The grouped API folds the row count into
+      // the bounds aggregate, so there is no separate count() scan; the
+      // only driver-side rows are the per-round 2-long conservation counts
+      // and the 2-quantile result Map.
       import graft.operators.ExactQuantiles
       import s.implicits._
       val cents = t(s, d, "lineitem")
-        .select((dec(col("l_extendedprice")) * 100).cast("long").as("c"))
-      val n = cents.count()
-      val quantiles = Seq(("p50", 1L, 2L), ("p99", 99L, 100L))
-      val ranks = quantiles.map { case (_, qn, qd) =>
-        ExactQuantiles.lowerQuantileRank(n, qn, qd) }
-      val values = ExactQuantiles.longRanks(cents, "c", ranks)
-      quantiles.zip(ranks).zip(values)
-        .map { case (((q, _, _), r), v) => (q, r, v, v / 100.0) }
+        .select(lit("all").as("g"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("c"))
+      val qs = ExactQuantiles.lowerQuantilesGrouped(cents, "g", "c",
+        Seq(("p50", 1L, 2L), ("p99", 99L, 100L)))
+      qs.toSeq
+        .map { case ((_, q), (_, r, v)) => (q, r, v, v / 100.0) }
         .toDF("q", "rnk", "value_cents", "value")
         .orderBy(col("q"))
     }),

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * |tasks|·B-bounded shuffle), and descends each task into the bucket
   * containing its rank. Integer ranges shrink by a factor of B per round,
   * so round count is <= ceil(64 / log2(B)) = 6 at B = 4096 for ANY long
-  * data — and each later round's scan carries pushed-down range
-  * predicates, so parquet row-group stats prune most of the input after
-  * round one.
+  * data. The rounds all scan the same 2-column (group, value) projection,
+  * which is persisted MEMORY_AND_DISK for the search's duration (the
+  * range predicates are join conditions against the task table, not
+  * literals, so they can never reach the file scan as pushed-down
+  * filters) — source parquet is read and decoded exactly once, and at
+  * scale the slim projection spills to local disk rather than evicting.
   *
   * Exactness: values are longs, buckets are exact integer arithmetic
   * (TRUE `div` — a double `/` would mis-bucket once a span exceeds 2^53),
@@ -44,6 +47,13 @@ import org.apache.spark.sql.functions._
   */
 object ExactQuantiles {
 
+  /** Probe: bisection round count of the most recent search (written by
+    * [[searchTasks]] on completion). Read by the scale rehearsal to back
+    * the "round count is data-size-independent (<= ceil(64/log2 B))"
+    * claim with a measured value at 1x vs 10x — not part of the API.
+    */
+  private[graft] var lastRounds: Int = 0
+
   /** Value at each requested 1-based rank of each group of `df`, where a
     * group's order is its `valueCol` longs ascending. One scan per
     * bisection round TOTAL (all groups and ranks advance together).
@@ -60,29 +70,37 @@ object ExactQuantiles {
       "no ranks requested")
     val spark = df.sparkSession
     import spark.implicits._
+    // the bisection re-reads this projection every round (bounds pass +
+    // <= ceil(64/log2 B) descent rounds), so it rides in the block store
+    // for the search's duration — at scale the 2-column slim is a small
+    // fraction of its source and MEMORY_AND_DISK spills rather than
+    // evicts. Both collects below are eager, so release-on-exit is safe.
     val slim = slimmed(df, groupCol, valueCol)
-    // the requested-group bounds ARE driver-bounded here (they validate a
-    // driver-provided Map); the general unbounded-group path is
-    // lowerQuantilesGroupedDF, which never collects bounds
-    val requested = ranksByGroup.keySet.toSeq
-    val bounds = slim.filter(col("_g").isin(requested: _*))
-      .groupBy(col("_g"))
-      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
-        count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
-      .toMap
-    val seeds = ranksByGroup.toSeq.flatMap { case (grp, ranks) =>
-      val (lo, hi, n) = bounds.getOrElse(grp,
-        throw new IllegalArgumentException(s"group '$grp' has no rows"))
-      ranks.foreach(r => require(r >= 1 && r <= n,
-        s"rank $r out of range [1, $n] for group '$grp'"))
-      ranks.distinct.map(r => (grp, r, lo, hi, r))
-    }.toDF("_tg", "_r0", "_lo", "_hi", "_rank")
-    searchTasks(slim, seeds, buckets)
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
-      .toMap
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the requested-group bounds ARE driver-bounded here (they validate a
+      // driver-provided Map); the general unbounded-group path is
+      // lowerQuantilesGroupedDF, which never collects bounds
+      val requested = ranksByGroup.keySet.toSeq
+      val bounds = slim.filter(col("_g").isin(requested: _*))
+        .groupBy(col("_g"))
+        .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      val seeds = ranksByGroup.toSeq.flatMap { case (grp, ranks) =>
+        val (lo, hi, n) = bounds.getOrElse(grp,
+          throw new IllegalArgumentException(s"group '$grp' has no rows"))
+        ranks.foreach(r => require(r >= 1 && r <= n,
+          s"rank $r out of range [1, $n] for group '$grp'"))
+        ranks.distinct.map(r => (grp, r, lo, hi, r))
+      }.toDF("_tg", "_r0", "_lo", "_hi", "_rank")
+      searchTasks(slim, seeds, buckets)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    } finally slim.unpersist(blocking = false)
   }
 
   /** The (group, value) projection every entry point shares. */
@@ -133,7 +151,7 @@ object ExactQuantiles {
       // (32 branches at the buckets=4 stress setting) and every caller
       // action re-unions them. One lazy cut makes the output plan O(1)
       // in round count; the caller's first action materializes it.
-      if (nDone == nTotal) return Lineage.cut(resolved.get)
+      if (nDone == nTotal) { lastRounds = rounds; return Lineage.cut(resolved.get) }
       expected = nTotal - nDone
 
       val open = tasks.filter(!done)
@@ -206,7 +224,14 @@ object ExactQuantiles {
                               quantiles: Seq[(String, Long, Long)],
                               buckets: Int = 4096): DataFrame = {
     require(quantiles.nonEmpty, "no quantiles requested")
+    // persisted for the search's duration: the bounds aggregate, every
+    // descent round, and the final rank join all scan this projection —
+    // without the cache each pass re-reads and re-decodes the source
+    // (the per-round range predicates are JOIN conditions against the
+    // task table, not literals, so nothing reaches the file scan as a
+    // pushed-down filter). Released on the eager exit cut below.
     val slim = slimmed(df, groupCol, valueCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the quantile list rides as an exploded LITERAL array (a Generate in
     // the plan), not a cross join — a 1-row broadcast nested loop would be
     // harmless here but indistinguishable from a real one to a plan audit
@@ -232,10 +257,17 @@ object ExactQuantiles {
     // trip Spark's ambiguous-self-join detection in this re-join
     val values = searchTasks(slim, seeds, buckets)
       .select(col("_tg").as("_vg"), col("_r0").as("_vr"), col("_value"))
-    withRank
+    val out = withRank
       .join(values, col("_g") === col("_vg") && col("_r0") === col("_vr"))
       .select(col("_g").as("group"), col("_ql").as("label"),
         col("_bn").as("n"), col("_r0").as("rnk"), col("_value").as("value"))
+    // eager exit cut: the operator already runs actions internally (the
+    // per-round conservation counts), so the frame was never caller-lazy —
+    // materializing the O(groups x quantiles) result NOW lets the slim
+    // cache be released without degrading the returned frame to a
+    // recompute-from-source on the caller's first action
+    try Lineage.cut(out, eager = true)
+    finally slim.unpersist(blocking = false)
   }
 
   /** [[lowerQuantilesGroupedDF]] collected into a Map — the convenience

@@ -94,6 +94,26 @@ object ScaleRehearsal {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // orders/customer replicas back the distributed-quantile rehearsal:
+    // custkey' = custkey*reps + r multiplies GROUP CARDINALITY by reps
+    // while keeping per-group size constant — exactly the axis the
+    // unbounded-group task-table path (lowerQuantilesGroupedDF) exists
+    // for. Values ride unperturbed: group keys are distinct, so identical
+    // per-replica value sets shortcut nothing in the bisection. Only the
+    // columns q_exact_customer_median reads are carried.
+    spark.read.parquet(s"$srcDir/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"), rep)
+      .select((col("o_custkey") * reps + col("r")).as("o_custkey"),
+        col("o_totalprice"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"), rep)
+      .select((col("c_custkey") * reps + col("r")).as("c_custkey"),
+        col("c_mktsegment"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
 
   // the most expensive queries per bench/bench_full.json — the ones whose
@@ -118,15 +138,22 @@ object ScaleRehearsal {
     // ONE word-frequency agg (train) and one applier scan; the merge
     // rounds iterate on the capped word table, so 10x corpus must cost
     // ~10x the two linear passes and nothing more
-    "text_bpe_e2e")
+    "text_bpe_e2e",
+    // round 11: the unbounded-group distributed quantile (orders/customer
+    // replicas, 10x GROUP CARDINALITY at constant group size): round count
+    // must stay at its value-domain bound (<= 6 at B=4096 — reported as
+    // bisect_rounds) and the |tasks|·B histogram shuffle must scale
+    // linearly in groups with bounded max-task bytes
+    "q_exact_customer_median")
 
-  private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter): String =
+  private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
+                  extra: String = ""): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
       s""""shuffle_write_bytes":${m.writeTotal.get},""" +
       s""""shuffle_write_max_task":${m.writeMaxTask.get},""" +
       s""""shuffle_read_bytes":${m.readTotal.get},""" +
       s""""shuffle_read_max_task":${m.readMaxTask.get},""" +
-      s""""tasks":${m.tasks.get}}"""
+      s""""tasks":${m.tasks.get}$extra}"""
 
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
@@ -163,9 +190,14 @@ object ScaleRehearsal {
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
         Thread.sleep(1500) // listener bus drain
+        // the quantile rehearsal's round-count claim, from the operator's
+        // own probe (set by the timed run just above)
+        val extra = if (n == "q_exact_customer_median")
+          s""","bisect_rounds":${graft.operators.ExactQuantiles.lastRounds}"""
+        else ""
         System.err.println(f"[rehearsal] $dir $n: $sec%.1fs, $rows rows, " +
-          s"maxTaskShufW=${meter.writeMaxTask.get}")
-        fmt(n, sec, rows, meter)
+          s"maxTaskShufW=${meter.writeMaxTask.get}$extra")
+        fmt(n, sec, rows, meter, extra)
       } catch { case e: Throwable =>
         // one broken query must not lose the whole artifact (round-7
         // lesson: a missing table aborted the run before any JSON landed)
