@@ -719,6 +719,20 @@ object SparkEntry {
         .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
         .orderBy(col("doc_id"))),
 
+    "corpus_decontaminate_bloom" -> ((s, d) =>
+      // the broadcast-free decontamination scale path: eval 6-grams fold
+      // into one bloom-filter scalar, the corpus side prunes map-side
+      // inside the scan's codegen stage, and the bloom's false-positive
+      // fringe dies in a SHUFFLED exact-verify join — no raw eval gram is
+      // ever broadcast, so the eval set may be arbitrarily large. Bloom
+      // error is one-sided, so the result is EXACT: the oracle replays
+      // the plain n-gram semantics, pinning the pruned plan to the
+      // unpruned answer
+      graft.operators.CorpusOps.decontaminateBloom(
+          t(s, d, "documents"), col("doc_id") % 20 === 0, "doc_id", "text", 6)
+        .select(col("doc_id"), col("n_shared").cast("long").as("n_shared"))
+        .orderBy(col("doc_id"))),
+
     "pack_sequences" -> ((s, d) =>
       // greedy fixed-budget sequence packing per language, id order
       graft.operators.CorpusOps.packSequences(
@@ -2897,6 +2911,26 @@ object SparkEntry {
         |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
         |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
         |FROM g JOIN e USING (gram) WHERE g.doc_id % 25 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom prefilter is invisible to the result (one-sided error +
+    // exact verify), so the oracle is the plain n-gram decontamination
+    // replay at n=6 over the %20 eval slice
+    "corpus_decontaminate_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(words) < 6
+        |    THEN [array_to_string(words, ' ')]
+        |    ELSE [array_to_string(words[i:i+5], ' ')
+        |          FOR i IN range(1, len(words) - 4)]
+        |    END)) AS gram
+        |  FROM t),
+        |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0)
+        |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+        |  CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+        |FROM g JOIN e USING (gram) WHERE g.doc_id % 20 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pack_sequences" ->

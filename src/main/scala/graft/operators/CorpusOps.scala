@@ -149,6 +149,57 @@ object CorpusOps {
       .agg(count_distinct(col("gram")).as("n_shared"))
   }
 
+  /** [[decontaminate]] for eval sets too large to broadcast raw: the eval
+    * n-grams fold into ONE bloom-filter scalar ([[BloomJoin.buildBloom]] —
+    * a mergeable aggregate, so only filter buffers shuffle, never gram
+    * strings; ~1.2 MB per 10^6 grams at 1% fpp vs tens of bytes PER GRAM
+    * broadcast raw), the corpus side prunes map-side against it inside the
+    * scan's codegen stage, and the survivors — true hits plus the fpp
+    * fringe — exact-verify against the eval grams in a plain SHUFFLED
+    * equi-join: no broadcast of raw eval data anywhere, which is the whole
+    * point at 10^9 eval grams.
+    *
+    * Result is EXACT — identical to [[decontaminate]] — because bloom
+    * error is one-sided: a false positive survives the prefilter and dies
+    * in the verify join; a false negative cannot exist. The equivalence is
+    * a law in `CorpusOpsSpec`, and the query's oracle replays the plain
+    * n-gram semantics, so the correctness gate pins the pruned plan to the
+    * unpruned answer end to end.
+    *
+    * @param expectedEvalGrams bloom sizing hint; pass the (approximate)
+    *        distinct eval gram count — overshooting costs bits, not
+    *        correctness. Defaults to counting the eval grams (one extra
+    *        pass over the SMALL side).
+    */
+  def decontaminateBloom(docs: DataFrame, evalPred: Column, idCol: String,
+                         textCol: String, n: Int,
+                         expectedEvalGrams: Long = -1L,
+                         fpp: Double = 0.01): DataFrame = {
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+      evalPred.as("is_eval"),
+      explode(VectorFunctions.shingleSet(
+        TextFunctions.tokens(col(textCol)), n)).as("gram"))
+    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    val items =
+      if (expectedEvalGrams > 0) expectedEvalGrams else evalGrams.count()
+    // zero eval grams: nothing can be contaminated, and a 0-item bloom is
+    // ill-defined — short-circuit to the empty answer with the right schema
+    if (items == 0)
+      return grams.filter(lit(false)).groupBy(col("doc_id"))
+        .agg(count_distinct(col("gram")).as("n_shared"))
+    val bloom = BloomJoin.buildBloom(evalGrams, col("gram"), items, fpp)
+    val survivors = grams.filter(!col("is_eval"))
+      .filter(BloomJoin.mightContain(bloom, col("gram")))
+      .select(col("doc_id"), col("gram"))
+    // exact verify: survivors are the bloom-thinned sliver of the corpus,
+    // so a SHUFFLED equi-join is the scale-safe choice here — deliberately
+    // not broadcast(evalGrams), which is the very thing this variant
+    // exists to avoid
+    survivors.join(evalGrams, "gram")
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("gram")).as("n_shared"))
+  }
+
   /** SEMANTIC benchmark decontamination — the embedding-space complement of
     * the n-gram [[decontaminate]]: a paraphrased eval question shares no
     * 13-gram with its train-set leak, but the embeddings sit at cosine ≈ 1.

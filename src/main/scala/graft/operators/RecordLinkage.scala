@@ -65,8 +65,11 @@ object RecordLinkage {
       .join(strs(left, "left"), "left_id")
       .join(strs(right, "right"), "right_id")
       .select("left_id", "right_id", "left_str", "right_str")
+      // threshold form: the DP runs banded (O(threshold·len) cells, early
+      // exit) and returns -1 above the bound — for kept rows the value is
+      // the true distance, so the output contract is unchanged
       .withColumn("dist",
-        levenshtein(col("left_str"), col("right_str")).cast("long"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("left_str"), col("right_str"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
   }
 }

@@ -83,14 +83,24 @@ object ScaleRehearsal {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    // replica r: (-1)^(r div dim) * rotate(v, r mod dim) — bit-identical
+    // to the plain rotation for r < dim (the committed 10x artifact), and
+    // still collision-free past it (reps > dim=64, i.e. the 100x tier):
+    // same-rotation replicas land in opposite half-spaces instead of
+    // silently duplicating, which would seed fake dup cliques
+    val dim = size(col("embedding"))
+    val rot = pmod(col("r"), dim)
+    val sgn = when(pmod(expr("r div size(embedding)"), lit(2)) === 1,
+      lit(-1.0f)).otherwise(lit(1.0f))
     emb.select(col("*"), rep)
       .select(
         (col("vec_id") * reps + col("r")).as("vec_id"),
         when(col("r") === 0, col("embedding")).otherwise(
-          concat(
-            slice(col("embedding"), col("r") + 1,
-              size(col("embedding")) - col("r")),
-            slice(col("embedding"), lit(1), col("r")))).as("embedding"),
+          transform(
+            concat(
+              slice(col("embedding"), rot + 1, dim - rot),
+              slice(col("embedding"), lit(1), rot)),
+            x => x * sgn)).as("embedding"),
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -108,10 +118,15 @@ object ScaleRehearsal {
         col("o_totalprice"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // c_name rides RAW into every replica: match_entities decorates each
+    // record with an md5(new-id) suffix before linking, and the new ids are
+    // replica-unique — so same-name replicas land >= 2 edits apart and the
+    // 3-node entity structure multiplies by reps instead of fusing into
+    // cross-replica cliques
     spark.read.parquet(s"$srcDir/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment"), rep)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_name"), rep)
       .select((col("c_custkey") * reps + col("r")).as("c_custkey"),
-        col("c_mktsegment"))
+        col("c_mktsegment"), col("c_name"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
@@ -144,7 +159,12 @@ object ScaleRehearsal {
     // must stay at its value-domain bound (<= 6 at B=4096 — reported as
     // bisect_rounds) and the |tasks|·B histogram shuffle must scale
     // linearly in groups with bounded max-task bytes
-    "q_exact_customer_median")
+    "q_exact_customer_median",
+    // round 11: entity resolution over 10x ENTITIES (customer replicas;
+    // the md5-suffix decoration keeps replicas >= 2 edits apart, so entity
+    // count scales and clique size does not): deletion-neighborhood key
+    // join must stay linear in records, CC rounds flat at 3-node cliques
+    "match_entities")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =
@@ -158,7 +178,13 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft-sf1equiv"
-    val reps = 10
+    // args(2): replication factor (default 10 — the committed artifact);
+    // args(3): optional comma-separated query subset, for the 100x tier
+    // where the full list would run for hours
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").map(_.trim).toSet)
+      else None
     val spark = graft.GraftSession.tune(SparkSession.builder()
         .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
         .config("spark.sql.shuffle.partitions",
@@ -176,7 +202,8 @@ object ScaleRehearsal {
     graft.SparkEntry.queries("dedup_ngram_jaccard")(spark, base)
       .write.format("noop").mode("overwrite").save()
 
-    def timed(dir: String): Seq[String] = names.map { n =>
+    val picked = only.fold(names)(f => names.filter(f.contains))
+    def timed(dir: String): Seq[String] = picked.map { n =>
       try {
         // warmup on a THROWAWAY instance: the dedup operators localCheckpoint
         // intermediate sets/edges per Dataset instance, so timing a previously
@@ -211,10 +238,14 @@ object ScaleRehearsal {
     val json =
       s"""{"base_sf":"$base","scaled_reps":$reps,""" +
         s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
+    // the default 10x run owns the canonical artifact name; other tiers
+    // (e.g. the 100x decade) land beside it, never over it
+    val artifact =
+      if (reps == 10) "scale_rehearsal.json" else s"scale_rehearsal_${reps}x.json"
     for (d <- Seq("target", "bench")) {
       val dir = java.nio.file.Paths.get(d)
       java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.writeString(dir.resolve("scale_rehearsal.json"), json)
+      java.nio.file.Files.writeString(dir.resolve(artifact), json)
     }
     try spark.stop() catch { case _: Throwable => () }
     println(json)

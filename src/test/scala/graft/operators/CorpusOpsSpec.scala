@@ -80,6 +80,31 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> 4L, 4L -> 1L, 5L -> 4L))
   }
 
+  test("decontaminateBloom equals decontaminate (one-sided bloom error law)") {
+    val docs = corpus.toDF("doc_id", "lang", "text").drop("lang")
+    val evalPred = col("doc_id") % 7 === 0
+    val exact = CorpusOps.decontaminate(docs, evalPred, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    // auto-counted sizing AND a deliberately undersized hint (a too-small
+    // bloom raises fpp — MORE survivors into the verify join — but can
+    // never lose a true hit, so the result must still be exact)
+    for (hint <- Seq(-1L, 2L)) {
+      val got = CorpusOps.decontaminateBloom(
+          docs, evalPred, "doc_id", "text", 3, expectedEvalGrams = hint)
+        .as[(Long, Long)].collect().toMap
+      assert(got == exact, s"hint=$hint")
+    }
+    assert(exact.nonEmpty) // the law is vacuous on an empty answer
+  }
+
+  test("decontaminateBloom: empty eval slice yields the empty answer") {
+    val docs = corpus.toDF("doc_id", "lang", "text").drop("lang")
+    val got = CorpusOps.decontaminateBloom(
+      docs, col("doc_id") < 0, "doc_id", "text", 3)
+    assert(got.columns.toSeq == Seq("doc_id", "n_shared"))
+    assert(got.count() == 0L)
+  }
+
   test("packSequences: greedy invariants and sequential-reference equality") {
     val df = corpus.toDF("doc_id", "lang", "text")
     val budget = 64L
