@@ -25,6 +25,7 @@ import org.apache.spark.sql.DataFrame
 object Lineage {
   val ReliableConf = "spark.graft.reliableCheckpoints"
   val DirConf = "spark.graft.checkpointDir"
+  val LevelConf = "spark.graft.localCheckpointLevel"
 
   def cut(df: DataFrame): DataFrame = cut(df, eager = false)
 
@@ -43,6 +44,18 @@ object Lineage {
         sc.setCheckpointDir(spark.conf.getOption(DirConf).getOrElse(
           s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints"))
       df.checkpoint(eager = eager)
-    } else df.localCheckpoint(eager = eager)
+    } else spark.conf.getOption(LevelConf) match {
+      // e.g. MEMORY_AND_DISK_SER: string-heavy intermediates (exploded
+      // shingle/pair tables) occupy ~5-8x their serialized size as Java
+      // objects — at an sf10-equivalent corpus on one 64 GB-heap node the
+      // deserialized default blows the storage pool and thrashes
+      // (measured: dedup_ngram_jaccard 876x at 100x data in the scale
+      // rehearsal), while serialized blocks fit. Per-reuse deserialization
+      // is the price, so this is a knob, not the default: small corpora
+      // re-read the blocks many times per CC round and prefer objects.
+      case Some(level) => df.localCheckpoint(eager = eager,
+        org.apache.spark.storage.StorageLevel.fromString(level))
+      case None => df.localCheckpoint(eager = eager)
+    }
   }
 }

@@ -59,7 +59,15 @@ object RecordLinkage {
       col(idCol).cast("long").as(s"${side}_id"),
       col(strCol).as(s"${side}_str"))
 
-    keyed(left, "left").join(keyed(right, "right"), "k")
+    // the candidate join sits directly over scan+explode, so the planner's
+    // size estimate is the pre-explode child's (explode does not inflate
+    // stats) — at a large input that under-estimate selects a broadcast
+    // build of the O(len+1)-inflated key table, which grows unboundedly
+    // with the data and dies at Spark's 8 GiB broadcast cap (measured at
+    // the 100x rehearsal tier: a 15.6 GiB attempted build). The operator
+    // KNOWS the inflation, so it pins the strategy: shuffle-hash, keyed by
+    // k — no sort, per-partition builds, both sides partitioned by the key
+    keyed(left, "left").hint("shuffle_hash").join(keyed(right, "right"), "k")
       .select("left_id", "right_id")
       .distinct()
       .join(strs(left, "left"), "left_id")

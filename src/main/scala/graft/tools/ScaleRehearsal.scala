@@ -192,6 +192,10 @@ object ScaleRehearsal {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // experiment passthrough: SPARK_GRAFT_LOCAL_CKPT_LEVEL=MEMORY_AND_DISK_SER
+    // flips Lineage.cut's block storage for A/B runs at the 100x tier
+    sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
+      .foreach(l => spark.conf.set(graft.operators.Lineage.LevelConf, l))
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
@@ -235,8 +239,10 @@ object ScaleRehearsal {
 
     val baseJson = timed(base).mkString("{", ",", "}")
     val bigJson = timed(out).mkString("{", ",", "}")
+    val level = sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
+      .map(l => s""""local_ckpt_level":"$l",""").getOrElse("")
     val json =
-      s"""{"base_sf":"$base","scaled_reps":$reps,""" +
+      s"""{"base_sf":"$base","scaled_reps":$reps,$level""" +
         s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
     // the default 10x run owns the canonical artifact name; other tiers
     // (e.g. the 100x decade) land beside it, never over it
