@@ -52,4 +52,28 @@ class LineageSpec extends AnyFunSuite {
     assert(local == reliable)
     assert(local.nonEmpty)
   }
+
+  test("localCheckpointLevel knob: blocks stored at the requested level, " +
+      "results unchanged") {
+    import org.apache.spark.storage.StorageLevel
+    def run() = Dedup.duplicateGroups(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b"),
+      "id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    val default = run()
+    spark.conf.set(Lineage.LevelConf, "MEMORY_AND_DISK_SER")
+    try {
+      val cut = Lineage.cut(Seq(1L, 2L, 3L).toDF("v"))
+      cut.count()
+      // the cut frame's RDD lineage ends in a LocalCheckpointRDD family
+      // whose live blocks carry the configured level
+      val lvl = cut.rdd.getStorageLevel
+      assert(lvl == StorageLevel.MEMORY_AND_DISK_SER ||
+        // rdd() wraps in a deserialize step; fall back to asserting via
+        // the persisted RDDs registry
+        spark.sparkContext.getPersistentRDDs.values
+          .exists(_.getStorageLevel == StorageLevel.MEMORY_AND_DISK_SER),
+        s"no MEMORY_AND_DISK_SER blocks found (outer level was $lvl)")
+      assert(run() == default) // storage level must never change answers
+    } finally spark.conf.unset(Lineage.LevelConf)
+  }
 }
