@@ -164,7 +164,12 @@ object ScaleRehearsal {
     // the md5-suffix decoration keeps replicas >= 2 edits apart, so entity
     // count scales and clique size does not): deletion-neighborhood key
     // join must stay linear in records, CC rounds flat at 3-node cliques
-    "match_entities")
+    "match_entities",
+    // round 11: the decontamination pair — broadcast eval grams vs bloom
+    // prefilter + shuffled verify; the bloom variant must stay linear in
+    // the corpus with the filter scalar its only broadcast
+    "text_decontaminate",
+    "corpus_decontaminate_bloom")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =
