@@ -3,6 +3,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 object Bench {
 
+  // measurement contract constants: these feed BOTH the timing loops and the
+  // self-describing "cdc_timed_runs"/"stream_timed_runs" fields of the JSON
+  // record, so the stated contract cannot drift from the implementation
+  private val CdcTimedRuns = 3
+  private val StreamTimedRuns = 2
+
   /** Streaming-plane throughput: events staged as segment-log files, consumed
     * through the DSv2 source in `nBatches` micro-batches running the full
     * parse→route→dedupe→batch plane per epoch. Measures the stream from
@@ -65,7 +71,7 @@ object Bench {
     stateProvider.foreach(spark.conf.set(confKey, _))
     try {
       runOnce() // warmup
-      nEvents / (1 to 2).map(_ => runOnce()).min
+      nEvents / (1 to StreamTimedRuns).map(_ => runOnce()).min
     } finally {
       stateProvider.foreach { _ =>
         prev match {
@@ -286,7 +292,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       runPlane() // untimed warmup: codegen + JIT for the plane's stages
-      val secs = median((1 to 3).map(_ => runPlane()))
+      val secs = median((1 to CdcTimedRuns).map(_ => runPlane()))
       nEvents / secs
     } catch { case e: Throwable =>
       System.err.println(s"[bench] throughput failed: ${e.getMessage}"); 0.0
@@ -325,7 +331,8 @@ object Bench {
       s""""stream_probe_worst_ratio":${r4(
         Seq(streamProbeBefore, streamProbeAfter).map(_ / baselineProbe)
           .maxBy(r => math.max(r, 1.0 / r)))},""" +
-      s""""timed_runs":$timedRuns,"cdc_timed_runs":3,"stream_timed_runs":2,""" +
+      s""""timed_runs":$timedRuns,"cdc_timed_runs":$CdcTimedRuns,""" +
+      s""""stream_timed_runs":$StreamTimedRuns,""" +
       // the measurement contract rides the record itself (not just code
       // comments): each throughput plane runs 1 untimed warmup (codegen/JIT)
       // on a warm JVM whose caches the per-query teardown has cleared, so

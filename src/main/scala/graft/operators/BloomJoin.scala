@@ -34,6 +34,20 @@ object BloomJoin {
     // optimal bits m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate analysis-checks its sizing against the session's
+    // runtime-filter caps (maxNumItems default 4e6; maxNumBits default 2^26,
+    // hit near 7e6 items at 1% fpp) — caps meant for the OPTIMIZER's
+    // auto-injected filters, where oversizing is a planner bug. Here the
+    // caller states the sizing explicitly (a 10^9-gram decontamination set
+    // is the designed load), so RAISE the caps to cover this build; without
+    // this the operator throws AnalysisException past ~4M items and its
+    // scale contract is unreachable under session defaults. Never lowered.
+    val conf = build.sparkSession.conf
+    def raiseTo(key: String, needed: Long): Unit =
+      if (conf.getOption(key).flatMap(_.toLongOption).forall(_ < needed))
+        conf.set(key, needed.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val agg = new BloomFilterAggregate(
       XxHash64(Seq(expression(key)), 42L),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -194,8 +194,13 @@ object CorpusOps {
     // exact verify: survivors are the bloom-thinned sliver of the corpus,
     // so a SHUFFLED equi-join is the scale-safe choice here — deliberately
     // not broadcast(evalGrams), which is the very thing this variant
-    // exists to avoid
-    survivors.join(evalGrams, "gram")
+    // exists to avoid. PINNED shuffle_hash, not left to the planner:
+    // evalGrams sits directly over scan+explode, so its size estimate is
+    // the pre-explode child's (the same explode-blind under-estimate that
+    // made RecordLinkage.fuzzyJoin attempt a 15.6 GiB broadcast build) —
+    // unpinned, an auto-broadcast of raw eval grams could silently return
+    // at exactly the scale this variant exists for
+    survivors.join(evalGrams.hint("shuffle_hash"), "gram")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared"))
   }

@@ -75,8 +75,14 @@ object ExactQuantiles {
     // for the search's duration — at scale the 2-column slim is a small
     // fraction of its source and MEMORY_AND_DISK spills rather than
     // evicts. Both collects below are eager, so release-on-exit is safe.
-    val slim = slimmed(df, groupCol, valueCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skipped when the caller already cached the input (servedFromCache):
+    // the rounds then read the caller's blocks directly.
+    val slim0 = slimmed(df, groupCol, valueCol)
+    val ownCache = !servedFromCache(slim0)
+    val slim =
+      if (ownCache)
+        slim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else slim0
     try {
       // the requested-group bounds ARE driver-bounded here (they validate a
       // driver-provided Map); the general unbounded-group path is
@@ -100,7 +106,7 @@ object ExactQuantiles {
         .collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
         .toMap
-    } finally slim.unpersist(blocking = false)
+    } finally if (ownCache) slim.unpersist(blocking = false)
   }
 
   /** The (group, value) projection every entry point shares. */
@@ -108,6 +114,31 @@ object ExactQuantiles {
                       valueCol: String): DataFrame =
     df.select(col(groupCol).cast("string").as("_g"),
       col(valueCol).cast("long").as("_v")).na.drop()
+
+  /** True when the slim projection already reads a caller-owned cache: the
+    * optimized plan is projections/filters directly over an
+    * `InMemoryRelation`, so every bisection round is served from the block
+    * store as-is. The operator's own persist + eager exit cut then buys
+    * nothing and costs a duplicate materialization plus a checkpoint job —
+    * measured as the whole 1.43x events_funnel_latency regression at sf0.1
+    * (the query caches its latency frame itself). The persist-for-iteration
+    * win only exists when the rounds would otherwise re-run uncached
+    * upstream work, so a cache buried under heavier operators (a join, an
+    * aggregate) does NOT disable the persist — only a top-of-plan one.
+    */
+  private[operators] def servedFromCache(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    @annotation.tailrec
+    def top(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: InMemoryRelation => true
+        case f: Filter => top(f.child)
+        case pr: Project => top(pr.child)
+        case _ => false
+      }
+    top(df.queryExecution.optimizedPlan)
+  }
 
   /** The distributed bisection core: advances a task table
     * (_tg, _r0, _lo, _hi, _rank) against `slim` (_g, _v) until every
@@ -229,9 +260,18 @@ object ExactQuantiles {
     // without the cache each pass re-reads and re-decodes the source
     // (the per-round range predicates are JOIN conditions against the
     // task table, not literals, so nothing reaches the file scan as a
-    // pushed-down filter). Released on the eager exit cut below.
-    val slim = slimmed(df, groupCol, valueCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pushed-down filter). Released on the eager exit cut below. Skipped
+    // entirely when the caller already cached the input (servedFromCache):
+    // the rounds then read the caller's blocks, nothing of ours needs
+    // releasing, and the exit cut's extra materialization job is dropped
+    // too (the CacheHygiene invariant holds either way — the operator
+    // leaves no cache entry of its own behind).
+    val slim0 = slimmed(df, groupCol, valueCol)
+    val ownCache = !servedFromCache(slim0)
+    val slim =
+      if (ownCache)
+        slim0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else slim0
     // the quantile list rides as an exploded LITERAL array (a Generate in
     // the plan), not a cross join — a 1-row broadcast nested loop would be
     // harmless here but indistinguishable from a real one to a plan audit
@@ -265,9 +305,13 @@ object ExactQuantiles {
     // per-round conservation counts), so the frame was never caller-lazy —
     // materializing the O(groups x quantiles) result NOW lets the slim
     // cache be released without degrading the returned frame to a
-    // recompute-from-source on the caller's first action
-    try Lineage.cut(out, eager = true)
-    finally slim.unpersist(blocking = false)
+    // recompute-from-source on the caller's first action. On the
+    // caller-cached path there is no cache of ours to outlive, so the
+    // result stays lazy over the caller's blocks.
+    if (ownCache)
+      try Lineage.cut(out, eager = true)
+      finally slim.unpersist(blocking = false)
+    else out
   }
 
   /** [[lowerQuantilesGroupedDF]] collected into a Map — the convenience

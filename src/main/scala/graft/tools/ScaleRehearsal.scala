@@ -85,9 +85,17 @@ object ScaleRehearsal {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     // replica r: (-1)^(r div dim) * rotate(v, r mod dim) — bit-identical
     // to the plain rotation for r < dim (the committed 10x artifact), and
-    // still collision-free past it (reps > dim=64, i.e. the 100x tier):
-    // same-rotation replicas land in opposite half-spaces instead of
-    // silently duplicating, which would seed fake dup cliques
+    // collision-free up to r < 2*dim (the 100x tier at dim=64): the sign
+    // flip gives each rotation exactly TWO distinct replicas (opposite
+    // half-spaces), after which replicas r and r+2*dim repeat
+    // bit-identically and would silently seed the fake dup cliques this
+    // scheme exists to avoid — so refuse reps past the bound instead of
+    // fabricating a misleading tier
+    val embDim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(reps <= 2 * embDim,
+      s"embedding replica scheme (sign x rotation) is collision-free only " +
+        s"for reps <= 2*dim = ${2 * embDim}; got $reps — extend the scheme " +
+        "with more orthogonal transforms before rehearsing that tier")
     val dim = size(col("embedding"))
     val rot = pmod(col("r"), dim)
     val sgn = when(pmod(expr("r div size(embedding)"), lit(2)) === 1,

@@ -10,8 +10,13 @@ object TimeQuery {
   def main(args: Array[String]): Unit = {
     val (names, rest) = args.span(_ != "--")
     val dir = rest.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = GraftSession.tune(SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same SPARK_GRAFT_CPUS contract as Bench (default 4 there): timings
+    // are only comparable to bench_full.json at the same parallelism —
+    // these small-sf queries are stage-scheduling-bound, so local[32]
+    // reads ~1.4x local[4] on the identical plan
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tune(SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>

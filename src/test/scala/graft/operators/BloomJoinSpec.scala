@@ -33,6 +33,21 @@ class BloomJoinSpec extends AnyFunSuite {
       s"bloom passed $pass rows")
   }
 
+  test("sizing past the session's runtime-filter caps still builds " +
+    "(the 10^9-gram scale contract)") {
+    // 8M items at 1% fpp exceeds BOTH analysis caps the session defaults
+    // impose on BloomFilterAggregate: maxNumItems (4e6) and maxNumBits
+    // (2^26 ≈ 67.1M bits; this sizing wants ~76.7M) — before buildBloom
+    // raised them, this line threw AnalysisException and
+    // decontaminateBloom's documented eval-set scale was unreachable
+    val bloom = BloomJoin.buildBloom(build, col("bk"),
+      expectedItems = 8000000L, fpp = 0.01)
+    val trueKeys = build.select(col("bk")).as[Long].collect()
+    val kept = probe.filter(BloomJoin.mightContain(bloom, col("pk")))
+      .select("pk").as[Long].collect().toSet
+    assert(trueKeys.forall(kept.contains))
+  }
+
   test("bloom rejects never drop true matches across fpp settings") {
     for (fpp <- Seq(0.3, 0.01)) {
       val bloom = BloomJoin.buildBloom(build, col("bk"), 100L, fpp)

@@ -149,6 +149,50 @@ class ExactQuantilesSpec extends AnyFunSuite {
         "(4096 buckets) — final Lineage.cut missing?")
   }
 
+  test("servedFromCache: top-of-plan caller cache detected, buried or " +
+    "absent cache is not") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("x", 1L), ("y", 2L)).toDF("g", "v")
+    def slimish(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("g").cast("string").as("_g"),
+        col("v").cast("long").as("_v")).na.drop()
+    assert(!ExactQuantiles.servedFromCache(slimish(df)))
+    val cached = df.cache()
+    try {
+      assert(ExactQuantiles.servedFromCache(slimish(cached)))
+      // a cache buried under a join must NOT disable the persist: the
+      // rounds would re-run the join every scan
+      val joined = cached.join(
+        cached.select(col("g"), col("v").as("v2")), "g")
+      assert(!ExactQuantiles.servedFromCache(
+        joined.select(col("g").cast("string").as("_g"),
+          col("v").cast("long").as("_v")).na.drop()))
+    } finally cached.unpersist(blocking = true)
+  }
+
+  test("caller-cached input: same answer, caller's cache left intact, " +
+    "no operator-owned entries behind") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(("x", 10L), ("x", 20L), ("x", 30L), ("y", 7L))
+      .toDF("g", "v")
+    val expect = ExactQuantiles.lowerQuantilesGrouped(df, "g", "v",
+      Seq(("p50", 1L, 2L), ("max", 1L, 1L)))
+    spark.sharedState.cacheManager.clearCache()
+    val cached = df.cache()
+    try {
+      val got = ExactQuantiles.lowerQuantilesGrouped(cached, "g", "v",
+        Seq(("p50", 1L, 2L), ("max", 1L, 1L)))
+      assert(got === expect)
+      // the operator must neither unpersist the caller's cache nor leave
+      // an entry of its own (the caller's is the only one)
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "the caller's cache entry was dropped by the operator")
+      cached.unpersist(blocking = true)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        "an operator-owned cache entry survived the caller's unpersist")
+    } finally cached.unpersist(blocking = false)
+  }
+
   test("funnelLatencies joins consecutive reach ords") {
     import org.apache.spark.sql.functions._
     val ev = Seq((1L, 10L, "A"), (1L, 25L, "B"), (2L, 10L, "A"))
