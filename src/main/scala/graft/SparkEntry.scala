@@ -1332,6 +1332,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    "dedup_ngram_jaccard_capped" -> ((s, d) =>
+      // the bounded-cost near-dup path for tiers where exact prefix-filter
+      // candidates go superlinear (522x at 100x data in the rehearsal):
+      // rare-shingle blocking at df <= 20 + exact-jaccard verify. The
+      // recall contract (pairs sharing only hotter-than-cap shingles are
+      // missed) is explicit in the operator doc; the oracle replays the
+      // capped semantics bit for bit, and DedupSpec pins capped ⊆ exact
+      // with equality under a generous cap
+      Dedup.ngramJaccardPairsCapped(t(s, d, "documents"), "doc_id", "text",
+          3, 0.8, maxDf = 20L)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
           n = 3, k = 64, bands = 16, threshold = 0.8)
@@ -1507,6 +1519,23 @@ object SparkEntry {
           col("bucket").cast("long").as("bucket"),
           col("n").cast("long").as("n"))
         .orderBy(col("t"), col("bucket"))
+    }),
+
+    "ann_cell_occupancy" -> ((s, d) => {
+      // the "raise nlist" guard for the fixed-cell quantizer family:
+      // dedup_semantic / corpus_decontaminate_semantic / ann_cluster_purity
+      // all pin nlist=16, and a pinned quantizer goes quadratic as the
+      // corpus grows (measured: dedup_semantic 67x at 100x data — cell
+      // population scales with rows while nlist stands still). The audit is
+      // integer-exact end to end: `degenerate` is the cross-multiplied
+      // "max cell share > 4x ideal", `suggested_nlist` the smallest power
+      // of two at <= 256 mean rows/cell — schedule beside those jobs and
+      // alert on either signal.
+      SimilaritySearch.cellOccupancyAudit(t(s, d, "embeddings"),
+          "vec_id", "embedding", nlist = 16)
+        .select(col("nlist"), col("n_rows"), col("n_cells_used"),
+          col("max_cell_rows"), col("degenerate").cast("long").as("degenerate"),
+          col("suggested_nlist"))
     }),
 
     "ann_recall_audit" -> ((s, d) => {
@@ -1976,8 +2005,12 @@ object SparkEntry {
       val dirty2 = clean.select((col("id") + 2000000L).as("id"),
         delAt(p2).as("name"))
       val all = clean.unionByName(dirty1).unionByName(dirty2)
-      val pairs = RecordLinkage.fuzzyJoin(all, all, "id", "name")
-        .filter(col("left_id") < col("right_id"))
+      // self-join form: the id_a < id_b canonicalization runs INSIDE the
+      // candidate join, so the n·(len+1) self-hits and the mirrored half
+      // of the candidate set never reach the distinct/verify stages (the
+      // equivalent fuzzyJoin(all, all) + filter shape shuffled ~90M doomed
+      // rows at the 100x rehearsal tier)
+      val pairs = RecordLinkage.fuzzySelfJoin(all, "id", "name")
       val groups = Dedup.duplicateGroups(pairs, "left_id", "right_id")
         .withColumnRenamed("doc_id", "id")
       all.select(col("id")).join(groups, Seq("id"), "left")
@@ -3338,6 +3371,43 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM bkt GROUP BY 1, 2 ORDER BY t, bucket""".stripMargin,
 
+    // the dedup_semantic quantizer replay aggregated to the one-row
+    // occupancy audit; all-integer arithmetic (cross-multiplied degenerate
+    // test, power-of-two scan via a list comprehension) so the row
+    // hash-matches bit for bit
+    "ann_cell_occupancy" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |      CAST(vec_id AS VARCHAR)) - 1 AS cell,
+        |    e, sqrt(list_dot_product(e, e)) AS nrm
+        |  FROM (SELECT vec_id, e FROM v
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+        |        LIMIT 16)),
+        |sc AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    list_dot_product(v.e, cent.e) / cent.nrm AS score
+        |  FROM v, cent),
+        |assign AS (
+        |  SELECT vec_id, cell FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY score DESC, cell) = 1),
+        |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+        |       FROM assign GROUP BY 1),
+        |agg AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_cells_used,
+        |    CAST(max(n) AS BIGINT) AS max_cell_rows
+        |  FROM pc)
+        |SELECT CAST(16 AS BIGINT) AS nlist, n_rows, n_cells_used,
+        |  max_cell_rows,
+        |  CAST(CASE WHEN max_cell_rows * 16 > n_rows * 4 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS degenerate,
+        |  CAST(list_min(list_filter(
+        |      [CAST(1 AS BIGINT) << CAST(k AS INTEGER) FOR k IN range(0, 31)],
+        |      p -> p * 256 >= n_rows)) AS BIGINT) AS suggested_nlist
+        |FROM agg""".stripMargin,
+
     // replays PQ end to end: md5-picked codebook rows, per-subspace L2
     // argmin encode (ties to lowest codeword, matching the kernel's strict
     // <), ADC scoring, top-32 candidate cut, exact-cosine re-rank.
@@ -3656,6 +3726,7 @@ object SparkEntry {
         |FROM m ORDER BY media_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_ngram_jaccard_capped" -> cappedNgramOracle,
     "dedup_minhash_lsh" -> ngramJaccardOracle,
 
     // the exact cross-pair answer: old (< 400) × delta (>= 400) near-dups —
@@ -4261,6 +4332,41 @@ object SparkEntry {
       |    len(list_intersect(a.s, b.s)) AS i,
       |    len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** Replays the df-capped near-dup semantics exactly: rare-shingle
+    * blocking (distinct-doc df <= 20 on the shingle STRING — no engine
+    * hash anywhere, that's what makes the capped variant replayable),
+    * size-ratio pruning, exact-jaccard verify. Unlike [[ngramPairsCtes]]
+    * this never forms the O(n²) pair set, so the sf0.1 sweep is cheap.
+    * Shared CTEs are MATERIALIZED (DuckDB inlines multiply-referenced
+    * CTEs — the round-8 258s-vs-7s lesson).
+    */
+  private val cappedNgramOracle: String =
+    """WITH sh AS MATERIALIZED (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words)-1)]) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |        FROM documents) t),
+      |occ AS MATERIALIZED (
+      |  SELECT doc_id, len(s) AS n_sh, unnest(s) AS g FROM sh),
+      |rare AS MATERIALIZED (
+      |  SELECT g FROM occ GROUP BY g HAVING count(*) <= 20),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM occ a JOIN rare USING (g) JOIN occ b USING (g)
+      |  WHERE a.doc_id < b.doc_id
+      |    AND CAST(a.n_sh AS DOUBLE) >= 0.8 * b.n_sh
+      |    AND CAST(b.n_sh AS DOUBLE) >= 0.8 * a.n_sh),
+      |p AS (
+      |  SELECT da, db, len(list_intersect(sa.s, sb.s)) AS i,
+      |    len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.da
+      |  JOIN sh sb ON sb.doc_id = cand.db)
+      |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+      |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
+      |FROM p WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   private val winnowFpOracle: String =
     """WITH t AS (

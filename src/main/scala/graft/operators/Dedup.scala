@@ -148,6 +148,64 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Df-CAPPED n-gram Jaccard near-dup pairs — the bounded-cost variant of
+    * [[ngramJaccardPairs]] for tiers where the exact prefix-filter join
+    * goes superlinear (measured 522× time at 100× corpus in the scale
+    * rehearsal: prefix candidates grow with Σ df'² and nothing bounds a
+    * hot shingle's df').
+    *
+    * EXPLICIT RECALL CONTRACT (this is NOT the exact pair set): a pair is
+    * emitted iff (a) the docs share at least one shingle occurring in at
+    * most `maxDf` documents, and (b) exact Jaccard ≥ `threshold`. (b) is
+    * verified over FULL shingle sets, so precision is exact — only pairs
+    * whose every shared shingle is hotter than `maxDf` are missed, and
+    * such pairs are boilerplate-only overlaps at any realistic cap (two
+    * near-duplicate documents share their rare shingles by definition;
+    * see the [[winnowContainmentPairs]] df-cap argument). Candidate cost
+    * is Σ_{df(s) ≤ maxDf} df(s)² ≤ maxDf · |shingle occurrences| — LINEAR
+    * in the corpus at fixed cap, the 100 TB contract the exact operator
+    * cannot make.
+    *
+    * Blocking is rare-shingle equi-join (df ≤ maxDf over distinct doc
+    * occurrences), deliberately NOT the prefix filter + cap: prefix
+    * membership depends on the engine's xxhash64 tie-order, which no
+    * external engine can replay — this formulation keeps the capped
+    * output a pure function of (corpus, n, threshold, maxDf), so the
+    * DuckDB oracle pins it bit for bit.
+    */
+  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double, maxDf: Long,
+                              saltVerify: Int = AutoSalt): DataFrame = {
+    require(maxDf >= 1, "ngramJaccardPairsCapped: maxDf must be >= 1")
+    // same shared (doc, shingle set) checkpoint as the exact operator: it
+    // feeds the blocking branch and both verify sides
+    val sets = docs.select(col(idCol).as("doc"),
+      shingleSet(col(textCol), n).as("sh_set")).pipe(Lineage.cut)
+    // the blocking key is the shingle STRING, not a 64-bit hash: a hash
+    // collision would inflate a rare shingle's df past the cap and DROP a
+    // contractually-promised pair (the exact operator tolerates collisions
+    // because they only ADD candidates there) — and string keys are what
+    // the SQL oracle replays. The cap bounds per-key fanout, so key width
+    // is no longer the dominant shuffle cost the hashing existed to cut.
+    val occ = sets.select(col("doc"), size(col("sh_set")).as("n_sh"),
+      explode(col("sh_set")).as("g"))
+    val rare = occ.groupBy("g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("g")
+    val keyed = occ.join(rare, "g")
+    // size-ratio filter: J ≥ t forces |A|/|B| ∈ [t, 1/t] — drops no true
+    // pair, kills spurious rare-key collisions for free
+    val cands = keyed.as("a").join(keyed.as("b"),
+        col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
+          col("a.n_sh").cast("double") >= lit(threshold) * col("b.n_sh") &&
+          col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    attachSets(cands, sets, "sh_set", saltVerify)
+      .withColumn("jaccard", VectorFunctions.jaccard(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** MinHash + LSH near-dup pairs: k-permutation signature per doc, banded
     * into `bands` groups of k/bands rows; docs colliding on any (band, band
     * signature) become candidates; candidates verified with exact jaccard.

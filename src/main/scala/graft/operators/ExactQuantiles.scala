@@ -38,19 +38,24 @@ import org.apache.spark.sql.functions._
   * bounds, per-round histograms, and the bucket-descent all stay
   * distributed (histogram → windowed cumulative sum per task → joined
   * bounds update), so group cardinality never has to fit on the driver.
-  * Per round the driver sees exactly ONE 2-long row (the done/total
-  * conservation counts that drive the loop and the walked-off-histogram
-  * guard); round frames go through [[Lineage.cut]] so round k never
-  * replays rounds 1..k-1. Only the Map-returning convenience entry points
-  * collect the final (group, rank) → value result — bounded by the
+  * The round count is computed EXACTLY upfront from the widest seed span
+  * (range size shrinks as ceil(N/B^k) — an integer identity, not an
+  * estimate), resolved tasks are fixed points of the round transform, and
+  * round frames go through [[Lineage.cut]] so round k never replays
+  * rounds 1..k-1 — so the whole descent chains lazily into ONE
+  * materializing job whose exit count doubles as the conservation guard
+  * (the driver sees one (span, count) row and one final 2-long row, with
+  * no per-round round-trip). Only the Map-returning convenience entry
+  * points collect the final (group, rank) → value result — bounded by the
   * caller's own requested-output size, which a Map return IS.
   */
 object ExactQuantiles {
 
-  /** Probe: bisection round count of the most recent search (written by
-    * [[searchTasks]] on completion). Read by the scale rehearsal to back
-    * the "round count is data-size-independent (<= ceil(64/log2 B))"
-    * claim with a measured value at 1x vs 10x — not part of the API.
+  /** Probe: the most recent search's computed round budget (the exact
+    * ceil(N/B^k) descent count derived from the widest seed span — see
+    * [[roundsFor]]). Read by the scale rehearsal to back the "round count
+    * is data-size-independent (span-driven, <= ceil(64/log2 B) + 1)"
+    * claim with a value at 1x vs 10x — not part of the API.
     */
   private[graft] var lastRounds: Int = 0
 
@@ -140,56 +145,99 @@ object ExactQuantiles {
     top(df.queryExecution.optimizedPlan)
   }
 
+  /** Exact round budget for a value span: the smallest k with
+    * ceil^k(N/B) = 1 where N = span+1 (range SIZE), computed in exact
+    * integer arithmetic — ceil(ceil(x/a)/b) = ceil(x/(ab)) for integers,
+    * so N_k = ceil(N0/B^k) exactly and k = ceil(log_B N0), but a floating
+    * log at a B^k boundary can undershoot by one, so iterate instead.
+    */
+  private[operators] def roundsFor(span: BigInt, buckets: Int): Int = {
+    var n = span + 1
+    var k = 0
+    while (n > 1) { n = (n + buckets - 1) / buckets; k += 1 }
+    k
+  }
+
   /** The distributed bisection core: advances a task table
     * (_tg, _r0, _lo, _hi, _rank) against `slim` (_g, _v) until every
     * task's range is a single value. Returns (_tg, _r0, _value).
     *
-    * Each round is one scan of `slim` joined to the open tasks (Spark
-    * picks broadcast vs shuffle by the task table's size — never forced,
+    * Each round is one scan of `slim` joined to the tasks (Spark picks
+    * broadcast vs shuffle by the task table's size — never forced,
     * because at 10^7 groups a forced broadcast is the OOM this operator
     * exists to avoid), one |tasks|·B-bounded histogram aggregate, a
     * per-task cumulative-sum window over at most B bucket rows, and an
-    * integer bounds update. The sole driver-side values are the
-    * conservation counts.
+    * integer bounds update.
+    *
+    * The round COUNT is not discovered by probing — it is computed exactly
+    * upfront from the widest seed span (range size shrinks as
+    * ceil(N/B^k), an integer identity, so k* = [[roundsFor]] rounds
+    * suffice for every task; a wrapped range pays one sign-split round
+    * first). A RESOLVED task (lo == hi) is a FIXED POINT of the round
+    * transform — its single-value range re-buckets to itself — so early
+    * finishers ride the remaining rounds unchanged and no per-round
+    * doneness probe is needed. That turns the whole search into ONE lazy
+    * plan chain (per-round lineage cuts keep the logical plan O(1)-deep)
+    * materialized by a single job, instead of a driver action per round:
+    * measured 26 -> ~8 Spark jobs on the funnel-latency query, whose cost
+    * was round-trip scheduling, not data. The sole driver-side values are
+    * the upfront (span, count) row and the final conservation counts —
+    * a task whose rank walks off its histogram (inconsistent seed)
+    * VANISHES in that round, so the exit check `total == seeded` is the
+    * same guard the per-round probe used to run.
     */
-  private def searchTasks(slim: DataFrame, seeds: DataFrame,
-                          buckets: Int): DataFrame = {
-    val done = col("_lo") === col("_hi")
-    var tasks = seeds
-    var resolved: Option[DataFrame] = None
-    var expected = -1L
-    var rounds = 0
-    while (rounds >= 0) {
-      rounds += 1
-      require(rounds <= 70, s"bisection failed to converge (bug): $rounds rounds")
-      tasks = Lineage.cut(tasks)
-      val cnt = tasks.agg(
-        sum(when(done, 1L).otherwise(0L)).as("d"),
-        count(lit(1)).as("t")).collect()(0)
-      val nTotal = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
-      val nDone = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
-      // conservation: every open task must land in exactly one bucket; a
-      // task vanishing means its rank walked off its histogram (an
-      // inconsistent seed — rank > group count)
-      require(expected < 0 || nTotal == expected,
-        s"rank walked off histogram: $expected open tasks advanced to $nTotal")
-      val doneDf = tasks.filter(done)
-        .select(col("_tg"), col("_r0"), col("_lo").as("_value"))
-      resolved = Some(resolved.fold(doneDf)(_.union(doneDf)))
-      // final cut: `resolved` is a rounds-wide union of per-round done
-      // frames (each branch shallow — a filter/project over a cut task
-      // frame), so without this the RETURNED plan's width is O(rounds)
-      // (32 branches at the buckets=4 stress setting) and every caller
-      // action re-unions them. One lazy cut makes the output plan O(1)
-      // in round count; the caller's first action materializes it.
-      if (nDone == nTotal) { lastRounds = rounds; return Lineage.cut(resolved.get) }
-      expected = nTotal - nDone
+  /** Run `f` with AQE disabled on this session, restoring the previous
+    * setting after. The bisection's shuffle shapes are KNOWN at plan time
+    * (tasks ≤ groups·quantiles rows, histograms ≤ tasks·B rows, every
+    * round the same), so adaptive per-stage re-planning has nothing to
+    * discover here and costs real wall time on a scheduling-bound search:
+    * measured 23 jobs / 2.8 s -> 8 jobs / 1.7 s on the sf0.1 funnel-latency
+    * search at local[32]. Each round's physical plan is fixed when its
+    * lineage cut materializes the plan to an RDD, which happens inside
+    * this scope; the caller's later actions on the RESULT frame plan with
+    * whatever the session normally uses.
+    */
+  private def withStaticPlan[T](spark: org.apache.spark.sql.SparkSession)
+                               (f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
-      val open = tasks.filter(!done)
-      // overflow-free "hi - lo wraps" test: lo < 0 && hi > MaxValue + lo
-      // (ANSI arithmetic would throw on the naive subtraction)
-      val ranges = open.withColumn("_sign",
-          col("_lo") < 0 && col("_hi") > lit(Long.MaxValue) + col("_lo"))
+  private def searchTasks(slim: DataFrame, seeds: DataFrame,
+                          buckets: Int): DataFrame =
+    withStaticPlan(slim.sparkSession) { searchTasksStatic(slim, seeds, buckets) }
+
+  private def searchTasksStatic(slim: DataFrame, seeds: DataFrame,
+                                buckets: Int): DataFrame = {
+    val done = col("_lo") === col("_hi")
+    // overflow-free "hi - lo wraps" test: lo < 0 && hi > MaxValue + lo
+    // (ANSI arithmetic would throw on the naive subtraction)
+    val wraps = col("_lo") < 0 && col("_hi") > lit(Long.MaxValue) + col("_lo")
+    val seeded = Lineage.cut(seeds)
+    val spanRow = seeded.agg(count(lit(1)).as("n"),
+      max(when(wraps, lit(Long.MaxValue))
+        .otherwise(col("_hi") - col("_lo"))).as("span"),
+      max(when(wraps, 1L).otherwise(0L)).as("anyWrap")).head()
+    val nSeeded = spanRow.getLong(0)
+    if (nSeeded == 0L) {
+      lastRounds = 0
+      return seeded.select(col("_tg"), col("_r0"), col("_lo").as("_value"))
+    }
+    val rounds =
+      if (spanRow.getLong(2) == 1L)
+        // sign-split round + full-half descent: each half spans < 2^63
+        1 + roundsFor(BigInt(2).pow(63) - 1, buckets)
+      else roundsFor(BigInt(spanRow.getLong(1)), buckets)
+    var tasks = seeded
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val ranges = tasks.withColumn("_sign", wraps)
         .withColumn("_width",
           when(col("_sign"), lit(1L))
             .otherwise(expr(s"(_hi - _lo) div ${buckets}L + 1L")))
@@ -227,8 +275,28 @@ object ExactQuantiles {
               col("_width") - 1)
             .as("_hi"),
           (col("_rank") - (col("_cum") - col("_c"))).as("_rank"))
+      // lazy cut per round: keeps the LOGICAL plan O(1)-deep across any
+      // round count (the buckets=4 stress setting runs 20+ rounds) — the
+      // RDD chain behind the cuts still materializes in the single final
+      // job below, block by block
+      tasks = Lineage.cut(tasks)
     }
-    resolved.get // unreachable
+    lastRounds = rounds
+    // the ONE materializing action of the whole search, doubling as the
+    // conservation check: a task vanishes only when its rank walked off
+    // its histogram (rank > group row count — an inconsistent seed), and
+    // an unresolved task after the computed budget is a bug by the
+    // ceil(N/B^k) identity
+    val cnt = tasks.agg(sum(when(done, 1L).otherwise(0L)).as("d"),
+      count(lit(1)).as("t")).head()
+    val nTotal = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+    val nDone = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+    require(nTotal == nSeeded,
+      s"rank walked off histogram: $nSeeded tasks seeded, $nTotal resolved")
+    require(nDone == nTotal,
+      s"bisection incomplete after $rounds computed rounds (bug): " +
+        s"$nDone/$nTotal done")
+    tasks.select(col("_tg"), col("_r0"), col("_lo").as("_value"))
   }
 
   /** Single-population form: value at each 1-based rank of `df` ordered by

@@ -80,4 +80,39 @@ object RecordLinkage {
         levenshtein(col("left_str"), col("right_str"), 1).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= 1)
   }
+
+  /** [[fuzzyJoin]] of a table against ITSELF, with the `id_a < id_b`
+    * canonicalization pushed INSIDE the candidate join. Calling
+    * `fuzzyJoin(df, df)` and filtering afterwards is semantically identical
+    * but pays for what the filter throws away: every record self-matches on
+    * all O(len+1) of its deletion keys — n·(len+1) join hits that ride the
+    * DISTINCT shuffle, the two string re-attach joins, and the levenshtein
+    * verify before dying at the caller's filter (at the 100× rehearsal tier
+    * that is ~90M doomed rows of the entity-resolution plane's widest
+    * shuffle) — and each true pair is enumerated from BOTH sides of the
+    * diagonal. The in-join predicate removes the self-hits and halves the
+    * off-diagonal candidates before anything is shuffled onward.
+    *
+    * Output: (left_id, right_id, left_str, right_str, dist) with
+    * left_id < right_id — exactly `fuzzyJoin(df, df).filter(left < right)`.
+    */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+      explode(delKeys(col(strCol))).as("k"))
+    val strs = df.select(col(idCol).cast("long").as("_sid"),
+      col(strCol).as("_s"))
+    // same explode-blind-estimate reasoning as fuzzyJoin: pin shuffle_hash
+    keyed.as("a").hint("shuffle_hash").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .distinct()
+      .join(strs.select(col("_sid").as("left_id"), col("_s").as("left_str")),
+        "left_id")
+      .join(strs.select(col("_sid").as("right_id"), col("_s").as("right_str")),
+        "right_id")
+      .select("left_id", "right_id", "left_str", "right_str")
+      .withColumn("dist",
+        levenshtein(col("left_str"), col("right_str"), 1).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= 1)
+  }
 }

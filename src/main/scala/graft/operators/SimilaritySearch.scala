@@ -80,6 +80,56 @@ object SimilaritySearch {
       .groupBy(col("s.t").as("t"), col("s.b").as("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-cell occupancy of the md5-seeded coarse quantizer — the
+    * [[lshBucketStats]] counterpart for the IVF/SemDeDup cell family
+    * ([[Dedup.semanticDedupPairs]], [[CorpusOps.decontaminateSemantic]],
+    * `ivfTopKSeeded`): every within-cell candidate stage costs Σ|cell|²,
+    * so occupancy is the quadratic-blowup early-warning. Returns
+    * (cell, n) for every non-empty cell.
+    */
+  def cellOccupancyStats(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int): DataFrame = {
+    val (flat, norms, dim) =
+      seedCentroids(corpus, idCol, vecCol, nlist, "cellOccupancyStats")
+    corpus.select(
+        VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+  }
+
+  /** One-row occupancy AUDIT over [[cellOccupancyStats]] — the "raise
+    * nlist" guard for operators that pin a fixed cell count: a quantizer
+    * sized for last year's corpus silently goes quadratic as the corpus
+    * grows (measured: the nlist=16 oracle pin made `dedup_semantic` 67× at
+    * 100× data — cells grow linearly with rows when nlist stands still).
+    * Run this beside any scheduled semantic-dedup/decontamination job and
+    * alert on `degenerate` or `suggested_nlist > nlist`.
+    *
+    * All columns are integer-exact (no floats): `degenerate` is the integer
+    * cross-multiplied form of "max cell share > 4× the ideal 1/nlist", and
+    * `suggested_nlist` is the smallest power of two giving at most
+    * `targetCellRows` mean rows per cell — both bit-replayable by a SQL
+    * oracle. Null `suggested_nlist` means the corpus exceeds 2^30 cells'
+    * worth of target rows (not a realistic tier; raise targetCellRows).
+    */
+  def cellOccupancyAudit(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, targetCellRows: Long = 256L): DataFrame = {
+    require(targetCellRows >= 1, "targetCellRows must be >= 1")
+    val powers = array((0 to 30).map(k => lit(1L << k)): _*)
+    cellOccupancyStats(corpus, idCol, vecCol, nlist)
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_cells_used"),
+        max(col("n")).as("max_cell_rows"))
+      .select(lit(nlist).cast("long").as("nlist"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("n_cells_used").cast("long").as("n_cells_used"),
+        col("max_cell_rows").cast("long").as("max_cell_rows"),
+        (col("max_cell_rows") * lit(nlist.toLong) >
+          col("n_rows") * lit(4L)).as("degenerate"),
+        array_min(filter(powers,
+          p => p * lit(targetCellRows) >= col("n_rows")))
+          .as("suggested_nlist"))
+  }
+
   /** Persist the LSH index as a bucketed+sorted table so the corpus pays
     * its sketch pass and shuffle ONCE, amortized over every later query
     * batch — the 100 TB serving shape (an index over 100 TB of vectors is

@@ -177,7 +177,15 @@ object ScaleRehearsal {
     // prefilter + shuffled verify; the bloom variant must stay linear in
     // the corpus with the filter scalar its only broadcast
     "text_decontaminate",
-    "corpus_decontaminate_bloom")
+    "corpus_decontaminate_bloom",
+    // round 12: the near-dup SCALE story's missing measurements — the exact
+    // prefix-filter pair family blew up at 100x (522x/197x), and these are
+    // its designed substitutes: banded LSH candidates, the incremental
+    // bucketed index probe, and the df-capped rare-shingle blocking whose
+    // candidate volume is <= maxDf * |occurrences| by construction. Their
+    // curves must stay near-linear at the tier where exact explodes.
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_capped")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =

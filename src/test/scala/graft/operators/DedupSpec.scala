@@ -37,6 +37,36 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 100L), (1L, 101L)))
   }
 
+  test("df-capped pairs: subset of exact, equal under a generous cap, and " +
+    "the recall contract holds (rare-shingle pairs are never missed)") {
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = keys(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+    // generous cap (> corpus size): every shingle is "rare", the blocking
+    // is complete, so the capped output IS the exact output
+    val generous = keys(Dedup.ngramJaccardPairsCapped(
+      docs, "doc_id", "text", 3, 0.8, maxDf = 1000L))
+    assert(generous == exact)
+    // tight cap: still a subset of exact (verify is exact-jaccard either
+    // way — the cap can only remove candidates, never add false pairs)
+    val tight = keys(Dedup.ngramJaccardPairsCapped(
+      docs, "doc_id", "text", 3, 0.8, maxDf = 2L))
+    assert(tight.subsetOf(exact))
+    // recall contract: any exact pair sharing >= 1 shingle with df <= cap
+    // must survive the cap. Compute per-shingle dfs independently.
+    val dfBy = docs.select(col("doc_id"),
+        explode(Dedup.shingleSet(col("text"), 3)).as("g"))
+      .groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+    val shByDoc = docs.select(col("doc_id"),
+        Dedup.shingleSet(col("text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    val dfs = dfBy.as[(String, Long)].collect().toMap
+    val promised = exact.filter { case (a, b) =>
+      shByDoc(a).toSet.intersect(shByDoc(b).toSet).exists(dfs(_) <= 2L) }
+    assert(promised.subsetOf(tight),
+      s"capped output missed contractually-promised pairs: ${promised -- tight}")
+  }
+
   test("minhash LSH pairs equal exact ngram pairs on planted data") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("doc_a", "doc_b", "jaccard").orderBy("doc_a").collect().toSeq

@@ -95,6 +95,18 @@ class ExactQuantilesSpec extends AnyFunSuite {
     assert(ExactQuantiles.lowerQuantileRank(1, 1, 100) === 1L)
   }
 
+  test("roundsFor: exact integer descent count (no float-log boundary slip)") {
+    assert(ExactQuantiles.roundsFor(BigInt(0), 4096) === 0) // single value
+    assert(ExactQuantiles.roundsFor(BigInt(1), 4096) === 1)
+    assert(ExactQuantiles.roundsFor(BigInt(4095), 4096) === 1) // N = B
+    assert(ExactQuantiles.roundsFor(BigInt(4096), 4096) === 2) // N = B + 1
+    // N = B^k exactly — the boundary a floating log can round either way
+    assert(ExactQuantiles.roundsFor(BigInt(4096) * 4096 - 1, 4096) === 2)
+    assert(ExactQuantiles.roundsFor(BigInt(4096) * 4096, 4096) === 3)
+    assert(ExactQuantiles.roundsFor(BigInt(2).pow(63) - 1, 4096) === 6)
+    assert(ExactQuantiles.roundsFor(BigInt(1) << 40, 4) === 21)
+  }
+
   test("out-of-range rank throws") {
     val df = Seq(1L, 2L).toDF("v")
     intercept[IllegalArgumentException] {

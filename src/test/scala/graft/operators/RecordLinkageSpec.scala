@@ -45,6 +45,27 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(run(Seq(1L -> "ab"), Seq(2L -> "ba")).isEmpty)
   }
 
+  test("fuzzySelfJoin equals fuzzyJoin(df, df) filtered to left < right " +
+    "(the in-join canonicalization drops no pair and adds none)") {
+    val rnd = new scala.util.Random(29)
+    val alpha = "abcd"
+    def word() = (0 until 3 + rnd.nextInt(3))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val rows = (1L to 80L).map(i => i -> word())
+    val df = rows.toDF("id", "s")
+    val viaPair = RecordLinkage.fuzzyJoin(df, df, "id", "s")
+      .filter(org.apache.spark.sql.functions.col("left_id") <
+        org.apache.spark.sql.functions.col("right_id"))
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val viaSelf = RecordLinkage.fuzzySelfJoin(df, "id", "s")
+      .select("left_id", "right_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaSelf == viaPair)
+    assert(viaSelf.nonEmpty, "degenerate random corpus — no pairs to check")
+    assert(viaSelf.forall { case (a, b, _) => a < b })
+  }
+
   test("matches brute force on a random corpus (completeness + soundness)") {
     val rnd = new scala.util.Random(17)
     val alpha = "abcd"

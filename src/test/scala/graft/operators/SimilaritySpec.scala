@@ -450,4 +450,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("build stats"))
   }
+
+  test("cellOccupancyAudit flags a degenerate cell distribution and clears " +
+    "a healthy one (the fixed-nlist 'raise nlist' guard)") {
+    // degenerate: identical vectors => all 16 centroids coincide, ties
+    // resolve to the lowest cell, the whole corpus lands in ONE cell — the
+    // exact shape that silently turns a within-cell candidate join
+    // quadratic when nlist is pinned while the corpus grows
+    val sameDir = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(12)(d => if (d == 0) 1f else 0.25f)))
+      .toDF("vec_id", "embedding")
+    val bad = SimilaritySearch.cellOccupancyAudit(
+      sameDir, "vec_id", "embedding", nlist = 16).collect().head
+    assert(bad.getAs[Long]("n_rows") == 100L)
+    assert(bad.getAs[Long]("n_cells_used") == 1L)
+    assert(bad.getAs[Long]("max_cell_rows") == 100L)
+    assert(bad.getAs[Boolean]("degenerate"),
+      "a single-cell collapse must raise the degenerate flag")
+
+    // healthy: the isotropic 1024-vector corpus spreads over the 16
+    // md5-seeded cells with max share well under the 4x-ideal line
+    val rnd = new scala.util.Random(23)
+    val big = (0 until 1024).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val ok = SimilaritySearch.cellOccupancyAudit(
+      big, "vec_id", "embedding", nlist = 16).collect().head
+    assert(ok.getAs[Long]("n_rows") == 1024L)
+    assert(ok.getAs[Long]("n_cells_used") > 8L,
+      "isotropic data must populate most cells")
+    assert(!ok.getAs[Boolean]("degenerate"),
+      s"healthy spread flagged: max=${ok.getAs[Long]("max_cell_rows")}")
+    // suggested_nlist law: smallest power of two at <= 256 mean rows/cell
+    // (1024 rows => 4), and the bound is tight on both sides
+    val sug = ok.getAs[Long]("suggested_nlist")
+    assert(sug == 4L)
+    assert(sug * 256 >= 1024 && (sug / 2) * 256 < 1024)
+  }
 }
