@@ -237,10 +237,21 @@ object ExactQuantiles {
     var r = 0
     while (r < rounds) {
       r += 1
-      val ranges = tasks.withColumn("_sign", wraps)
+      val ranges0 = tasks.withColumn("_sign", wraps)
         .withColumn("_width",
           when(col("_sign"), lit(1L))
             .otherwise(expr(s"(_hi - _lo) div ${buckets}L + 1L")))
+      // the join strategy is PINNED from the exact task count (the plan
+      // runs statically — see withStaticPlan — and a checkpointed task
+      // table has no stats, so the planner alone would shuffle-join even
+      // 2 tasks, hashing the whole corpus onto as many partitions as
+      // there are GROUPS: one group = one hot partition on the
+      // global-median shape). Small task tables broadcast — the corpus
+      // never moves; past the broadcast budget the task table is
+      // group-sized and a shuffle by group key is exactly right.
+      val ranges =
+        if (nSeeded <= 200000L) broadcast(ranges0)
+        else ranges0.hint("shuffle_hash")
       val b: Column =
         when(col("_sign"), when(col("_v") < 0, 0L).otherwise(1L))
           .otherwise(expr("(_v - _lo) div _width"))

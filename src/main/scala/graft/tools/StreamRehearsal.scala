@@ -100,12 +100,24 @@ object StreamRehearsal {
     try {
       q.processAllAvailable()
       val wall = (System.nanoTime() - t0) / 1e9
+      // progress events land on the listener bus asynchronously — give the
+      // final batch's record a beat before reading the high-water marks
+      Thread.sleep(500)
       val states = q.recentProgress.flatMap(_.stateOperators)
       val rows = if (states.isEmpty) -1L else states.map(_.numRowsTotal).max
       val mem = if (states.isEmpty) -1L else states.map(_.memoryUsedBytes).max
       (wall, rows, mem)
     } finally q.stop()
   }
+
+  /** Best-of-2 CDC replays (same policy as Bench's streaming anchor — a
+    * single replay carries multi-second machine noise); state marks from
+    * the better run.
+    */
+  private def replayCdcBest(spark: SparkSession, segDir: String,
+                            nSegments: Int): (Double, Long, Long) =
+    Seq(replayCdc(spark, segDir, nSegments),
+      replayCdc(spark, segDir, nSegments)).minBy(_._1)
 
   /** One ingest-gate replay over a staged documents dir consumed in
     * multiple epochs; returns (wallSec, docsAccepted, indexRows).
@@ -115,7 +127,15 @@ object StreamRehearsal {
     val corpusTable = s"srehearse_corpus_$tag"
     val indexTable = s"srehearse_index_$tag"
     Seq(corpusTable, indexTable).foreach { t =>
+      // drop the catalog entry AND any orphaned warehouse dir a previous
+      // process left behind (ephemeral catalog, persistent location —
+      // saveAsTable refuses to create over the orphan)
       spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        t.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
     }
     val runCkpt = java.nio.file.Files
       .createTempDirectory("graft-srehearse-gate-ckpt").toString
@@ -130,6 +150,55 @@ object StreamRehearsal {
     val accepted = spark.table(corpusTable).count()
     val idxRows = spark.table(indexTable).count()
     (wall, accepted, idxRows)
+  }
+
+  /** Stateful cross-batch dedupe replay ([[graft.streaming.CdcStream
+    * .dedupedAcrossBatches]] — the watermark path; the CDC plane proper
+    * dedupes batch-locally by design, reproducing the reference's
+    * per-flush state reset, so it has NO streaming state operator to
+    * measure). Stages (event_type, k, ts) parquet at `reps`x with
+    * injectively re-keyed k, replays through RocksDB keyed state, and
+    * returns (wallSec, events, stateRowsMax, stateMemMax) — the state
+    * high-water mark must scale ~linearly in distinct keys.
+    */
+  private def replayStatefulDedupe(spark: SparkSession, sfDir: String,
+                                   reps: Int): (Double, Long, Long, Long) = {
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft-srehearse-state-${reps}x").toString
+    val ev = Tables(spark, sfDir, "events")
+    val rep = explode(sequence(lit(0), lit(reps - 1))).as("r")
+    ev.select(col("event_type"), col("user_id"), col("ts_ns"), rep)
+      .select(col("event_type"),
+        (col("user_id") * reps + col("r")).as("k"),
+        timestamp_micros(expr("ts_ns div 1000")).as("ts"))
+      .repartition(16)
+      .write.mode("overwrite").parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    val src = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 4).parquet(dir)
+    val runCkpt = java.nio.file.Files
+      .createTempDirectory("graft-srehearse-state-ckpt").toString
+    val t0 = System.nanoTime()
+    val q = graft.streaming.CdcStream
+      .dedupedAcrossBatches(
+        src.withColumnRenamed("event_type", "target")
+          .withColumnRenamed("k", "entity_id"), "ts", "365 days")
+      .writeStream
+      .option("checkpointLocation", runCkpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.format("noop").mode("overwrite").save()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      val states = q.recentProgress.flatMap(_.stateOperators)
+      val rows = if (states.isEmpty) -1L else states.map(_.numRowsTotal).max
+      val mem = if (states.isEmpty) -1L else states.map(_.memoryUsedBytes).max
+      (wall, n, rows, mem)
+    } finally q.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -150,8 +219,8 @@ object StreamRehearsal {
     val (seg1, n1) = stageSegments(spark, base, 1, nSegments)
     val (segN, nN) = stageSegments(spark, base, reps, nSegments)
     replayCdc(spark, seg1, nSegments) // warmup: codegen + RocksDB load paths
-    val (w1, rows1, mem1) = replayCdc(spark, seg1, nSegments)
-    val (wN, rowsN, memN) = replayCdc(spark, segN, nSegments)
+    val (w1, rows1, mem1) = replayCdcBest(spark, seg1, nSegments)
+    val (wN, rowsN, memN) = replayCdcBest(spark, segN, nSegments)
     System.err.println(f"[stream-rehearsal] cdc 1x: $n1 ev in $w1%.1fs " +
       f"(${n1 / w1}%.0f ev/s, state rows=$rows1 mem=$mem1)")
     System.err.println(f"[stream-rehearsal] cdc ${reps}x: $nN ev in $wN%.1fs " +
@@ -162,7 +231,13 @@ object StreamRehearsal {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft-srehearse-docs").toString
     ScaleRehearsal.synthesize(spark, base, out, reps)
-    val baseDocs = s"$base/documents.parquet"
+    // the file-stream source requires a DIRECTORY; the base table is a
+    // single parquet file, so stage a directory copy (the synthesized
+    // scaled table is already a directory of part files)
+    val baseDocs = java.nio.file.Files
+      .createTempDirectory("graft-srehearse-basedocs").toString
+    spark.read.parquet(s"$base/documents.parquet")
+      .repartition(8).write.mode("overwrite").parquet(baseDocs)
     val bigDocs = s"$out/documents.parquet"
     val schema = spark.read.parquet(baseDocs).schema
     val bigSchema = spark.read.parquet(bigDocs).schema
@@ -176,15 +251,28 @@ object StreamRehearsal {
     System.err.println(f"[stream-rehearsal] gate ${reps}x: $dN docs in " +
       f"$gwN%.1fs (accepted=$accN, index rows=$idxN)")
 
+    // --- stateful cross-batch dedupe (the watermark path) at 1x / reps x ---
+    replayStatefulDedupe(spark, base, 1) // warmup
+    val (sw1, sn1, srows1, smem1) = replayStatefulDedupe(spark, base, 1)
+    val (swN, snN, srowsN, smemN) = replayStatefulDedupe(spark, base, reps)
+    System.err.println(f"[stream-rehearsal] stateful 1x: $sn1 ev in $sw1%.1fs " +
+      f"(state rows=$srows1 mem=$smem1)")
+    System.err.println(f"[stream-rehearsal] stateful ${reps}x: $snN ev in " +
+      f"$swN%.1fs (state rows=$srowsN mem=$smemN)")
+
     def r3(v: Double) = math.round(v * 1000) / 1000.0
     val json =
       s"""{"base_sf":"$base","scaled_reps":$reps,""" +
       s""""state_store":"rocksdb",""" +
-      s""""cdc":{""" +
-      s""""base":{"events":$n1,"sec":${r3(w1)},"events_per_sec":${(n1 / w1).round},""" +
-      s""""state_rows_max":$rows1,"state_mem_bytes_max":$mem1},""" +
-      s""""scaled":{"events":$nN,"sec":${r3(wN)},"events_per_sec":${(nN / wN).round},""" +
-      s""""state_rows_max":$rowsN,"state_mem_bytes_max":$memN}},""" +
+      s""""cdc":{"state_note":"batch-local dedupe by design (reference """ +
+      s"""per-flush reset) - no cross-batch state operator",""" +
+      s""""base":{"events":$n1,"sec":${r3(w1)},"events_per_sec":${(n1 / w1).round}},""" +
+      s""""scaled":{"events":$nN,"sec":${r3(wN)},"events_per_sec":${(nN / wN).round}}},""" +
+      s""""stateful_dedupe":{""" +
+      s""""base":{"events":$sn1,"sec":${r3(sw1)},"events_per_sec":${(sn1 / sw1).round},""" +
+      s""""state_rows_max":$srows1,"state_mem_bytes_max":$smem1},""" +
+      s""""scaled":{"events":$snN,"sec":${r3(swN)},"events_per_sec":${(snN / swN).round},""" +
+      s""""state_rows_max":$srowsN,"state_mem_bytes_max":$smemN}},""" +
       s""""ingest_gate":{""" +
       s""""base":{"docs":$d1,"sec":${r3(gw1)},"docs_per_sec":${(d1 / gw1).round},""" +
       s""""accepted":$acc1,"index_rows":$idx1},""" +
