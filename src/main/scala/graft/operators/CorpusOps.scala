@@ -191,16 +191,21 @@ object CorpusOps {
     val survivors = grams.filter(!col("is_eval"))
       .filter(BloomJoin.mightContain(bloom, col("gram")))
       .select(col("doc_id"), col("gram"))
-    // exact verify: survivors are the bloom-thinned sliver of the corpus,
-    // so a SHUFFLED equi-join is the scale-safe choice here — deliberately
-    // not broadcast(evalGrams), which is the very thing this variant
-    // exists to avoid. PINNED shuffle_hash, not left to the planner:
+    // exact verify. The join strategy is PINNED from `items` — the eval
+    // gram count the operator already holds — never left to the planner:
     // evalGrams sits directly over scan+explode, so its size estimate is
     // the pre-explode child's (the same explode-blind under-estimate that
-    // made RecordLinkage.fuzzyJoin attempt a 15.6 GiB broadcast build) —
-    // unpinned, an auto-broadcast of raw eval grams could silently return
-    // at exactly the scale this variant exists for
-    survivors.join(evalGrams.hint("shuffle_hash"), "gram")
+    // made RecordLinkage.fuzzyJoin attempt a 15.6 GiB broadcast build),
+    // and an unpinned auto-broadcast of raw eval grams could silently
+    // return at exactly the scale this variant exists for. Below ~1M
+    // grams (tens of MB) a broadcast is both scale-safe and measurably
+    // cheaper than shuffling the survivors (the blanket shuffle_hash pin
+    // cost 1.3x at sf0.1); past it the shuffled verify is the contract —
+    // survivors are the bloom-thinned sliver, so the exchange is small.
+    val verifySide =
+      if (items <= 1000000L) broadcast(evalGrams)
+      else evalGrams.hint("shuffle_hash")
+    survivors.join(verifySide, "gram")
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("gram")).as("n_shared"))
   }

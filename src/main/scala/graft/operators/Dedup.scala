@@ -105,7 +105,13 @@ object Dedup {
     * Scale: join fan-out drops from Σ df_s² over ALL shingles to Σ df'_s²
     * over prefix occurrences (~(1−t) of the data, and frequent shingles
     * rarely appear in prefixes). All shuffles are on bounded keys; no
-    * O(n²) stage exists at any scale.
+    * O(n²) stage exists — but nothing bounds a hot shingle's PREFIX df,
+    * so candidate volume is corpus-dependent and measured superlinear at
+    * the 100× rehearsal tier (522× time at 100× data). This is the EXACT
+    * tool for up to ~10× the bench corpus per node; past that reach for
+    * [[incrementalNearDupPairs]] / [[minhashLshPairs]] /
+    * [[ngramJaccardPairsCapped]] (README "choosing a near-dup operator by
+    * tier" — all three measured near-linear at the 100× tier).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
