@@ -2040,6 +2040,42 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_incremental_groups" -> ((s, d) => {
+      // the canonical-map MAINTENANCE step of the daily-ingest loop: the
+      // accumulated corpus's (doc -> canonical) map and minhash index are
+      // persisted tables (staged once, like dedup_incremental_near's
+      // index); the ingest delta pays its sketch pass, finds cross + intra
+      // pairs, and incrementalGroups folds them into the map touching only
+      // the affected components. THE ORACLE IS THE FULL RECOMPUTE: this
+      // query's output must hash-equal CC over the whole corpus's pair
+      // graph (dedup_groups' replay) — the incremental == full law runs as
+      // the correctness gate itself, at sf0.01 and sf0.1.
+      val idxTable = indexTable(s, d, "dedup_mh_index", "documents")
+      val mapTable = indexTable(s, d, "dedup_groups_map", "documents")
+      val old = t(s, d, "documents").filter(col("doc_id") < 400)
+      if (!s.catalog.tableExists(idxTable))
+        Dedup.buildMinhashIndex(old, "doc_id", "text", idxTable,
+          n = 3, k = 64, bands = 16)
+      ensureTable(s, mapTable) { tn =>
+        Dedup.duplicateGroups(
+            Dedup.minhashLshPairs(old, "doc_id", "text", 3, 64, 16, 0.8),
+            "doc_a", "doc_b")
+          .write.format("parquet").saveAsTable(tn)
+      }
+      val delta = t(s, d, "documents").filter(col("doc_id") >= 400)
+      val cross = Dedup.incrementalNearDupPairs(delta, old, "doc_id", "text",
+        idxTable, n = 3, k = 64, bands = 16, threshold = 0.8)
+      val intra = Dedup.minhashLshPairs(delta, "doc_id", "text",
+        3, 64, 16, 0.8)
+      Dedup.incrementalGroups(s.table(mapTable),
+          cross.select("doc_a", "doc_b")
+            .unionByName(intra.select("doc_a", "doc_b")),
+          "doc_a", "doc_b")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_phash_pairs" -> ((s, d) => {
       // image near-dup: every doc renders to a real gray PNG (plus planted
       // transformed duplicates — exact 2x upscale and +4 brightness, both
@@ -3741,6 +3777,11 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_groups" -> dedupGroupsOracle,
+    // the incremental == full-recompute LAW as an oracle: the map-update
+    // query must hash-equal the full-corpus CC replay (LSH banding's pair
+    // set equals the exact ngram pairs on this data — the same oracle
+    // identity dedup_minhash_lsh/dedup_incremental_near already pin)
+    "dedup_incremental_groups" -> dedupGroupsOracle,
 
     // dedupGroupsOracle's unrolled pointer-jumping CC for canonical ids +
     // corpus_split's md5 bucket replay, keyed on the canonical id

@@ -535,6 +535,69 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Fold NEW near-dup pairs into an EXISTING canonical map — the
+    * canonical-map MAINTENANCE step of the daily 100 TB ingest loop, and
+    * the piece that lets [[duplicateGroups]]' full CC stay a one-time
+    * cost: [[insertMinhashIndex]] keeps the index current,
+    * [[incrementalNearDupPairs]] finds today's pairs, and this operator
+    * updates (doc_id → canonical_id) touching ONLY the components those
+    * pairs reach — never the historical pair graph.
+    *
+    * Mechanics: an existing component's connectivity is fully carried by
+    * its STAR edges (member → canonical), because [[duplicateGroups]]
+    * labels every member with the component minimum. So the merged
+    * labeling is CC over { star edges of touched components } ∪ { new
+    * pairs }, where touched = components containing any new-pair
+    * endpoint; every other map row passes through unchanged. Exactness
+    * law (spec-pinned AND the query's oracle): the result equals
+    * [[duplicateGroups]] over the FULL pair union — star edges preserve
+    * membership, minima are global minima, untouched components cannot
+    * change.
+    *
+    * Scale: cost ∝ |new pairs| + Σ size of touched components (star
+    * extraction is two equi-joins against the map; the sub-CC runs on the
+    * touched slice), while the historical graph — the 100 TB object —
+    * is read only as the map table's pruned (doc_id, canonical_id)
+    * columns. A day that touches 0.1% of components costs 0.1% of a full
+    * recompute.
+    *
+    * @param map      existing (doc_id, canonical_id) — a
+    *                 [[duplicateGroups]] output (canonical = component
+    *                 min), typically a persisted table
+    * @param newPairs new near-dup pairs (aCol, bCol)
+    * @return updated (doc_id, canonical_id) — rows for every doc in `map`
+    *         or in `newPairs`
+    */
+  def incrementalGroups(map: DataFrame, newPairs: DataFrame,
+                        aCol: String, bCol: String,
+                        maxRounds: Int = 10): DataFrame = {
+    def checked(c: Column, what: String): Column = {
+      val cc = c.try_cast("long")
+      when(cc.isNull, raise_error(lit(
+        s"incrementalGroups: non-numeric or null $what"))).otherwise(cc)
+    }
+    // both sides are multi-consumed (edges: touched + sub-graph union;
+    // map: touched-canon, star, untouched) — cut so neither upstream
+    // pipeline re-executes per consumer
+    val edges = Lineage.cut(newPairs.select(
+      checked(col(aCol), s"'$aCol'").as("a"),
+      checked(col(bCol), s"'$bCol'").as("b")))
+    val m = Lineage.cut(map.select(
+      checked(col("doc_id"), "map doc_id").as("doc_id"),
+      checked(col("canonical_id"), "map canonical_id").as("canonical_id")))
+    val touched = edges.select(col("a").as("doc_id"))
+      .union(edges.select(col("b").as("doc_id"))).distinct()
+    val touchedCanon = m.join(touched, "doc_id")
+      .select("canonical_id").distinct()
+    // star edges carry the touched components' whole membership
+    val stars = m.join(touchedCanon, "canonical_id")
+      .select(col("doc_id").as("a"), col("canonical_id").as("b"))
+    val sub = duplicateGroups(stars.unionByName(edges), "a", "b", maxRounds)
+    val untouched = m.join(touchedCanon, Seq("canonical_id"), "left_anti")
+      .select("doc_id", "canonical_id")
+    untouched.unionByName(sub.select(col("doc_id"), col("canonical_id")))
+  }
+
   /** Representative selection — the step after [[duplicateGroups]] that
     * decides WHICH duplicate to keep: per group, the member with the highest
     * `scoreCol` (ties → smallest id). One hash aggregation with map-side

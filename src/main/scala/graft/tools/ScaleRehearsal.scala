@@ -185,7 +185,11 @@ object ScaleRehearsal {
     // candidate volume is <= maxDf * |occurrences| by construction. Their
     // curves must stay near-linear at the tier where exact explodes.
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard_capped")
+    "dedup_ngram_jaccard_capped",
+    // round 12: the canonical-map maintenance step — its cost must track
+    // (new pairs + touched components), not the historical graph, so the
+    // ratio at 10x deltas is the whole claim
+    "dedup_incremental_groups")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =

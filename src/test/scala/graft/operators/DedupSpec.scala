@@ -75,6 +75,43 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // verification step makes LSH exact-on-candidates
   }
 
+  test("incrementalGroups == duplicateGroups over the pair union " +
+    "(merge, extend, new-only, and untouched components all exercised)") {
+    def groups(pairs: Seq[(Long, Long)]) =
+      Dedup.duplicateGroups(pairs.toDF("a", "b"), "a", "b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    // old components: {1,2}, {5,6}, {10,11,12}, {30,31} (untouched)
+    val p1 = Seq((1L, 2L), (5L, 6L), (10L, 11L), (11L, 12L), (30L, 31L))
+    // new pairs: merge {1,2}+{5,6}; extend {10..12} with new doc 13;
+    // brand-new component {20,21}
+    val p2 = Seq((2L, 5L), (12L, 13L), (20L, 21L))
+    val incr = asMap(Dedup.incrementalGroups(groups(p1),
+      p2.toDF("a", "b"), "a", "b"))
+    val full = asMap(groups(p1 ++ p2))
+    assert(incr == full)
+    assert(incr((6L)) == 1L)   // merged across old components
+    assert(incr((13L)) == 10L) // new doc joined an old component
+    assert(incr((21L)) == 20L) // new-only component
+    assert(incr((31L)) == 30L) // untouched component passes through
+    // randomized law: random old/new pair splits agree with the full CC
+    val rnd = new scala.util.Random(31)
+    (1 to 4).foreach { trial =>
+      val all = Seq.fill(30)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(p => p._1 != p._2)
+      val (o, n) = all.splitAt(all.size / 2)
+      if (o.nonEmpty && n.nonEmpty) {
+        val i2 = asMap(Dedup.incrementalGroups(groups(o), n.toDF("a", "b"),
+          "a", "b"))
+        assert(i2 == asMap(groups(o ++ n)), s"trial=$trial")
+      }
+    }
+    // empty delta: the map passes through unchanged
+    val noop = asMap(Dedup.incrementalGroups(groups(p1),
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b"))
+    assert(noop == asMap(groups(p1)))
+  }
+
   test("incremental near-dup index: delta-vs-corpus pairs equal the inline cross pairs") {
     val table = "dedupspec_mh_index"
     spark.sql(s"DROP TABLE IF EXISTS $table")
