@@ -9,6 +9,38 @@ object Bench {
   private val CdcTimedRuns = 3
   private val StreamTimedRuns = 2
 
+  // --- per-query spread gate (round 13) ---------------------------------
+  // The single-thread CPU probe is blind to scheduler/IO interference that
+  // lands BETWEEN probes: round 12's end-of-round run read q_tumbling_window
+  // at 2.71±0.78 s (3.5x its canonical 0.78 s) and corpus_importance at
+  // stddev 8.7 s on code-untouched queries while every probe sat on the
+  // anchor. The gate below catches it per query: a query whose stddev/median
+  // exceeds SpreadStddevRatioMax, or whose median exceeds
+  // SpreadCommittedRatioMax times its committed-baseline entry, is RE-TIMED
+  // once at suite end with the full per-query methodology. The retimed
+  // measurement replaces the original (both ride the JSON). After retiming:
+  //   - still internally inconsistent (stddev arm) -> run is NOT canonical;
+  //   - still above the committed arm but REPRODUCED (first and retimed
+  //     medians within ReproducedTolerance of each other) -> a real code/
+  //     data change, recorded as an accepted regression, canonical allowed;
+  //   - still above the committed arm and NOT reproduced -> interference,
+  //     run is NOT canonical.
+  private val SpreadStddevRatioMax = 0.4
+  private val SpreadCommittedRatioMax = 1.5
+  private val ReproducedTolerance = 0.2
+
+  // --- multi-job run policy (round 13) ----------------------------------
+  // Queries materializing many Spark jobs per execution (ExactQuantiles'
+  // bisection: ~8) are scheduling-bound: their wall time is driver job
+  // round-trips, not data, and cross-JVM spread at median-of-5 exceeds the
+  // code-level signal (same-code full-bench draws of events_funnel_latency:
+  // 1.85/2.40/3.12 s across r11-r12). Policy: a query observed to launch
+  // more than MultiJobThreshold jobs on its first timed run gets
+  // MultiJobExtraRuns additional timed runs, median over all. The observed
+  // job count and effective run count ride the full JSON per query.
+  private val MultiJobThreshold = 6
+  private val MultiJobExtraRuns = 6
+
   /** Streaming-plane throughput: events staged as segment-log files, consumed
     * through the DSv2 source in `nBatches` micro-batches running the full
     * parse→route→dedupe→batch plane per epoch. Measures the stream from
@@ -196,6 +228,81 @@ object Bench {
     // comparing flagged-vs-unflagged rounds.
     val calibrationRatio = probeSec / baselineProbe
 
+    // Committed per-query medians, loaded BEFORE this run can overwrite the
+    // baseline file — the spread gate's second arm compares against them.
+    val committedMedians: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("bench/bench_full.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"(\w+)":\{"median":([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+
+    // Spark-job counter (async listener bus; jobsSettled polls the count to
+    // stability after a run returns — every JobStart is posted before its
+    // job completes, so the bus only needs to drain).
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCounter.incrementAndGet(); ()
+      }
+    })
+    def jobsSettled(): Long = {
+      var last = jobCounter.get(); var stable = 0
+      while (stable < 3) {
+        Thread.sleep(10)
+        val c = jobCounter.get()
+        if (c == last) stable += 1 else { last = c; stable = 0 }
+      }
+      last
+    }
+
+    /** One query's full measurement: 1 untimed warmup (count(), which also
+      * yields the rows/s denominator), `timedRuns` timed runs — extended by
+      * MultiJobExtraRuns when the first timed run launches more than
+      * MultiJobThreshold Spark jobs (see multi-job run policy above) — then
+      * per-query teardown. Without the teardown the suite accumulates
+      * storage blocks across all ~134 queries: cached frames a query
+      * deliberately leaves warm for its own repeated runs, plus lazy-
+      * localCheckpoint blocks only freed when the ContextCleaner happens to
+      * GC the frame reference. Round 8 measured the result as monotone
+      * 1.9-2.4x drift on UNTOUCHED queries across successive runs while
+      * mid-suite probes sat on the calibration anchor — suite-level state,
+      * not code. Scope: between queries only, so within-query cache reuse
+      * across the warmup + timed runs is preserved.
+      */
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => DataFrame):
+        (String, Double, Double, Long, Int, Int) = {
+      def run(): Unit =
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      // warmup doubles as the rows/s denominator: count() executes the same
+      // upstream plan once (the final agg differs, but codegen/scan warmup
+      // carries) — one fewer full execution per query than a separate count
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val j0 = jobsSettled()
+      val t0 = System.nanoTime()
+      run()
+      val first = (System.nanoTime() - t0) / 1e9
+      val jobs = (jobsSettled() - j0).toInt
+      val extra = if (jobs > MultiJobThreshold) MultiJobExtraRuns else 0
+      val times = first +: (2 to timedRuns + extra).map { _ =>
+        val t1 = System.nanoTime()
+        run()
+        (System.nanoTime() - t1) / 1e9
+      }
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      (name, median(times), stddev(times), rows, jobs, times.size)
+    }
+
     // Execution order is a SEEDED SHUFFLE, not alphabetical: round 6's
     // transient stall at suite start inflated exactly the alphabetically-
     // first family (ann_*) 2-4x and the artifact was indistinguishable from
@@ -210,38 +317,41 @@ object Bench {
     // re-probe it overlaps, so a shifted WINDOW flags the round even when
     // the suite's endpoints look quiet.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
+    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 25 == 0) midProbes += calibrationProbe(spark)
-      def run(): Unit =
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-      // warmup doubles as the rows/s denominator: count() executes the same
-      // upstream plan once (the final agg differs, but codegen/scan warmup
-      // carries) — one fewer full execution per query than a separate count
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val times = (1 to timedRuns).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
-      }
-      // Per-query teardown. Without it the suite accumulates storage blocks
-      // across all ~123 queries: cached frames a query deliberately leaves
-      // warm for its own repeated runs, plus lazy-localCheckpoint blocks
-      // that are only freed when the ContextCleaner happens to GC the frame
-      // reference. Round 8 measured the result as monotone 1.9-2.4x drift
-      // on UNTOUCHED queries (search_bm25, q_range_join, dedup_exact,
-      // corpus_overlap_matrix) across successive runs while mid-suite
-      // probes sat on the calibration anchor — suite-level state, not code.
-      // Scope: between queries only, so within-query cache reuse across the
-      // warmup + timed runs (e.g. graph_authority's session-warm ranking)
-      // is preserved and the per-query methodology is unchanged.
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      (name, median(times), stddev(times), rows)
+      timeQuery(name, fn)
+    }
+
+    // spread gate: flag, re-time once at suite end, classify (see constants)
+    def stddevArm(med: Double, sd: Double): Boolean =
+      med > 0 && sd / med > SpreadStddevRatioMax
+    def committedArm(name: String, med: Double): Boolean =
+      committedMedians.get(name).exists(c => med > c * SpreadCommittedRatioMax)
+    val flagged = firstPass.collect {
+      case (name, med, sd, _, _, _)
+        if stddevArm(med, sd) || committedArm(name, med) => name
+    }
+    val queriesByName = SparkEntry.queries
+    val retimed: Map[String, (Double, (String, Double, Double, Long, Int, Int))] =
+      flagged.map { name =>
+        val firstMed = firstPass.find(_._1 == name).get._2
+        name -> (firstMed, timeQuery(name, queriesByName(name)))
+      }.toMap
+    val results = firstPass.map { r =>
+      retimed.get(r._1).map(_._2).getOrElse(r)
     }.sortBy(_._1) // report alphabetically whatever the execution order
+    val stillInconsistent = retimed.collect {
+      case (name, (_, (_, med, sd, _, _, _))) if stddevArm(med, sd) => name
+    }.toSeq.sorted
+    val (acceptedRegressions, unreproduced) = retimed.toSeq.collect {
+      case (name, (firstMed, (_, med, _, _, _, _))) if committedArm(name, med) =>
+        val reproduced = firstMed > 0 &&
+          math.abs(med - firstMed) / firstMed <= ReproducedTolerance
+        (name, reproduced)
+    }.partition(_._2) match {
+      case (rep, unrep) => (rep.map(_._1).sorted, unrep.map(_._1).sorted)
+    }
+    val spreadClean = stillInconsistent.isEmpty && unreproduced.isEmpty
     val allProbes = probeSec +: midProbes.toSeq
     val worstRatio = allProbes.map(_ / baselineProbe)
       .maxBy(r => math.max(r, 1.0 / r))
@@ -259,12 +369,16 @@ object Bench {
     // name list that hides it.
     val headline = results.sortBy(-_._2).take(12).map(_._1).toSet
     def r4(v: Double): Double = math.round(v * 10000) / 10000.0
-    val qs = results.collect { case (k, v, _, _) if headline(k) =>
+    val qs = results.collect { case (k, v, _, _, _, _) if headline(k) =>
       s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val full = results.map { case (k, v, sd, rows) =>
+    val full = results.map { case (k, v, sd, rows, jobs, runs) =>
       val rps = if (rows >= 0 && v > 0) (rows / v).round else -1L
+      val retimedField = retimed.get(k)
+        .map { case (firstMed, _) => ",\"first_median\":" + firstMed }
+        .getOrElse("")
       s"\"" + k + "\":{\"median\":" + v + ",\"stddev\":" + sd +
-        ",\"rows\":" + rows + ",\"rows_per_sec\":" + rps + "}" }
+        ",\"rows\":" + rows + ",\"rows_per_sec\":" + rps +
+        ",\"jobs\":" + jobs + ",\"runs\":" + runs + retimedField + "}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // CDC-plane throughput (BASELINE.md sanity target: >= 20k events/s for
@@ -348,6 +462,20 @@ object Bench {
       s""""calibration_probes":[${allProbes.map(r4).mkString(",")}],""" +
       s""""bench_seed":$benchSeed,""" +
       s""""machine_shifted":$machineShifted,""" +
+      // the spread gate's verdict rides the record: which queries tripped
+      // it, what the retime found, and whether anything blocks canonicality
+      s""""spread_stddev_ratio_max":$SpreadStddevRatioMax,""" +
+      s""""spread_committed_ratio_max":$SpreadCommittedRatioMax,""" +
+      s""""spread_flagged":[${flagged.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_still_inconsistent":[${
+        stillInconsistent.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_accepted_regressions":[${
+        acceptedRegressions.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_unreproduced":[${
+        unreproduced.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_clean":$spreadClean,""" +
+      s""""multi_job_threshold":$MultiJobThreshold,""" +
+      s""""multi_job_extra_runs":$MultiJobExtraRuns,""" +
       // total normalized by the probe ratio: a crude but stated CPU-speed
       // correction so a shifted round still yields a comparable number
       s""""total_calibrated_sec":${r4(
@@ -366,8 +494,12 @@ object Bench {
     // unshifted) — a quick sf0.001 smoke run or a busy-machine run that
     // overwrote the baseline would silently poison every later round's
     // comparison (exactly what happened to the r6 baseline before this guard)
+    // ... and since round 13 the per-query spread gate must also be clean:
+    // an interference window the probes miss (r12's q_tumbling_window
+    // 2.71±0.78 s on untouched code) shows up as an unreproduced retime or
+    // residual inconsistency, and such a run must not become the baseline.
     val canonical = sfDir.stripSuffix("/").endsWith("sf0.1") &&
-      timedRuns >= 5 && !machineShifted
+      timedRuns >= 5 && !machineShifted && spreadClean
     for (d <- Seq("target") ++ (if (canonical) Seq("bench") else Nil)) {
       try {
         val dir = java.nio.file.Paths.get(d)
@@ -376,7 +508,7 @@ object Bench {
       } catch { case _: Throwable => () }
     }
     if (!canonical)
-      System.err.println("[bench] non-canonical run (sf/runs/shift): " +
+      System.err.println("[bench] non-canonical run (sf/runs/shift/spread): " +
         "bench/bench_full.json baseline left untouched")
     // stop() can throw on shutdown races; the bench line must print anyway
     // (a swallowed line parses as a null round)

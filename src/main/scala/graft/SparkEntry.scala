@@ -849,6 +849,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_groups_capped" -> ((s, d) => {
+      // the full SUBSTITUTE near-dup pipeline end to end: df-capped pair
+      // generation (bounded-cost — candidates <= maxDf * |occurrences| by
+      // construction) -> connected-component canonical map. This is the
+      // tier path where the exact prefix-filter family is documented
+      // superlinear (522x at 100x data); the rehearsal measures this
+      // query's near-linear curve beside it
+      val pairs = Dedup.ngramJaccardPairsCapped(t(s, d, "documents"),
+        "doc_id", "text", 3, 0.8, maxDf = 20L)
+      Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS (beyond rollup/cube): (status), (priority), ()
       t(s, d, "orders").createOrReplaceTempView("orders_gs")
@@ -3777,6 +3792,7 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_groups" -> dedupGroupsOracle,
+    "dedup_groups_capped" -> dedupGroupsCappedOracle,
     // the incremental == full-recompute LAW as an oracle: the map-update
     // query must hash-equal the full-corpus CC replay (LSH banding's pair
     // set equals the exact ngram pairs on this data — the same oracle
@@ -4382,8 +4398,13 @@ object SparkEntry {
     * Shared CTEs are MATERIALIZED (DuckDB inlines multiply-referenced
     * CTEs — the round-8 258s-vs-7s lesson).
     */
-  private val cappedNgramOracle: String =
-    """WITH sh AS MATERIALIZED (
+  /** CTEs replaying [[Dedup.ngramJaccardPairsCapped]]'s candidate + verify
+    * stages up to a `pairs(da, db, i, u)` relation — the same shape
+    * [[ngramPairsCtes]] exposes, so [[ccClosureCtes]] composes over the
+    * CAPPED pair set too (dedup_groups_capped).
+    */
+  private val cappedPairsCtes: String =
+    """sh AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(
       |    [array_to_string(words[i:i+2], ' ') FOR i IN range(1, len(words)-1)]) AS s
       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
@@ -4398,16 +4419,29 @@ object SparkEntry {
       |  WHERE a.doc_id < b.doc_id
       |    AND CAST(a.n_sh AS DOUBLE) >= 0.8 * b.n_sh
       |    AND CAST(b.n_sh AS DOUBLE) >= 0.8 * a.n_sh),
-      |p AS (
+      |pairs AS (
       |  SELECT da, db, len(list_intersect(sa.s, sb.s)) AS i,
       |    len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)) AS u
       |  FROM cand
       |  JOIN sh sa ON sa.doc_id = cand.da
-      |  JOIN sh sb ON sb.doc_id = cand.db)
+      |  JOIN sh sb ON sb.doc_id = cand.db)""".stripMargin
+
+  private val cappedNgramOracle: String =
+    s"""WITH $cappedPairsCtes
       |SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
       |  CAST(i AS DOUBLE) / CAST(u AS DOUBLE) AS jaccard
-      |FROM p WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
+      |FROM pairs WHERE CAST(i AS DOUBLE) / CAST(u AS DOUBLE) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** dedup_groups over the CAPPED pair set: same CC closure as
+    * [[dedupGroupsOracle]], edges from [[cappedPairsCtes]].
+    */
+  private val dedupGroupsCappedOracle: String =
+    s"""WITH $cappedPairsCtes,
+      |${ccClosureCtes(4)}
+      |SELECT CAST(v AS BIGINT) AS doc_id,
+      |  CAST(m AS BIGINT) AS canonical_id
+      |FROM cc ORDER BY doc_id""".stripMargin
 
   private val winnowFpOracle: String =
     """WITH t AS (

@@ -39,19 +39,29 @@ object BloomJoin {
     // hit near 7e6 items at 1% fpp) — caps meant for the OPTIMIZER's
     // auto-injected filters, where oversizing is a planner bug. Here the
     // caller states the sizing explicitly (a 10^9-gram decontamination set
-    // is the designed load), so RAISE the caps to cover this build; without
-    // this the operator throws AnalysisException past ~4M items and its
-    // scale contract is unreachable under session defaults. Never lowered.
+    // is the designed load), so raise the caps FOR THIS AGGREGATION ONLY and
+    // restore the previous values afterwards: the same caps also govern
+    // Spark's InjectRuntimeFilter auto-injected blooms, and leaving them
+    // raised would let a later unrelated query build a multi-GB
+    // optimizer-injected filter the default cap exists to prevent.
     val conf = build.sparkSession.conf
-    def raiseTo(key: String, needed: Long): Unit =
-      if (conf.getOption(key).flatMap(_.toLongOption).forall(_ < needed))
-        conf.set(key, needed.toString)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
-    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
-    val agg = new BloomFilterAggregate(
-      XxHash64(Seq(expression(key)), 42L),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    build.select(column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    val capKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
+    capKeys.foreach { case (k, needed) =>
+      if (conf.getOption(k).flatMap(_.toLongOption).forall(_ < needed))
+        conf.set(k, needed.toString)
+    }
+    try {
+      val agg = new BloomFilterAggregate(
+        XxHash64(Seq(expression(key)), 42L),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      build.select(column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
   }
 
   /** `might_contain(bloom, xxhash64(key))` as a Column predicate. */

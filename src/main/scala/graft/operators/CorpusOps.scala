@@ -168,9 +168,21 @@ object CorpusOps {
     *
     * @param expectedEvalGrams bloom sizing hint; pass the (approximate)
     *        distinct eval gram count — overshooting costs bits, not
-    *        correctness. Defaults to counting the eval grams (one extra
-    *        pass over the SMALL side).
+    *        correctness. The hint also steers the verify-join strategy, so
+    *        it is only trusted as-is when it lands ABOVE the broadcast
+    *        threshold (where it selects the scale-safe shuffled verify); a
+    *        hint at or below it is re-measured with a real count before it
+    *        may select a broadcast, so an undershot hint can never force
+    *        the raw-eval broadcast this variant exists to avoid. Defaults
+    *        to counting the eval grams (one extra pass over the SMALL
+    *        side).
     */
+  /** Largest measured eval-gram count for which [[decontaminateBloom]]'s
+    * verify join may broadcast the eval grams (tens of MB); above it the
+    * shuffled verify is the scale contract.
+    */
+  private val broadcastVerifyCap = 1000000L
+
   def decontaminateBloom(docs: DataFrame, evalPred: Column, idCol: String,
                          textCol: String, n: Int,
                          expectedEvalGrams: Long = -1L,
@@ -180,8 +192,15 @@ object CorpusOps {
       explode(VectorFunctions.shingleSet(
         TextFunctions.tokens(col(textCol)), n)).as("gram"))
     val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    // A hint above the broadcast threshold is trusted as-is: it selects the
+    // scale-safe shuffled verify and sizes the bloom (overshoot costs bits,
+    // not correctness). A hint AT OR BELOW the threshold is re-measured
+    // before it may select broadcast(evalGrams): an undershot hint against a
+    // much larger real eval set would otherwise force the exact raw-eval
+    // broadcast this variant exists to avoid.
     val items =
-      if (expectedEvalGrams > 0) expectedEvalGrams else evalGrams.count()
+      if (expectedEvalGrams > broadcastVerifyCap) expectedEvalGrams
+      else evalGrams.count()
     // zero eval grams: nothing can be contaminated, and a 0-item bloom is
     // ill-defined — short-circuit to the empty answer with the right schema
     if (items == 0)
@@ -202,8 +221,10 @@ object CorpusOps {
     // cheaper than shuffling the survivors (the blanket shuffle_hash pin
     // cost 1.3x at sf0.1); past it the shuffled verify is the contract —
     // survivors are the bloom-thinned sliver, so the exchange is small.
+    // `items` is a MEASURED count whenever this branch can fire (see above),
+    // so the broadcast is keyed off a size the operator verified itself.
     val verifySide =
-      if (items <= 1000000L) broadcast(evalGrams)
+      if (items <= broadcastVerifyCap) broadcast(evalGrams)
       else evalGrams.hint("shuffle_hash")
     survivors.join(verifySide, "gram")
       .groupBy(col("doc_id"))
@@ -228,12 +249,18 @@ object CorpusOps {
     * recall boundary [[Dedup.semanticDedupPairs]] declares and
     * `ann_ivf_recall_audit` measures); raise nlist-to-probe or rerun with a
     * different seed family for belt-and-braces hygiene.
+    *
+    * `nlist = 0` selects auto mode ([[SimilaritySearch.resolveNlist]]): the
+    * cell count re-derives from the corpus size each run, so a grown corpus
+    * cannot silently turn the within-cell candidate stage quadratic. Pin
+    * when a stable candidate set matters more than cost.
     */
   def decontaminateSemantic(emb: DataFrame, evalPred: Column, idCol: String,
                             vecCol: String, nlist: Int,
                             threshold: Double): DataFrame = {
+    val nl = SimilaritySearch.resolveNlist(emb, nlist)
     val (flat, norms, dim) = SimilaritySearch.seedCentroids(
-      emb, idCol, vecCol, nlist, "decontaminateSemantic")
+      emb, idCol, vecCol, nl, "decontaminateSemantic")
     val assigned = emb.select(col(idCol).as("id"), evalPred.as("is_eval"),
       VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
     val train = assigned.filter(!col("is_eval"))

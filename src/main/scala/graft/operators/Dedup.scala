@@ -737,13 +737,21 @@ object Dedup {
     * Cosine stays internal (floats cross engines only as a filter, the
     * same accepted boundary as [[embeddingPairs]]).
     *
+    * `nlist = 0` selects auto mode ([[SimilaritySearch.resolveNlist]]): the
+    * cell count re-derives from the corpus size each run, so a corpus that
+    * outgrew a historical pin cannot silently go quadratic (the failure
+    * [[SimilaritySearch.cellOccupancyAudit]] flags; measured at 100× data:
+    * pinned 16 = 24.6 s vs the suggested 1024 = 4.9 s). Pin when a stable
+    * pair set matters more than cost — blocking recall moves with nlist.
+    *
     * Output: (id_a, id_b, cell) with id_a < id_b; feed into
     * [[duplicateGroups]] / [[canonicalRepresentatives]] for keep decisions.
     */
   def semanticDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          nlist: Int, threshold: Double): DataFrame = {
+    val nl = SimilaritySearch.resolveNlist(emb, nlist)
     val (flat, norms, dim) = SimilaritySearch.seedCentroids(
-      emb, idCol, vecCol, nlist, "semanticDedupPairs")
+      emb, idCol, vecCol, nl, "semanticDedupPairs")
     // candidate join on (id, cell) ONLY — the embedding floats must not
     // ride the candidate shuffle (the same vectors-re-join-later pattern as
     // [[embeddingPairs]]); cosine verification re-attaches vectors by id

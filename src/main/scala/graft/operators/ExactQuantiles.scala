@@ -158,6 +158,37 @@ object ExactQuantiles {
     k
   }
 
+  /** Run `f` with AQE disabled on this session, restoring the previous
+    * setting after. The bisection's shuffle shapes are KNOWN at plan time
+    * (tasks ≤ groups·quantiles rows, histograms ≤ tasks·B rows, every
+    * round the same), so adaptive per-stage re-planning has nothing to
+    * discover here and costs real wall time on a scheduling-bound search:
+    * measured 23 jobs / 2.8 s -> 8 jobs / 1.7 s on the sf0.1 funnel-latency
+    * search at local[32]. Each round's physical plan is fixed when its
+    * lineage cut materializes the plan to an RDD, which happens inside
+    * this scope; the caller's later actions on the RESULT frame plan with
+    * whatever the session normally uses.
+    *
+    * CONCURRENCY CONTRACT: the toggle mutates the SHARED session conf for
+    * the duration of the search, so a query planned concurrently on the
+    * same SparkSession would plan with AQE off, and two concurrent
+    * searches could clobber each other's restore. Callers running
+    * quantile searches concurrently with other work must hand this
+    * operator its own `spark.newSession()` (cheap: shares the
+    * SparkContext and cached data, isolates the conf) — the bench and
+    * oracle drivers are single-query-at-a-time, so they share safely.
+    */
+  private def withStaticPlan[T](spark: org.apache.spark.sql.SparkSession)
+                               (f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The distributed bisection core: advances a task table
     * (_tg, _r0, _lo, _hi, _rank) against `slim` (_g, _v) until every
     * task's range is a single value. Returns (_tg, _r0, _value).
@@ -186,28 +217,6 @@ object ExactQuantiles {
     * VANISHES in that round, so the exit check `total == seeded` is the
     * same guard the per-round probe used to run.
     */
-  /** Run `f` with AQE disabled on this session, restoring the previous
-    * setting after. The bisection's shuffle shapes are KNOWN at plan time
-    * (tasks ≤ groups·quantiles rows, histograms ≤ tasks·B rows, every
-    * round the same), so adaptive per-stage re-planning has nothing to
-    * discover here and costs real wall time on a scheduling-bound search:
-    * measured 23 jobs / 2.8 s -> 8 jobs / 1.7 s on the sf0.1 funnel-latency
-    * search at local[32]. Each round's physical plan is fixed when its
-    * lineage cut materializes the plan to an RDD, which happens inside
-    * this scope; the caller's later actions on the RESULT frame plan with
-    * whatever the session normally uses.
-    */
-  private def withStaticPlan[T](spark: org.apache.spark.sql.SparkSession)
-                               (f: => T): T = {
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
-
   private def searchTasks(slim: DataFrame, seeds: DataFrame,
                           buckets: Int): DataFrame =
     withStaticPlan(slim.sparkSession) { searchTasksStatic(slim, seeds, buckets) }

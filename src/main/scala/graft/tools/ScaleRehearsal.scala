@@ -16,14 +16,32 @@ import java.util.concurrent.atomic.AtomicLong
   * of the mean).
   *
   * Synthesis (all distributed, no driver materialization):
-  *  - documents: each base doc becomes `reps` docs. Replica 0 keeps the
-  *    original text, so the base corpus's natural duplicate structure
-  *    survives exactly once; replicas 1..reps-1 get a deterministic
-  *    md5-keyed word permutation (same unigram bag, destroyed n-gram
-  *    sequences), i.e. corpus-realistic "new" documents rather than extra
-  *    dup cliques. Pair OUTPUT therefore stays ~constant while the corpus
-  *    grows 10x — exactly the regime where a quadratic candidate stage
-  *    would be caught red-handed.
+  *  - documents (round-13 shingle-preserving scheme; the previous word
+  *    permutation manufactured hot shingles on short docs — few distinct
+  *    permutations — which maxDf blocking then dropped, silently emptying
+  *    the capped query at 100x):
+  *     - replica 0 keeps the original text, so the base corpus's natural
+  *       duplicate structure survives exactly once;
+  *     - replica 1 of every `PlantEvery`-th base doc (with >= 4 distinct
+  *       3-gram shingles) is a PLANTED NEAR-DUP: the original text with one
+  *       unique salt token appended. It shares every base shingle with its
+  *       replica-0 twin (3-gram Jaccard |S|/(|S|+1) >= 0.8 at |S| >= 4) and
+  *       those shared shingles appear ONLY in the twin pair (+ any natural
+  *       dups), df ~ 2 << maxDf — so the planted pairs SURVIVE rare-shingle
+  *       blocking and the capped operator's recall contract is exercised at
+  *       tier, not just on spec data;
+  *     - every other replica is a NEW document: a salt token drawn from a
+  *       ZIPF-ISH PHRASE POOL (log-uniform over [1, 10^4], P(v) ~ 1/v — the
+  *       realistic repeated-phrase frequency shape) is spliced after every
+  *       2nd word, so every 3-gram window contains a salt and no base
+  *       shingle survives into the replica (planted df stays ~2; replicas
+  *       never near-dup the base or each other — pair output stays
+  *       ~constant while the corpus grows reps x). Hot pool values make
+  *       windows COLLIDE across replicas of the same doc (same local words,
+  *       same salt draw): those warm/hot shingles generate candidate pairs
+  *       quadratic in reps that exact verification kills — the realistic
+  *       regime where the exact prefix-filter family goes superlinear while
+  *       the df-capped substitute stays bounded by construction.
   *  - embeddings: replica r is the base vector cyclically rotated by r
   *    (distinct direction, same norm; replica 0 = original).
   *
@@ -56,27 +74,66 @@ object ScaleRehearsal {
     }
   }
 
+  /** Plant a near-dup copy (replica 1) for every PlantEvery-th base doc. */
+  private[tools] val PlantEvery = 50L
+
+  /** Zipf-ish salt from the log-uniform phrase pool: "z" + floor(M^u) with
+    * u uniform in [0,1), M = 10^4 — P(v) ~ 1/(v ln M), the repeated-phrase
+    * frequency shape of a real corpus.
+    */
+  private def zipfSalt(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("z"), floor(pow(lit(10000.0),
+      pmod(xxhash64(key), lit(4096)).cast("double") / 4096.0))
+      .cast("long").cast("string"))
+
+  /** Planted-near-dup eligibility: >= 4 distinct 3-gram shingles, so the
+    * appended-salt copy clears Jaccard |S|/(|S|+1) >= 0.8. Mirrors the
+    * tokens/shingle semantics of the dedup operators.
+    */
+  private def plantable(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(graft.functions.VectorFunctions.shingleSet(
+      graft.functions.TextFunctions.tokens(text), 3)) >= 4
+
+  /** Count of base docs that will receive a planted near-dup replica —
+    * the scaled artifact's expected-recall anchor for the capped query.
+    */
+  def plantedExpected(spark: SparkSession, srcDir: String): Long =
+    spark.read.parquet(s"$srcDir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(PlantEvery)) === 0 &&
+        plantable(col("text")))
+      .count()
+
   /** 10x the corpus into `outDir` with the same table names Tables expects. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
       reps: Int): Unit = {
     val rep = explode(sequence(lit(0), lit(reps - 1))).as("r")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val planted = col("r") === 1 &&
+      pmod(col("doc_id"), lit(PlantEvery)) === 0 && plantable(col("text"))
+    // unique per (doc, r): the planted copy's one extra shingle matches
+    // nothing anywhere else in the corpus
+    val plantSalt = substring(md5(concat_ws("", lit("plant"),
+      col("doc_id").cast("string"), col("r").cast("string"))), 1, 8)
+    // salt after every 2nd word => every 3-gram window contains a salt and
+    // no base shingle survives into the replica; the salt VALUE is the
+    // Zipf-pool draw keyed on (doc, r, slot), so hot values collide across
+    // replicas of the same doc (same surrounding words, same salt) and
+    // manufacture the warm-shingle candidate pairs a real corpus has —
+    // exact verification kills them, but the exact prefix-filter family
+    // pays for them quadratically in reps while the df-capped substitute
+    // stays bounded by construction
+    val salted = concat_ws(" ", flatten(transform(split(col("text"), " "),
+      (w, i) => when(pmod(i, lit(2)) === 1,
+          array(w, zipfSalt(concat_ws("", col("doc_id").cast("string"),
+            col("r").cast("string"), i.cast("string")))))
+        .otherwise(array(w)))))
     docs.select(col("*"), rep)
       .select(
         (col("doc_id") * reps + col("r")).as("doc_id"),
-        when(col("r") === 0, col("text")).otherwise(
-          // deterministic word permutation keyed on (word, pos, doc, r):
-          // md5-tag each word, sort by tag, strip tags. array_sort on
-          // struct rows orders by the first field (the tag).
-          concat_ws(" ", transform(
-            array_sort(transform(split(col("text"), " "),
-              (w, i) => struct(
-                md5(concat_ws("", w, i.cast("string"),
-                  col("doc_id").cast("string"), col("r").cast("string")))
-                  .as("k"),
-                w.as("w")))),
-            x => x("w")))).as("text"),
+        when(col("r") === 0, col("text"))
+          .when(planted, concat(col("text"), lit(" "), plantSalt))
+          .otherwise(salted).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
       .repartition(32)
@@ -189,7 +246,12 @@ object ScaleRehearsal {
     // round 12: the canonical-map maintenance step — its cost must track
     // (new pairs + touched components), not the historical graph, so the
     // ratio at 10x deltas is the whole claim
-    "dedup_incremental_groups")
+    "dedup_incremental_groups",
+    // round 13: the full SUBSTITUTE near-dup pipeline end to end — df-capped
+    // pair generation -> CC canonical map — so the tier story has a complete
+    // bounded-cost path (pairs AND groups), complementing the incremental
+    // map-maintenance number
+    "dedup_groups_capped")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =
@@ -264,10 +326,28 @@ object ScaleRehearsal {
 
     val baseJson = timed(base).mkString("{", ",", "}")
     val bigJson = timed(out).mkString("{", ",", "}")
+    // planted-near-dup recall at tier (VERDICT r12 #3): the synthesis
+    // plants one appended-salt near-dup per PlantEvery-th base doc, so the
+    // capped query's scaled output must CONTAIN those pairs — ids
+    // (d*reps, d*reps+1) with d % PlantEvery == 0. found < expected means
+    // blocking dropped a planted pair (a recall regression at tier).
+    val plantedJson =
+      if (picked.contains("dedup_ngram_jaccard_capped")) {
+        val expected = plantedExpected(spark, base)
+        val found = graft.SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, out)
+          .filter(col("doc_b") === col("doc_a") + 1 &&
+            pmod(col("doc_a"), lit(reps.toLong)) === 0 &&
+            pmod(col("doc_a") / reps, lit(PlantEvery)) === 0)
+          .count()
+        System.err.println(
+          s"[rehearsal] planted near-dups: expected=$expected found=$found")
+        s""""planted_near_dups_expected":$expected,""" +
+          s""""planted_near_dups_found":$found,"""
+      } else ""
     val level = sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
       .map(l => s""""local_ckpt_level":"$l",""").getOrElse("")
     val json =
-      s"""{"base_sf":"$base","scaled_reps":$reps,$level""" +
+      s"""{"base_sf":"$base","scaled_reps":$reps,$level$plantedJson""" +
         s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
     // the default 10x run owns the canonical artifact name; other tiers
     // (e.g. the 100x decade) land beside it, never over it

@@ -413,6 +413,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall { case (x, y) => x < y })
   }
 
+  test("semanticDedupPairs auto-nlist (0) equals the explicitly-resolved " +
+    "pin — a corpus outgrowing a historical pin auto-scales") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float], eps: Float): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * eps)
+    val a = Array.fill(8)(rnd.nextFloat() + 0.5f)
+    val b = a.map(-_)
+    val vecs = (
+      (0 until 6).map(i => (i.toLong, jitter(a, 0.05f))) ++
+      (6 until 12).map(i => (i.toLong, jitter(b, 0.05f)))
+    ).toDF("vec_id", "embedding")
+    val resolved = graft.operators.SimilaritySearch.resolveNlist(vecs, 0)
+    val auto = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+        nlist = 0, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pinned = Dedup.semanticDedupPairs(vecs, "vec_id", "embedding",
+        nlist = resolved, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == pinned)
+    assert(auto.nonEmpty)
+  }
+
   test("canonicalRepresentatives keeps the best-scored member, ties to min id") {
     val groups = Seq(
       (1L, 1L), (2L, 1L), (3L, 1L), // group 1: scores 5, 9, 9 -> keep 2

@@ -487,4 +487,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sug == 4L)
     assert(sug * 256 >= 1024 && (sug / 2) * 256 < 1024)
   }
+
+  test("resolveNlist: a pin passes through; auto mode (nlist=0) derives the " +
+    "audit's suggested_nlist, so a grown corpus is auto-scaled, not " +
+    "silently quadratic") {
+    val rnd = new scala.util.Random(31)
+    val emb = (0 until 1024).map(i =>
+      (i.toLong, Array.fill(12)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    // pinned: untouched — oracle queries stay bit-replayable
+    assert(SimilaritySearch.resolveNlist(emb, 16) == 16)
+    // auto: matches cellOccupancyAudit's suggested_nlist exactly (the law
+    // that ties the in-path guard to the audit operator)
+    val sug = SimilaritySearch.cellOccupancyAudit(
+      emb, "vec_id", "embedding", nlist = 16).collect().head
+      .getAs[Long]("suggested_nlist")
+    assert(SimilaritySearch.resolveNlist(emb, 0) == sug)
+    // auto tracks growth: at targetCellRows=64 the same corpus wants 4x
+    // the cells (1024/64 = 16), so an outgrown pin is superseded by auto
+    assert(SimilaritySearch.resolveNlist(emb, 0, targetCellRows = 64L) == 16)
+    // auto mode is plumbed end to end: clusterPurity(nlist=0) equals the
+    // explicitly-resolved pin (same seed family, same cells)
+    val labeled = emb.withColumn("label", pmod(col("vec_id"), lit(3L)))
+    val auto = SimilaritySearch.clusterPurity(
+      labeled, "vec_id", "embedding", "label", 0).collect().toSet
+    val pinned = SimilaritySearch.clusterPurity(
+      labeled, "vec_id", "embedding", "label", sug.toInt).collect().toSet
+    assert(auto == pinned)
+  }
 }
