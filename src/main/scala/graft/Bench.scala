@@ -29,17 +29,30 @@ object Bench {
   private val SpreadCommittedRatioMax = 1.5
   private val ReproducedTolerance = 0.2
 
-  // --- multi-job run policy (round 13) ----------------------------------
-  // Queries materializing many Spark jobs per execution (ExactQuantiles'
-  // bisection: ~8) are scheduling-bound: their wall time is driver job
+  // --- multi-job run policy (round 13, re-budgeted round 14) ------------
+  // Queries materializing many driver-side ACTIONS per execution
+  // (ExactQuantiles' bisection: one collect per round; BPE train: one
+  // argmax per merge) are scheduling-bound: their wall time is driver job
   // round-trips, not data, and cross-JVM spread at median-of-5 exceeds the
   // code-level signal (same-code full-bench draws of events_funnel_latency:
-  // 1.85/2.40/3.12 s across r11-r12). Policy: a query observed to launch
-  // more than MultiJobThreshold jobs on its first timed run gets
-  // MultiJobExtraRuns additional timed runs, median over all. The observed
-  // job count and effective run count ride the full JSON per query.
-  private val MultiJobThreshold = 6
-  private val MultiJobExtraRuns = 6
+  // 1.85/2.40/3.12 s across r11-r12). Round 13 keyed the policy on RAW
+  // Spark-job count (threshold 6) — but AQE (on globally) submits one job
+  // per materialized query stage, so most multi-stage queries qualified,
+  // each gaining 6 extra runs, and the suite blew past the driver's wall
+  // budget (BENCH_r13: rc=124, killed mid-suite, no record at all). Round
+  // 14 keys it on DISTINCT SQL EXECUTIONS instead (jobs grouped by
+  // `spark.sql.execution.id`, which AQE stage jobs share; executionless
+  // RDD jobs count individually): a normal query is exactly 1 action per
+  // timed run however many AQE stages it has, while the bisection/argmax
+  // family stays >3 — and the extra-run count drops 6 -> 2.
+  private val MultiActionThreshold = 3
+  private val MultiJobExtraRuns = 2
+  // retime-pass budget (round 14): the r13 retime set was unbounded — with
+  // a stale committed baseline many queries can flag at once and the pass
+  // alone can exceed the driver window. Cap the set by violation severity;
+  // anything flagged-but-skipped blocks canonicality (recorded as
+  // spread_retime_skipped) but the run still EMITS.
+  private val RetimeCap = 8
 
   /** Streaming-plane throughput: events staged as segment-log files, consumed
     * through the DSv2 source in `nBatches` micro-batches running the full
@@ -151,8 +164,11 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(42L)
     // machine-load context, captured BEFORE the suite adds its own load — a
     // reader comparing rounds needs to know whether the box was already busy
     val loadBefore = java.lang.management.ManagementFactory
@@ -240,33 +256,44 @@ object Bench {
       }
     }
 
-    // Spark-job counter (async listener bus; jobsSettled polls the count to
-    // stability after a run returns — every JobStart is posted before its
-    // job completes, so the bus only needs to drain).
+    // Spark-job + action counters (async listener bus; settled() polls the
+    // job count to stability after a run returns — every JobStart is posted
+    // before its job completes, so the bus only needs to drain). "Actions"
+    // = distinct SQL executions (AQE stage jobs share their query's
+    // `spark.sql.execution.id`) + executionless RDD jobs — the AQE-proof
+    // scheduling-bound signal the multi-job policy keys on.
     val jobCounter = new java.util.concurrent.atomic.AtomicLong
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val bareJobs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobCounter.incrementAndGet(); ()
+        jobCounter.incrementAndGet()
+        Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))) match {
+          case Some(e) => execIds.add(e)
+          case None => bareJobs.incrementAndGet()
+        }
+        ()
       }
     })
-    def jobsSettled(): Long = {
+    def countersSettled(): (Long, Long) = {
       var last = jobCounter.get(); var stable = 0
       while (stable < 3) {
         Thread.sleep(10)
         val c = jobCounter.get()
         if (c == last) stable += 1 else { last = c; stable = 0 }
       }
-      last
+      (last, execIds.size.toLong + bareJobs.get())
     }
 
     /** One query's full measurement: 1 untimed warmup (count(), which also
       * yields the rows/s denominator), `timedRuns` timed runs — extended by
       * MultiJobExtraRuns when the first timed run launches more than
-      * MultiJobThreshold Spark jobs (see multi-job run policy above) — then
-      * per-query teardown. Without the teardown the suite accumulates
-      * storage blocks across all ~134 queries: cached frames a query
-      * deliberately leaves warm for its own repeated runs, plus lazy-
+      * MultiActionThreshold distinct actions (see multi-job run policy
+      * above) — then per-query teardown. Without the teardown the suite
+      * accumulates storage blocks across all ~135 queries: cached frames a
+      * query deliberately leaves warm for its own repeated runs, plus lazy-
       * localCheckpoint blocks only freed when the ContextCleaner happens to
       * GC the frame reference. Round 8 measured the result as monotone
       * 1.9-2.4x drift on UNTOUCHED queries across successive runs while
@@ -274,9 +301,11 @@ object Bench {
       * not code. Scope: between queries only, so within-query cache reuse
       * across the warmup + timed runs is preserved.
       */
+    case class QRec(name: String, med: Double, sd: Double, rows: Long,
+                    jobs: Int, actions: Int, runs: Int,
+                    firstMedian: Option[Double] = None)
     def timeQuery(name: String,
-                  fn: (SparkSession, String) => DataFrame):
-        (String, Double, Double, Long, Int, Int) = {
+                  fn: (SparkSession, String) => DataFrame): QRec = {
       def run(): Unit =
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -286,12 +315,13 @@ object Bench {
       // upstream plan once (the final agg differs, but codegen/scan warmup
       // carries) — one fewer full execution per query than a separate count
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val j0 = jobsSettled()
+      val (j0, a0) = countersSettled()
       val t0 = System.nanoTime()
       run()
       val first = (System.nanoTime() - t0) / 1e9
-      val jobs = (jobsSettled() - j0).toInt
-      val extra = if (jobs > MultiJobThreshold) MultiJobExtraRuns else 0
+      val (j1, a1) = countersSettled()
+      val (jobs, actions) = ((j1 - j0).toInt, (a1 - a0).toInt)
+      val extra = if (actions > MultiActionThreshold) MultiJobExtraRuns else 0
       val times = first +: (2 to timedRuns + extra).map { _ =>
         val t1 = System.nanoTime()
         run()
@@ -300,16 +330,55 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      (name, median(times), stddev(times), rows, jobs, times.size)
+      QRec(name, median(times), stddev(times), rows, jobs, actions, times.size)
     }
+
+    // --- survivable emission (round 14) ----------------------------------
+    // BENCH_r13 was a timeout kill (rc=124) and the round lost its ENTIRE
+    // record because everything was emitted only at the very end. Two
+    // belts: (a) after every completed query the partial record is
+    // rewritten to target/bench_full.json, so a killed run leaves per-query
+    // forensics on disk; (b) a JVM shutdown hook prints a "partial":true
+    // headline JSON line (the driver parses the last JSON line of stdout)
+    // unless the normal end-of-run line already printed.
+    val recsSoFar = new java.util.concurrent.ConcurrentLinkedQueue[QRec]()
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
+    def headlineJson(rs: Seq[QRec]): String =
+      rs.sortBy(-_.med).take(12)
+        .map(r => "\"" + r.name + "\":" + r4(r.med)).mkString("{", ",", "}")
+    def emitPartial(): Unit = {
+      val rs = recsSoFar.toArray(Array.empty[QRec]).toSeq.sortBy(_.name)
+      val qs = rs.map { r =>
+        s"""\"${r.name}\":{"median":${r.med},"stddev":${r.sd},""" +
+          s""""rows":${r.rows},"jobs":${r.jobs},"actions":${r.actions},""" +
+          s""""runs":${r.runs}}"""
+      }.mkString("{", ",", "}")
+      try {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target/bench_full.json"),
+          s"""{"partial":true,"n_queries":${rs.size},"queries":$qs,""" +
+            s""""bench_seed":$benchSeed,"sf":"$sfDir"}""" + "\n")
+      } catch { case _: Throwable => () }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalPrinted.get) {
+        val rs = recsSoFar.toArray(Array.empty[QRec]).toSeq
+        println(s"""{"metric":"total","value":${r4(rs.map(_.med).sum)},""" +
+          s""""unit":"sec","partial":true,"n_queries":${rs.size},""" +
+          s""""queries":${headlineJson(rs)},""" +
+          s""""cdc_events_per_sec":0,"stream_events_per_sec":0,""" +
+          s""""stream_events_per_sec_rocksdb":0,"sf":"$sfDir"}""")
+        System.out.flush()
+      }
+    }))
 
     // Execution order is a SEEDED SHUFFLE, not alphabetical: round 6's
     // transient stall at suite start inflated exactly the alphabetically-
     // first family (ann_*) 2-4x and the artifact was indistinguishable from
     // a code regression. Randomized order spreads machine noise across
     // unrelated names; the seed rides the JSON so a run is reproducible.
-    val benchSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(42L)
     val ordered = new scala.util.Random(benchSeed)
       .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
     // ... and the probe re-runs mid-suite (every ~25 queries): a stall that
@@ -319,39 +388,73 @@ object Bench {
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i > 0 && i % 25 == 0) midProbes += calibrationProbe(spark)
-      timeQuery(name, fn)
+      val r = timeQuery(name, fn)
+      recsSoFar.add(r); emitPartial()
+      r
     }
 
-    // spread gate: flag, re-time once at suite end, classify (see constants)
+    // spread gate: flag, re-time once at suite end, classify (see constants).
+    // The committed arm compares the CALIBRATION-NORMALIZED median (med /
+    // calibrationRatio): a machine running uniformly 1.0-1.5x slow — below
+    // the machine_shifted gate — would otherwise reproduce on retime, be
+    // classified an accepted regression, and bake inflated medians into the
+    // canonical baseline.
     def stddevArm(med: Double, sd: Double): Boolean =
       med > 0 && sd / med > SpreadStddevRatioMax
     def committedArm(name: String, med: Double): Boolean =
-      committedMedians.get(name).exists(c => med > c * SpreadCommittedRatioMax)
-    val flagged = firstPass.collect {
-      case (name, med, sd, _, _, _)
-        if stddevArm(med, sd) || committedArm(name, med) => name
-    }
+      committedMedians.get(name)
+        .exists(c => med / calibrationRatio > c * SpreadCommittedRatioMax)
+    // violation severity orders the capped retime set: the worst offenders
+    // get their second look first
+    def severity(r: QRec): Double = math.max(
+      if (r.med > 0) (r.sd / r.med) / SpreadStddevRatioMax else 0.0,
+      committedMedians.get(r.name).map(c =>
+        (r.med / calibrationRatio) / (c * SpreadCommittedRatioMax)).getOrElse(0.0))
+    val flaggedRecs = firstPass.filter(r =>
+      stddevArm(r.med, r.sd) || committedArm(r.name, r.med))
+    val flagged = flaggedRecs.map(_.name)
+    // budget the retime pass: cap the set, and stop early if the suite is
+    // approaching the external wall budget (reserve headroom for the CDC +
+    // streaming throughput planes, ~150 s) — a flagged-heavy run must still
+    // EMIT before the driver's timeout (the r13 lesson, rc=124)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1000.0)
+    val planesReserveSec = 180.0
+    def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val queriesByName = SparkEntry.queries
-    val retimed: Map[String, (Double, (String, Double, Double, Long, Int, Int))] =
-      flagged.map { name =>
-        val firstMed = firstPass.find(_._1 == name).get._2
-        name -> (firstMed, timeQuery(name, queriesByName(name)))
-      }.toMap
+    val retimeOrder = flaggedRecs.sortBy(r => -severity(r))
+    val (toRetime, retimeSkipped0) = retimeOrder.splitAt(RetimeCap)
+    val retimedPairs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, (Double, QRec))]
+    val budgetSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    toRetime.foreach { r =>
+      if (elapsedSec > budgetSec - planesReserveSec) budgetSkipped += r.name
+      else {
+        val rr = timeQuery(r.name, queriesByName(r.name))
+        recsSoFar.add(rr); emitPartial()
+        retimedPairs += (r.name -> (r.med, rr))
+      }
+    }
+    val retimed: Map[String, (Double, QRec)] = retimedPairs.toMap
+    val retimeSkipped = (retimeSkipped0.map(_.name) ++ budgetSkipped).sorted
     val results = firstPass.map { r =>
-      retimed.get(r._1).map(_._2).getOrElse(r)
-    }.sortBy(_._1) // report alphabetically whatever the execution order
+      retimed.get(r.name)
+        .map { case (firstMed, rr) => rr.copy(firstMedian = Some(firstMed)) }
+        .getOrElse(r)
+    }.sortBy(_.name) // report alphabetically whatever the execution order
     val stillInconsistent = retimed.collect {
-      case (name, (_, (_, med, sd, _, _, _))) if stddevArm(med, sd) => name
+      case (name, (_, rr)) if stddevArm(rr.med, rr.sd) => name
     }.toSeq.sorted
     val (acceptedRegressions, unreproduced) = retimed.toSeq.collect {
-      case (name, (firstMed, (_, med, _, _, _, _))) if committedArm(name, med) =>
+      case (name, (firstMed, rr)) if committedArm(name, rr.med) =>
         val reproduced = firstMed > 0 &&
-          math.abs(med - firstMed) / firstMed <= ReproducedTolerance
+          math.abs(rr.med - firstMed) / firstMed <= ReproducedTolerance
         (name, reproduced)
     }.partition(_._2) match {
       case (rep, unrep) => (rep.map(_._1).sorted, unrep.map(_._1).sorted)
     }
-    val spreadClean = stillInconsistent.isEmpty && unreproduced.isEmpty
+    val spreadClean = stillInconsistent.isEmpty && unreproduced.isEmpty &&
+      retimeSkipped.isEmpty
     val allProbes = probeSec +: midProbes.toSeq
     val worstRatio = allProbes.map(_ / baselineProbe)
       .maxBy(r => math.max(r, 1.0 / r))
@@ -367,20 +470,17 @@ object Bench {
     // chosen BY COST — the 12 slowest queries of this run — so the
     // driver-visible number tracks the expensive tail, not a fixed
     // name list that hides it.
-    val headline = results.sortBy(-_._2).take(12).map(_._1).toSet
-    def r4(v: Double): Double = math.round(v * 10000) / 10000.0
-    val qs = results.collect { case (k, v, _, _, _, _) if headline(k) =>
-      s"\"" + k + "\":" + r4(v) }.mkString("{", ",", "}")
-    val full = results.map { case (k, v, sd, rows, jobs, runs) =>
-      val rps = if (rows >= 0 && v > 0) (rows / v).round else -1L
-      val retimedField = retimed.get(k)
-        .map { case (firstMed, _) => ",\"first_median\":" + firstMed }
-        .getOrElse("")
-      s"\"" + k + "\":{\"median\":" + v + ",\"stddev\":" + sd +
-        ",\"rows\":" + rows + ",\"rows_per_sec\":" + rps +
-        ",\"jobs\":" + jobs + ",\"runs\":" + runs + retimedField + "}" }
+    val qs = headlineJson(results)
+    val full = results.map { r =>
+      val rps = if (r.rows >= 0 && r.med > 0) (r.rows / r.med).round else -1L
+      val retimedField = r.firstMedian
+        .map(fm => ",\"first_median\":" + fm).getOrElse("")
+      s"\"" + r.name + "\":{\"median\":" + r.med + ",\"stddev\":" + r.sd +
+        ",\"rows\":" + r.rows + ",\"rows_per_sec\":" + rps +
+        ",\"jobs\":" + r.jobs + ",\"actions\":" + r.actions +
+        ",\"runs\":" + r.runs + retimedField + "}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_.med).sum else 0.0
     // CDC-plane throughput (BASELINE.md sanity target: >= 20k events/s for
     // route+dedupe+batch). Rate = input events / wall time of the full plane.
     // Measurement policy (round 10, after the r9 163k→7.6k collapse that
@@ -473,9 +573,14 @@ object Bench {
         acceptedRegressions.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_unreproduced":[${
         unreproduced.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_retime_skipped":[${
+        retimeSkipped.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_clean":$spreadClean,""" +
-      s""""multi_job_threshold":$MultiJobThreshold,""" +
+      s""""multi_action_threshold":$MultiActionThreshold,""" +
       s""""multi_job_extra_runs":$MultiJobExtraRuns,""" +
+      s""""retime_cap":$RetimeCap,""" +
+      s""""budget_sec":${r4(budgetSec)},""" +
+      s""""elapsed_sec":${r4(elapsedSec)},""" +
       // total normalized by the probe ratio: a crude but stated CPU-speed
       // correction so a shifted round still yields a comparable number
       s""""total_calibrated_sec":${r4(
@@ -513,6 +618,9 @@ object Bench {
     // stop() can throw on shutdown races; the bench line must print anyway
     // (a swallowed line parses as a null round)
     try spark.stop() catch { case _: Throwable => () }
+    // mark the run complete FIRST so the shutdown hook's partial line
+    // cannot race in below the real one
+    finalPrinted.set(true)
     // printed after spark.stop() so no shutdown logging lands below it —
     // this must be the last stdout line sbt emits for this main
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +

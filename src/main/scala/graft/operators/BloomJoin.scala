@@ -39,29 +39,26 @@ object BloomJoin {
     // hit near 7e6 items at 1% fpp) — caps meant for the OPTIMIZER's
     // auto-injected filters, where oversizing is a planner bug. Here the
     // caller states the sizing explicitly (a 10^9-gram decontamination set
-    // is the designed load), so raise the caps FOR THIS AGGREGATION ONLY and
-    // restore the previous values afterwards: the same caps also govern
-    // Spark's InjectRuntimeFilter auto-injected blooms, and leaving them
-    // raised would let a later unrelated query build a multi-GB
-    // optimizer-injected filter the default cap exists to prevent.
-    val conf = build.sparkSession.conf
-    val capKeys = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-    val saved = capKeys.map { case (k, _) => k -> conf.getOption(k) }
-    capKeys.foreach { case (k, needed) =>
-      if (conf.getOption(k).flatMap(_.toLongOption).forall(_ < needed))
-        conf.set(k, needed.toString)
-    }
-    try {
-      val agg = new BloomFilterAggregate(
-        XxHash64(Seq(expression(key)), 42L),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-      build.select(column(agg).as("bloom")).head().getAs[Array[Byte]](0)
-    } finally saved.foreach {
-      case (k, Some(v)) => conf.set(k, v)
-      case (k, None)    => conf.unset(k)
-    }
+    // is the designed load), so run the aggregation on a CHILD session with
+    // the caps raised there: the shared session's conf — which also governs
+    // Spark's InjectRuntimeFilter auto-injected blooms — is never touched,
+    // so there is no raise/restore window for a concurrent query to plan an
+    // oversized optimizer filter under, and no way for a concurrent
+    // buildBloom to lose its caps mid-aggregation (the round-13 raise-then-
+    // restore had both races). newSession() shares the SparkContext and
+    // shared-state cache manager (cached build frames stay cache-fed) but
+    // owns its conf; the already-analyzed plan rebinds without
+    // re-resolution.
+    val session = build.sparkSession.newSession()
+    session.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems.toString)
+    session.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits.toString)
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(expression(key)), 42L),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    org.apache.spark.sql.GraftBridge.withSession(build, session)
+      .select(column(agg).as("bloom")).head().getAs[Array[Byte]](0)
   }
 
   /** `might_contain(bloom, xxhash64(key))` as a Column predicate. */

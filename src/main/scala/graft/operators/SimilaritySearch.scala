@@ -155,6 +155,15 @@ object SimilaritySearch {
       val n = corpus.count()
       var p = 1L
       while (p * targetCellRows < n && p < (1L << 30)) p <<= 1
+      // mirror cellOccupancyAudit, whose suggested_nlist goes NULL past the
+      // 2^30 cap: silently returning a saturated 2^30 here would diverge
+      // from the documented "derives the audit's suggestion" law exactly at
+      // the corpus size where occupancy starts drifting — fail loudly with
+      // the audit's own remedy instead
+      require(p * targetCellRows >= n,
+        s"resolveNlist: corpus rows ($n) exceed 2^30 cells x targetCellRows " +
+          s"($targetCellRows) — the occupancy audit's suggested_nlist is NULL " +
+          "at this size; raise targetCellRows or pin nlist explicitly")
       p.toInt
     }
   }

@@ -103,6 +103,30 @@ object ScaleRehearsal {
         plantable(col("text")))
       .count()
 
+  /** Expected planted-pair count UNDER THE OPERATOR'S RECALL CONTRACT: the
+    * capped operator ([[graft.operators.Dedup.ngramJaccardPairsCapped]])
+    * emits a pair iff the docs share >= 1 shingle with corpus df <= maxDf —
+    * so a planted twin whose base doc's EVERY shingle is hotter than the
+    * cap in the SCALED corpus is legitimately blocked (the documented
+    * recall boundary, not a regression). Counted on the scaled corpus with
+    * the operator's own shingle semantics: plantable replica-0 docs at
+    * plant positions having >= 1 shingle with scaled-corpus df <= maxDf.
+    */
+  def plantedExpectedAtTier(spark: SparkSession, scaledDir: String,
+                            reps: Int, maxDf: Long): Long = {
+    val docs = spark.read.parquet(s"$scaledDir/documents.parquet")
+    val occ = docs
+      .select(col("doc_id"), col("text"),
+        explode(graft.operators.Dedup.shingleSet(col("text"), 3)).as("g"))
+    val rare = occ.groupBy("g").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("g")
+    occ.filter(pmod(col("doc_id"), lit(reps.toLong)) === 0 &&
+        pmod(floor(col("doc_id") / reps), lit(PlantEvery)) === 0 &&
+        plantable(col("text")))
+      .join(rare, "g")
+      .select("doc_id").distinct().count()
+  }
+
   /** 10x the corpus into `outDir` with the same table names Tables expects. */
   def synthesize(spark: SparkSession, srcDir: String, outDir: String,
       reps: Int): Unit = {
@@ -330,14 +354,19 @@ object ScaleRehearsal {
     // plants one appended-salt near-dup per PlantEvery-th base doc, so the
     // capped query's scaled output must CONTAIN those pairs — ids
     // (d*reps, d*reps+1) with d % PlantEvery == 0. found < expected means
-    // blocking dropped a planted pair (a recall regression at tier).
+    // blocking dropped a planted pair (a recall regression at tier). The
+    // expected count honors the operator's df-cap recall contract
+    // (plantedExpectedAtTier); replica 1 only exists at reps >= 2, so the
+    // check is skipped below that (a reps=1 smoke run would otherwise
+    // report a spurious expected>0/found=0 regression).
     val plantedJson =
-      if (picked.contains("dedup_ngram_jaccard_capped")) {
-        val expected = plantedExpected(spark, base)
+      if (reps >= 2 && picked.contains("dedup_ngram_jaccard_capped")) {
+        // 20L mirrors the dedup_ngram_jaccard_capped query's maxDf pin
+        val expected = plantedExpectedAtTier(spark, out, reps, maxDf = 20L)
         val found = graft.SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, out)
           .filter(col("doc_b") === col("doc_a") + 1 &&
             pmod(col("doc_a"), lit(reps.toLong)) === 0 &&
-            pmod(col("doc_a") / reps, lit(PlantEvery)) === 0)
+            pmod(floor(col("doc_a") / reps), lit(PlantEvery)) === 0)
           .count()
         System.err.println(
           s"[rehearsal] planted near-dups: expected=$expected found=$found")
