@@ -48,6 +48,20 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(trueKeys.forall(kept.contains))
   }
 
+  test("a cap-exceeding buildBloom never touches the shared session's " +
+    "runtime-filter caps (child-session isolation)") {
+    // the caps also govern Spark's auto-injected runtime filters: a raise
+    // visible on the shared session — even transiently — lets a concurrent
+    // query plan a multi-GB optimizer bloom the default cap exists to
+    // prevent (the round-13 raise-then-restore race)
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val before = keys.map(k => spark.conf.getOption(k))
+    BloomJoin.buildBloom(build, col("bk"), expectedItems = 8000000L, fpp = 0.01)
+    assert(keys.map(k => spark.conf.getOption(k)) == before,
+      "shared-session runtime-filter caps were modified by buildBloom")
+  }
+
   test("bloom rejects never drop true matches across fpp settings") {
     for (fpp <- Seq(0.3, 0.01)) {
       val bloom = BloomJoin.buildBloom(build, col("bk"), 100L, fpp)
