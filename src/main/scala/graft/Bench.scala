@@ -149,6 +149,32 @@ object Bench {
     xs(1) // median of 3
   }
 
+  /** IO write probe: 64 MiB written + fsync'd to target/, timed — the
+    * calibration CPU probe's blind spot. Round-14 finding: two back-to-back
+    * sf0.1 runs measured the CDC plane at ~118k ev/s (committed: 185k) and
+    * suite totals 1.3-1.5x committed while every CPU probe around the
+    * plane sat ON the anchor — host-side IO/steal bursts slow the
+    * shuffle/write paths without touching a pure-CPU hash loop. The probe
+    * rides the record (and its own committed baseline in
+    * bench/calibration.json) so a reader can tell CPU noise from IO noise.
+    */
+  private[graft] def ioProbe(): Double = {
+    import java.nio.file.{Files, Paths, StandardOpenOption => O}
+    val p = Paths.get("target/.ioprobe")
+    Files.createDirectories(p.getParent)
+    val buf = new Array[Byte](1 << 20)
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(
+      p, O.CREATE, O.WRITE, O.TRUNCATE_EXISTING)
+    try {
+      var i = 0
+      while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+      ch.force(false)
+    } finally ch.close()
+    try Files.deleteIfExists(p) catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** cgroup v2 CPU quota (cores available to this container), -1 if unlimited
     * or unreadable — run context for cross-round comparability.
     */
@@ -215,6 +241,8 @@ object Bench {
     // via nothing — mid-suite re-probes remain the transient-shift guard.
     calibrationProbe(spark)
     val probeSec = calibrationProbe(spark)
+    ioProbe() // first call pays FS/page-cache warmup (measured ~2x steady)
+    val ioSec = ioProbe()
     val calPath = java.nio.file.Paths.get("bench/calibration.json")
     // None = the file exists but didn't parse: that must be LOUD (flag the
     // round) — a silent probeSec fallback would pin the ratio to exactly
@@ -243,6 +271,24 @@ object Bench {
     // ratio also rides the JSON so readers can normalize medians when
     // comparing flagged-vs-unflagged rounds.
     val calibrationRatio = probeSec / baselineProbe
+    // IO write-probe baseline, same file: created on first run with the new
+    // field (the CPU baseline is left untouched), no shifted-flagging — the
+    // ratio is recorded context plus the accepted-regression quiet gate
+    val ioBaseline: Double = {
+      val txt = if (java.nio.file.Files.exists(calPath))
+        new String(java.nio.file.Files.readAllBytes(calPath), "UTF-8") else ""
+      """"io_probe_sec"\s*:\s*([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).getOrElse {
+          try {
+            val base = """"probe_sec"\s*:\s*([0-9.eE+-]+)""".r
+              .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(probeSec)
+            java.nio.file.Files.createDirectories(calPath.getParent)
+            java.nio.file.Files.writeString(calPath,
+              s"""{"probe_sec":$base,"io_probe_sec":$ioSec}""" + "\n")
+          } catch { case _: Throwable => () }
+          ioSec
+        }
+    }
 
     // Committed per-query medians, loaded BEFORE this run can overwrite the
     // baseline file — the spread gate's second arm compares against them.
@@ -386,8 +432,12 @@ object Bench {
     // re-probe it overlaps, so a shifted WINDOW flags the round even when
     // the suite's endpoints look quiet.
     val midProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midIoProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i > 0 && i % 25 == 0) midProbes += calibrationProbe(spark)
+      if (i > 0 && i % 25 == 0) {
+        midProbes += calibrationProbe(spark)
+        midIoProbes += ioProbe()
+      }
       val r = timeQuery(name, fn)
       recsSoFar.add(r); emitPartial()
       r
@@ -460,6 +510,17 @@ object Bench {
       .maxBy(r => math.max(r, 1.0 / r))
     val machineShifted = baselineParseFailed ||
       worstRatio > 1.5 || worstRatio < 1.0 / 1.5
+    // IO worst ratio: slow-only (a faster disk is not noise). Not part of
+    // machine_shifted — but accepted regressions may only canonicalize on a
+    // provably quiet machine on BOTH axes (see probesQuiet below): the
+    // failure mode is a host-side IO burst the CPU probes can't see
+    // reproducing a query's slowness across first pass AND retime, getting
+    // classified "accepted regression", and baking inflated medians into
+    // the committed baseline.
+    val allIoProbes = ioSec +: midIoProbes.toSeq
+    val ioWorstRatio =
+      if (ioBaseline > 0) allIoProbes.map(_ / ioBaseline).max else 1.0
+    val probesQuiet = worstRatio <= 1.2 && ioWorstRatio <= 1.5
     // The driver captures only a bounded tail of stdout and parses the JSON
     // line out of it; a line carrying all ~80 query medians + stddevs
     // (~8 KB) overflows that window and the round's bench goes unparsed
@@ -560,6 +621,11 @@ object Bench {
       s""""calibration_ratio":${r4(calibrationRatio)},""" +
       s""""calibration_worst_ratio":${r4(worstRatio)},""" +
       s""""calibration_probes":[${allProbes.map(r4).mkString(",")}],""" +
+      s""""io_probe_sec":${r4(ioSec)},""" +
+      s""""io_baseline_sec":${r4(ioBaseline)},""" +
+      s""""io_probes":[${allIoProbes.map(r4).mkString(",")}],""" +
+      s""""io_worst_ratio":${r4(ioWorstRatio)},""" +
+      s""""probes_quiet":$probesQuiet,""" +
       s""""bench_seed":$benchSeed,""" +
       s""""machine_shifted":$machineShifted,""" +
       // the spread gate's verdict rides the record: which queries tripped
@@ -603,8 +669,12 @@ object Bench {
     // an interference window the probes miss (r12's q_tumbling_window
     // 2.71±0.78 s on untouched code) shows up as an unreproduced retime or
     // residual inconsistency, and such a run must not become the baseline.
+    // ... and accepted regressions need a provably QUIET machine (both CPU
+    // and IO probes on their anchors): a reproduced slowdown on a noisy
+    // host is the host, not the code, and must not enter the baseline.
     val canonical = sfDir.stripSuffix("/").endsWith("sf0.1") &&
-      timedRuns >= 5 && !machineShifted && spreadClean
+      timedRuns >= 5 && !machineShifted && spreadClean &&
+      (acceptedRegressions.isEmpty || probesQuiet)
     for (d <- Seq("target") ++ (if (canonical) Seq("bench") else Nil)) {
       try {
         val dir = java.nio.file.Paths.get(d)
