@@ -345,6 +345,17 @@ object ScaleRehearsal {
         // lesson: a missing table aborted the run before any JSON landed)
         System.err.println(s"[rehearsal] $dir $n FAILED: ${e.getMessage}")
         s""""$n":{"error":"${e.getClass.getSimpleName}"}"""
+      } finally {
+        // per-query teardown (Bench's round-8 lesson, learned here the hard
+        // way in round 14): without it the run accumulates cached frames +
+        // lazy-localCheckpoint blocks across every (query, scale) pair, and
+        // a single-JVM 100x run degrades until even broadcast builds that
+        // fit comfortably at query #1 OOM at query #15 (measured: the
+        // capped query ran 4.8 s at base early in the run, then failed
+        // "not enough memory to broadcast" at the tier late in it)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
 
@@ -361,17 +372,24 @@ object ScaleRehearsal {
     // report a spurious expected>0/found=0 regression).
     val plantedJson =
       if (reps >= 2 && picked.contains("dedup_ngram_jaccard_capped")) {
-        // 20L mirrors the dedup_ngram_jaccard_capped query's maxDf pin
-        val expected = plantedExpectedAtTier(spark, out, reps, maxDf = 20L)
-        val found = graft.SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, out)
-          .filter(col("doc_b") === col("doc_a") + 1 &&
-            pmod(col("doc_a"), lit(reps.toLong)) === 0 &&
-            pmod(floor(col("doc_a") / reps), lit(PlantEvery)) === 0)
-          .count()
-        System.err.println(
-          s"[rehearsal] planted near-dups: expected=$expected found=$found")
-        s""""planted_near_dups_expected":$expected,""" +
-          s""""planted_near_dups_found":$found,"""
+        try {
+          // 20L mirrors the dedup_ngram_jaccard_capped query's maxDf pin
+          val expected = plantedExpectedAtTier(spark, out, reps, maxDf = 20L)
+          val found = graft.SparkEntry.queries("dedup_ngram_jaccard_capped")(spark, out)
+            .filter(col("doc_b") === col("doc_a") + 1 &&
+              pmod(col("doc_a"), lit(reps.toLong)) === 0 &&
+              pmod(floor(col("doc_a") / reps), lit(PlantEvery)) === 0)
+            .count()
+          System.err.println(
+            s"[rehearsal] planted near-dups: expected=$expected found=$found")
+          s""""planted_near_dups_expected":$expected,""" +
+            s""""planted_near_dups_found":$found,"""
+        } catch { case e: Throwable =>
+          // the recall anchor must not lose the artifact either (it aborted
+          // the whole round-14 first attempt after a late-run OOM)
+          System.err.println(s"[rehearsal] planted check FAILED: ${e.getMessage}")
+          s""""planted_check_error":"${e.getClass.getSimpleName}","""
+        }
       } else ""
     val level = sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
       .map(l => s""""local_ckpt_level":"$l",""").getOrElse("")
