@@ -38,6 +38,40 @@ object RecordLinkage {
       transform(sequence(lit(1), length(s)),
         i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s))))))
 
+  /** Target build-side rows per shuffle-hash partition for the candidate
+    * join: ~500k exploded key rows ≈ 50 MB of UnsafeHashedRelation — 32 of
+    * them concurrently (local[32]) stay under 2 GB of execution memory.
+    * A shuffle-hash BUILD cannot spill: it either fits its partition in
+    * memory or the task dies. At the session's default partition count the
+    * build side is |records|·(len+1)/partitions rows, which grows
+    * unboundedly with the data — measured at the 100x rehearsal tier:
+    * ~85M exploded rows over 32 partitions = 2.7M-row builds,
+    * SparkOutOfMemoryError "not enough memory to build hash map" at a 24 GB
+    * heap. The pinned-strategy join therefore sizes its own exchange.
+    */
+  private val TargetBuildRows = 500000L
+
+  /** Candidate-join partition count: one cheap bounded agg (Σ len+1 = the
+    * exploded row count) sizes the exchange so each shuffle-hash build
+    * holds ≤ [[TargetBuildRows]] rows. Never below the session's shuffle
+    * partitions — at bench scale the plan is bit-identical to the unsized
+    * one; the extra count job only exists because the planner's stats
+    * cannot see through the explode (same blind spot that motivates the
+    * strategy pin itself).
+    */
+  private def candidateParts(df: DataFrame, strCol: String): Int = {
+    val expRows = df.agg(sum(length(col(strCol)).cast("long") + 1L))
+      .head().getAs[Any](0) match {
+        case null => 0L
+        case n: java.lang.Long => n.longValue()
+        case n => n.toString.toLong
+      }
+    val sessionParts =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    math.max(sessionParts.toLong, expRows / TargetBuildRows + 1)
+      .min(1L << 20).toInt
+  }
+
   /** All (left id, right id) pairs whose strings are within Levenshtein
     * distance 1.
     *
@@ -67,7 +101,12 @@ object RecordLinkage {
     // the 100x rehearsal tier: a 15.6 GiB attempted build). The operator
     // KNOWS the inflation, so it pins the strategy: shuffle-hash, keyed by
     // k — no sort, per-partition builds, both sides partitioned by the key
-    keyed(left, "left").hint("shuffle_hash").join(keyed(right, "right"), "k")
+    // at a width sized from the exploded row count (candidateParts) so each
+    // unspillable build fits however large the input grows
+    val parts = candidateParts(left, strCol)
+    keyed(left, "left").repartition(parts, col("k"))
+      .hint("shuffle_hash")
+      .join(keyed(right, "right").repartition(parts, col("k")), "k")
       .select("left_id", "right_id")
       .distinct()
       .join(strs(left, "left"), "left_id")
@@ -97,8 +136,11 @@ object RecordLinkage {
     * left_id < right_id — exactly `fuzzyJoin(df, df).filter(left < right)`.
     */
   def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // exchange width sized from the exploded row count — see candidateParts
+    val parts = candidateParts(df, strCol)
     val keyed = df.select(col(idCol).cast("long").as("id"),
       explode(delKeys(col(strCol))).as("k"))
+      .repartition(parts, col("k"))
     val strs = df.select(col(idCol).cast("long").as("_sid"),
       col(strCol).as("_s"))
     // same explode-blind-estimate reasoning as fuzzyJoin: pin shuffle_hash
