@@ -47,6 +47,16 @@ object Bench {
   // family stays >3 — and the extra-run count drops 6 -> 2.
   private val MultiActionThreshold = 3
   private val MultiJobExtraRuns = 2
+  // ... and only for queries whose first run is CHEAP: the policy exists
+  // for the scheduling-bound family (many driver round-trips, little data
+  // work per action — funnel latency, quantile bisection), but the
+  // connected-component/dedup family is ALSO multi-action (one
+  // localCheckpoint materialization per CC round) while being genuinely
+  // data-bound — round 14's first completed run gave 27 queries the extra
+  // runs at +131 s of suite wall, most of it on 4-8 s CC queries whose
+  // spread is data, not scheduling. A first run at/under this bound keeps
+  // the extra-run cost O(seconds) per query.
+  private val ExtraRunsMaxSec = 3.0
   // retime-pass budget (round 14): the r13 retime set was unbounded — with
   // a stale committed baseline many queries can flag at once and the pass
   // alone can exceed the driver window. Cap the set by violation severity;
@@ -367,7 +377,8 @@ object Bench {
       val first = (System.nanoTime() - t0) / 1e9
       val (j1, a1) = countersSettled()
       val (jobs, actions) = ((j1 - j0).toInt, (a1 - a0).toInt)
-      val extra = if (actions > MultiActionThreshold) MultiJobExtraRuns else 0
+      val extra = if (actions > MultiActionThreshold && first <= ExtraRunsMaxSec)
+        MultiJobExtraRuns else 0
       val times = first +: (2 to timedRuns + extra).map { _ =>
         val t1 = System.nanoTime()
         run()
@@ -376,7 +387,31 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      settle()
       QRec(name, median(times), stddev(times), rows, jobs, actions, times.size)
+    }
+
+    /** Drain THIS SUITE's own residue before the next measurement — the
+      * round-14 finding the probes kept tripping on: two independent runs
+      * (same seed, 4 then 32 cpus) burst at the SAME two mid-suite probe
+      * positions — the ones directly after the CC/dedup cluster — with the
+      * pure-CPU probe at 4.5 s (13x anchor) and the fsync probe at 2.9 s,
+      * while every suite-endpoint probe sat ON the anchor. Same positions
+      * across runs = not host noise: the heavy queries leave major-GC debt
+      * (checkpoint/broadcast garbage the non-blocking unpersist hasn't
+      * collected) and a dirty page-cache writeback backlog, and whatever
+      * runs next — a probe, or an innocent cheap query — pays it. Taking
+      * the GC (only when the heap is actually loaded) and the sync HERE
+      * serializes that debt into untimed suite time, so probes measure the
+      * HOST and each query starts from a consistent system state.
+      */
+    def settle(): Unit = {
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
+      try {
+        val p = new ProcessBuilder("sync").start()
+        p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS); ()
+      } catch { case _: Throwable => () }
     }
 
     // --- survivable emission (round 14) ----------------------------------
@@ -467,8 +502,13 @@ object Bench {
     // approaching the external wall budget (reserve headroom for the CDC +
     // streaming throughput planes, ~150 s) — a flagged-heavy run must still
     // EMIT before the driver's timeout (the r13 lesson, rc=124)
+    // 1150 (was 1000): the r12 driver window fit 945 s; the settle step +
+    // 136 queries push a quiet full run to ~1050-1100 s, and the budget
+    // only gates the RETIME pass (the suite itself always runs to
+    // completion and emits) — an undersized budget silently skips every
+    // retime and blocks canonicality on an otherwise quiet run.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
-      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1000.0)
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1150.0)
     val planesReserveSec = 180.0
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val queriesByName = SparkEntry.queries

@@ -581,6 +581,33 @@ object SparkEntry {
         .orderBy(col("split"), col("lang"))
     }),
 
+    "corpus_split_safe_capped" -> ((s, d) => {
+      // the TIER path of the leakage-safe split: identical split semantics
+      // to corpus_split_safe, but the dup-group edges come from the
+      // df-capped pair generator (candidates <= maxDf * |occurrences| by
+      // construction) instead of the exact prefix-filter family, which is
+      // documented superlinear at 100x data (55-522x, corpus-shape-
+      // dependent). Recall boundary: a dup pair sharing only hot shingles
+      // (every shared shingle df > 20) can straddle splits here — the
+      // capped operator's documented contract, measured at tier by the
+      // rehearsal's planted-recall anchor (100/100).
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
+        3, 0.8, maxDf = 20L)
+      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val canon = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("lang"), col("n_chars"))
+        .join(groups, Seq("doc_id"), "left")
+        .withColumn("canonical_id",
+          coalesce(col("canonical_id"), col("doc_id")))
+      graft.operators.CorpusOps.hashSplit(canon, "canonical_id", "split-v1",
+          valPct = 10, testPct = 10)
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
     "corpus_shard" -> ((s, d) =>
       // deterministic training-shard layout: shard = salted md5 mod N
       // (map-side), pos = offset within the shard file (window partitioned
@@ -3804,6 +3831,30 @@ object SparkEntry {
     // (singletons on their own id)
     "corpus_split_safe" ->
       s"""WITH $ngramPairsCtes,
+        |${ccClosureCtes(4)},
+        |grp AS (
+        |  SELECT CAST(v AS BIGINT) AS doc_id,
+        |    CAST(m AS BIGINT) AS canonical_id
+        |  FROM cc),
+        |canon AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    COALESCE(g.canonical_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN grp g ON g.doc_id = d.doc_id),
+        |s AS (SELECT lang, n_chars,
+        |  CASE WHEN b < 10 THEN 'val' WHEN b < 20 THEN 'test'
+        |       ELSE 'train' END AS split
+        |  FROM (SELECT lang, n_chars,
+        |          CAST(concat('0x', substr(md5('split-v1|' ||
+        |            CAST(cid AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        |        FROM canon))
+        |SELECT split, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
+    // the same split replay over the CAPPED pair set's CC closure — the
+    // bounded-cost tier sibling of corpus_split_safe
+    "corpus_split_safe_capped" ->
+      s"""WITH $cappedPairsCtes,
         |${ccClosureCtes(4)},
         |grp AS (
         |  SELECT CAST(v AS BIGINT) AS doc_id,

@@ -1,36 +1,29 @@
 package graft.tools
-
-import graft._
 import org.apache.spark.sql.SparkSession
-
-/** Dev: time named queries (warmup + median of 3, noop sink) at a given sf
-  * dir. Usage: runMain graft.tools.TimeQuery <query>... [-- <sfdir>]
+/** Debug: time one SparkEntry query standalone with Bench's methodology
+  * (1 untimed warmup, then N timed noop-sink runs) — for adjudicating a
+  * flagged bench entry outside the full suite. Args: name [sfDir] [runs].
   */
-object TimeQuery {
-  def main(args: Array[String]): Unit = {
-    val (names, rest) = args.span(_ != "--")
-    val dir = rest.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
-    // same SPARK_GRAFT_CPUS contract as Bench (default 4 there): timings
-    // are only comparable to bench_full.json at the same parallelism —
-    // these small-sf queries are stage-scheduling-bound, so local[32]
-    // reads ~1.4x local[4] on the identical plan
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.tune(SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")).getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      def run(): Unit =
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-      run() // warmup
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"TIME $name ${times(1)}%.2f s (min ${times.head}%.2f max ${times.last}%.2f)")
-    }
-    spark.stop()
+object TimeQuery extends App {
+  val name = args(0)
+  val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+  val runs = if (args.length > 2) args(2).toInt else 5
+  val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+  val spark = graft.GraftSession.tune(SparkSession.builder()
+    .master(s"local[$cpus]")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.ui.enabled", "false"))
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+  val fn = graft.SparkEntry.queries(name)
+  def run(): Double = {
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
+  println(f"TIMEQ warmup ${run()}%.3f")
+  val xs = (1 to runs).map(_ => run())
+  println("TIMEQ runs " + xs.map(x => f"$x%.3f").mkString(" "))
+  println(f"TIMEQ median ${xs.sorted.apply(xs.size / 2)}%.3f")
+  spark.stop()
 }
