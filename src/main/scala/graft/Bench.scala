@@ -185,6 +185,40 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Hypervisor CPU-steal percentage measured UNDER full synthetic load —
+    * the round-14 lesson: steal only materializes when the vCPUs are
+    * actually requesting CPU, so idle-window sampling (and every in-JVM
+    * probe that runs between queries on a then-idle box) structurally
+    * undersamples it. Measured on the round-14 host: 0-2 ticks/20 s at
+    * idle, 16% of capacity stolen under a 32-way spin — the box had ~27
+    * real cores behind 32 vCPUs, and short scheduling-bound queries read
+    * ~2x their committed medians while sustained-CPU probes sat on anchor.
+    * Spins `n` threads for `millis`, returns stolen/(n*millis) * 100;
+    * -1 if /proc/stat is unreadable.
+    */
+  private[graft] def stealProbePct(n: Int = 32, millis: Long = 5000L): Double = {
+    def ticks(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    val s0 = ticks()
+    if (s0 < 0) return -1.0
+    val deadline = System.nanoTime() + millis * 1000000L
+    val threads = (1 to n).map { _ =>
+      val t = new Thread(() => {
+        var x = 0L
+        while (System.nanoTime() < deadline) { x += 1 }
+        if (x == Long.MinValue) println(x) // defeat dead-code elimination
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    threads.foreach(_.join(millis + 2000L))
+    val stolenSec = (ticks() - s0) / 100.0
+    stolenSec / (n * millis / 1000.0) * 100.0
+  }
+
   /** cgroup v2 CPU quota (cores available to this container), -1 if unlimited
     * or unreadable — run context for cross-round comparability.
     */
@@ -253,6 +287,10 @@ object Bench {
     val probeSec = calibrationProbe(spark)
     ioProbe() // first call pays FS/page-cache warmup (measured ~2x steady)
     val ioSec = ioProbe()
+    // steal under load, NOT at idle (see stealProbePct scaladoc) — one
+    // 5 s reading at suite start; the cumulative steal_sec field covers
+    // the rest of the run
+    val stealPct = stealProbePct()
     val calPath = java.nio.file.Paths.get("bench/calibration.json")
     // None = the file exists but didn't parse: that must be LOUD (flag the
     // round) — a silent probeSec fallback would pin the ratio to exactly
@@ -321,6 +359,14 @@ object Bench {
     val jobCounter = new java.util.concurrent.atomic.AtomicLong
     val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val bareJobs = new java.util.concurrent.atomic.AtomicLong
+    // executor CPU nanoseconds (task metrics, accumulated per stage): the
+    // steal-immune second axis of every per-query record. Round 14's host
+    // showed 75-466 ticks of /proc/stat CPU-steal per 20 s window — short
+    // scheduling-bound queries read ~2x their committed WALL medians while
+    // code was untouched. Wall stays the headline (it is what a user
+    // experiences), cpu_sec is the adjudicator: a wall regression with flat
+    // cpu_sec is the host; wall and cpu_sec moving together is the code.
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -332,7 +378,23 @@ object Bench {
         }
         ()
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        cpuNanos.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+        ()
+      }
     })
+    /** /proc/stat CPU-steal ticks (USER_HZ = 10 ms each), cumulative since
+      * boot; -1 if unreadable. Hypervisor-level contention the in-JVM
+      * probes undersample — the run-level delta rides the record.
+      */
+    def stealTicks(): Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    val stealStart = stealTicks()
     def countersSettled(): (Long, Long) = {
       var last = jobCounter.get(); var stable = 0
       while (stable < 3) {
@@ -358,7 +420,7 @@ object Bench {
       * across the warmup + timed runs is preserved.
       */
     case class QRec(name: String, med: Double, sd: Double, rows: Long,
-                    jobs: Int, actions: Int, runs: Int,
+                    jobs: Int, actions: Int, runs: Int, cpuSec: Double,
                     firstMedian: Option[Double] = None)
     def timeQuery(name: String,
                   fn: (SparkSession, String) => DataFrame): QRec = {
@@ -372,6 +434,7 @@ object Bench {
       // carries) — one fewer full execution per query than a separate count
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val (j0, a0) = countersSettled()
+      val c0 = cpuNanos.get()
       val t0 = System.nanoTime()
       run()
       val first = (System.nanoTime() - t0) / 1e9
@@ -384,11 +447,14 @@ object Bench {
         run()
         (System.nanoTime() - t1) / 1e9
       }
+      countersSettled() // drain the listener bus so cpu_sec sees every stage
+      val cpuSec = (cpuNanos.get() - c0) / 1e9 / times.size // mean per run
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       settle()
-      QRec(name, median(times), stddev(times), rows, jobs, actions, times.size)
+      QRec(name, median(times), stddev(times), rows, jobs, actions,
+        times.size, cpuSec)
     }
 
     /** Drain THIS SUITE's own residue before the next measurement — the
@@ -433,7 +499,7 @@ object Bench {
       val qs = rs.map { r =>
         s"""\"${r.name}\":{"median":${r.med},"stddev":${r.sd},""" +
           s""""rows":${r.rows},"jobs":${r.jobs},"actions":${r.actions},""" +
-          s""""runs":${r.runs}}"""
+          s""""runs":${r.runs},"cpu_sec":${r4(r.cpuSec)}}"""
       }.mkString("{", ",", "}")
       try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -548,8 +614,12 @@ object Bench {
     val allProbes = probeSec +: midProbes.toSeq
     val worstRatio = allProbes.map(_ / baselineProbe)
       .maxBy(r => math.max(r, 1.0 / r))
+    // >5% stolen under load = the box does not have the cores it claims;
+    // per-query medians are not comparable to a no-steal baseline (the
+    // round-14 host: 16% stolen, short queries uniformly ~2x committed on
+    // untouched code while every sustained-CPU probe sat on its anchor)
     val machineShifted = baselineParseFailed ||
-      worstRatio > 1.5 || worstRatio < 1.0 / 1.5
+      worstRatio > 1.5 || worstRatio < 1.0 / 1.5 || stealPct > 5.0
     // IO worst ratio: slow-only (a faster disk is not noise). Not part of
     // machine_shifted — but accepted regressions may only canonicalize on a
     // provably quiet machine on BOTH axes (see probesQuiet below): the
@@ -579,7 +649,8 @@ object Bench {
       s"\"" + r.name + "\":{\"median\":" + r.med + ",\"stddev\":" + r.sd +
         ",\"rows\":" + r.rows + ",\"rows_per_sec\":" + rps +
         ",\"jobs\":" + r.jobs + ",\"actions\":" + r.actions +
-        ",\"runs\":" + r.runs + retimedField + "}" }
+        ",\"runs\":" + r.runs + ",\"cpu_sec\":" + r4(r.cpuSec) +
+        retimedField + "}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_.med).sum else 0.0
     // CDC-plane throughput (BASELINE.md sanity target: >= 20k events/s for
@@ -665,6 +736,13 @@ object Bench {
       s""""io_baseline_sec":${r4(ioBaseline)},""" +
       s""""io_probes":[${allIoProbes.map(r4).mkString(",")}],""" +
       s""""io_worst_ratio":${r4(ioWorstRatio)},""" +
+      // hypervisor CPU-steal over the whole run, in seconds (ticks/100):
+      // the shared-host contention axis both in-JVM probe families
+      // undersample (round-14 watcher: bursts of 0.75-4.7 stolen cpu-s per
+      // 20 s window while io-fsync samples between bursts sat on anchor)
+      s""""steal_sec":${r4(
+        if (stealStart >= 0) (stealTicks() - stealStart) / 100.0 else -1.0)},""" +
+      s""""steal_probe_pct":${r4(stealPct)},""" +
       s""""probes_quiet":$probesQuiet,""" +
       s""""bench_seed":$benchSeed,""" +
       s""""machine_shifted":$machineShifted,""" +
