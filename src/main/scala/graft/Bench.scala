@@ -575,7 +575,11 @@ object Bench {
     // retime and blocks canonicality on an otherwise quiet run.
     val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(1150.0)
-    val planesReserveSec = 180.0
+    // 120 (was 180): the instrumented full run measured the planes at
+    // ~84 s end-to-end; the 180 s reserve made the retime cutoff land
+    // EXACTLY on the observed queries-phase end (~970 s) and budget-skip
+    // all four flagged retimes of an otherwise-converging run
+    val planesReserveSec = 120.0
     def elapsedSec: Double = (System.nanoTime() - benchStart) / 1e9
     val queriesByName = SparkEntry.queries
     val retimeOrder = flaggedRecs.sortBy(r => -severity(r))
