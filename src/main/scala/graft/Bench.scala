@@ -26,6 +26,13 @@ object Bench {
   //   - still above the committed arm and NOT reproduced -> interference,
   //     run is NOT canonical.
   private val SpreadStddevRatioMax = 0.4
+  // ... with an ABSOLUTE floor: the ratio arm exists to catch multi-second
+  // interference windows (r12's q_tumbling_window 2.71±0.78 s), but on a
+  // 0.2 s query an 80 ms stddev trips the 0.4 ratio while being nothing
+  // more than task-dispatch jitter at local[32] resolution — exactly that
+  // (q_window_navigation, 0.2 s median, sd 0.08) blocked an otherwise
+  // machine-quiet round-14 run. Below the floor the ratio arm is noise.
+  private val SpreadStddevFloorSec = 0.15
   private val SpreadCommittedRatioMax = 1.5
   private val ReproducedTolerance = 0.2
 
@@ -421,7 +428,7 @@ object Bench {
       */
     case class QRec(name: String, med: Double, sd: Double, rows: Long,
                     jobs: Int, actions: Int, runs: Int, cpuSec: Double,
-                    firstMedian: Option[Double] = None)
+                    qStealSec: Double, firstMedian: Option[Double] = None)
     def timeQuery(name: String,
                   fn: (SparkSession, String) => DataFrame): QRec = {
       def run(): Unit =
@@ -435,6 +442,7 @@ object Bench {
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val (j0, a0) = countersSettled()
       val c0 = cpuNanos.get()
+      val s0 = stealTicks()
       val t0 = System.nanoTime()
       run()
       val first = (System.nanoTime() - t0) / 1e9
@@ -449,12 +457,22 @@ object Bench {
       }
       countersSettled() // drain the listener bus so cpu_sec sees every stage
       val cpuSec = (cpuNanos.get() - c0) / 1e9 / times.size // mean per run
+      // hypervisor steal during THIS query's timed window, total cpu-s
+      // across all cores: the per-query contamination instrument — a
+      // wall median measured while cpu-seconds were being stolen is a
+      // host artifact whatever the retime classifier says (run-level
+      // steal averaged 3% in a round-14 attempt yet single bursts put
+      // tens of stolen cpu-s inside specific queries' windows)
+      val qStealSec = {
+        val s1 = stealTicks()
+        if (s0 >= 0 && s1 >= 0) (s1 - s0) / 100.0 else -1.0
+      }
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       settle()
       QRec(name, median(times), stddev(times), rows, jobs, actions,
-        times.size, cpuSec)
+        times.size, cpuSec, qStealSec)
     }
 
     /** Drain THIS SUITE's own residue before the next measurement — the
@@ -499,7 +517,8 @@ object Bench {
       val qs = rs.map { r =>
         s"""\"${r.name}\":{"median":${r.med},"stddev":${r.sd},""" +
           s""""rows":${r.rows},"jobs":${r.jobs},"actions":${r.actions},""" +
-          s""""runs":${r.runs},"cpu_sec":${r4(r.cpuSec)}}"""
+          s""""runs":${r.runs},"cpu_sec":${r4(r.cpuSec)},""" +
+          s""""steal_sec":${r4(r.qStealSec)}}"""
       }.mkString("{", ",", "}")
       try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
@@ -551,7 +570,7 @@ object Bench {
     // classified an accepted regression, and bake inflated medians into the
     // canonical baseline.
     def stddevArm(med: Double, sd: Double): Boolean =
-      med > 0 && sd / med > SpreadStddevRatioMax
+      med > 0 && sd > SpreadStddevFloorSec && sd / med > SpreadStddevRatioMax
     def committedArm(name: String, med: Double): Boolean =
       committedMedians.get(name)
         .exists(c => med / calibrationRatio > c * SpreadCommittedRatioMax)
@@ -605,8 +624,18 @@ object Bench {
     val stillInconsistent = retimed.collect {
       case (name, (_, rr)) if stddevArm(rr.med, rr.sd) => name
     }.toSeq.sorted
+    // a retime whose own window had cpu-seconds stolen cannot adjudicate:
+    // a "reproduced regression" measured under active steal is the host
+    // reproducing, not the code — it gets its own label and blocks
+    // canonicality exactly like an unreproduced one
+    val StealDirtySec = 2.0
+    val stealDirty = retimed.collect {
+      case (name, (_, rr))
+        if committedArm(name, rr.med) && rr.qStealSec > StealDirtySec => name
+    }.toSeq.sorted
     val (acceptedRegressions, unreproduced) = retimed.toSeq.collect {
-      case (name, (firstMed, rr)) if committedArm(name, rr.med) =>
+      case (name, (firstMed, rr))
+          if committedArm(name, rr.med) && !stealDirty.contains(name) =>
         val reproduced = firstMed > 0 &&
           math.abs(rr.med - firstMed) / firstMed <= ReproducedTolerance
         (name, reproduced)
@@ -614,7 +643,7 @@ object Bench {
       case (rep, unrep) => (rep.map(_._1).sorted, unrep.map(_._1).sorted)
     }
     val spreadClean = stillInconsistent.isEmpty && unreproduced.isEmpty &&
-      retimeSkipped.isEmpty
+      retimeSkipped.isEmpty && stealDirty.isEmpty
     val allProbes = probeSec +: midProbes.toSeq
     val worstRatio = allProbes.map(_ / baselineProbe)
       .maxBy(r => math.max(r, 1.0 / r))
@@ -654,6 +683,7 @@ object Bench {
         ",\"rows\":" + r.rows + ",\"rows_per_sec\":" + rps +
         ",\"jobs\":" + r.jobs + ",\"actions\":" + r.actions +
         ",\"runs\":" + r.runs + ",\"cpu_sec\":" + r4(r.cpuSec) +
+        ",\"steal_sec\":" + r4(r.qStealSec) +
         retimedField + "}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_.med).sum else 0.0
@@ -761,6 +791,8 @@ object Bench {
         acceptedRegressions.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_unreproduced":[${
         unreproduced.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""spread_steal_dirty":[${
+        stealDirty.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_retime_skipped":[${
         retimeSkipped.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_clean":$spreadClean,""" +
