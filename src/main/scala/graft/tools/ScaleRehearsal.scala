@@ -275,7 +275,18 @@ object ScaleRehearsal {
     // pair generation -> CC canonical map — so the tier story has a complete
     // bounded-cost path (pairs AND groups), complementing the incremental
     // map-maintenance number
-    "dedup_groups_capped")
+    "dedup_groups_capped",
+    // round 15: the tier path users actually run for splits — the
+    // leakage-safe split keyed on the PERSISTED capped canonical map. Its
+    // warmup pays the build-once cost (capped pairs + CC + bucketed write,
+    // measured inline by dedup_groups_capped above); the timed run is what
+    // every later consumer pays per query — the build-once/query-many
+    // amortization claim, measured at both scales
+    "corpus_split_safe_capped",
+    // round 15: the raw persisted-map read (table == inline recompute is
+    // oracle-pinned at sf0.01/sf0.1) — consumer cost with zero map-side
+    // Exchange, beside the inline recompute's curve
+    "dedup_canonical_map")
 
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =

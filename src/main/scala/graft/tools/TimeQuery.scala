@@ -5,6 +5,15 @@ import org.apache.spark.sql.SparkSession
   * flagged bench entry outside the full suite. Args: name [sfDir] [runs].
   */
 object TimeQuery extends App {
+  // CLI contract changed in round 14 (was multi-query with "-- <sfdir>");
+  // fail loudly with usage instead of timing the wrong thing
+  if (args.isEmpty || args(0).startsWith("-") ||
+      !graft.SparkEntry.queries.contains(args(0))) {
+    System.err.println("usage: TimeQuery <query-name> [sfDir] [runs]")
+    if (args.nonEmpty && !args(0).startsWith("-"))
+      System.err.println(s"unknown query '${args(0)}'")
+    sys.exit(2)
+  }
   val name = args(0)
   val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
   val runs = if (args.length > 2) args(2).toInt else 5
