@@ -307,12 +307,15 @@ object CorpusOps {
       .distinct()
     val capped =
       if (maxSrcDf == Int.MaxValue) fps
-      else fps.join(fps.groupBy("fp").agg(count(lit(1)).as("_df")), "fp")
+      else fps.join(fps.groupBy("fp").agg(count(lit(1)).as("_df"))
+          .hint("merge"), "fp")
         .filter(col("_df") <= maxSrcDf).select("src", "fp")
     val denom = capped.groupBy("src").agg(count(lit(1)).as("n_fp"))
     val a = capped.select(col("src").as("src_a"), col("fp"))
     val b = capped.select(col("src").as("src_b"), col("fp"))
-    a.join(b, "fp").filter(col("src_a") < col("src_b"))
+    // merge hints: the fp-df table and both inverted-index sides are
+    // corpus-cardinality (the Dedup join-strategy contract)
+    a.join(b.hint("merge"), "fp").filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(denom.select(col("src").as("src_a"), col("n_fp").as("n_fp_a")), "src_a")

@@ -10,6 +10,24 @@ import scala.util.chaining._
   * for the 100 TB shape: no pairwise O(n²) over the full corpus — candidates
   * come from an equi-join key (content hash, LSH band, simhash block, shared
   * shingle), so Spark executes them as shuffled hash joins on bounded buckets.
+  *
+  * JOIN-STRATEGY CONTRACT: any join whose BOTH sides are corpus-cardinality
+  * (df tables, rare-key tables, banded/blocked candidate self-joins, CC
+  * label tables) is pinned to sort-merge with `.hint("merge")`. Left to size
+  * stats, AQE broadcast-promotes these at mid scales — two-long or
+  * hashed-key rows compress to under the 64 MB session threshold while the
+  * in-memory hash build is 3-5× larger, and the round-15 100× rehearsal
+  * measured the result as driver OOMs ("not enough memory to build and
+  * broadcast") in the CC loop and the capped-pair path. A corpus-sized side
+  * must never broadcast however small it compresses; SMJ is fully spillable
+  * and reuses the upstream hash partitioning where one exists. Joins with a
+  * genuinely bounded side (candidate pair lists, delta/touched sets) stay
+  * unhinted — broadcasting the small side there is the right plan. Second
+  * exception: joins on LOW-cardinality keys (quantizer cells) must not pin
+  * SMJ — parallelism collapses to the key count ([[semanticDedupPairs]],
+  * measured 15× at the 100× tier); their scale story is growing the key
+  * cardinality (auto-nlist), and the CC loop pins SHUFFLE_HASH rather than
+  * merge for its per-round joins (see [[duplicateGroups]]).
   */
 object Dedup {
 
@@ -130,7 +148,10 @@ object Dedup {
     val sh = sets.select(col("doc"), size(col("sh_set")).as("n_sh"),
       explode(expr("transform(sh_set, s -> xxhash64(s))")).as("sh"))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "sh")
+    // merge hints (here and on the candidate self-join): dfreq and ranked
+    // are corpus-cardinality — see the join-strategy contract above. SMJ
+    // reuses dfreq's groupBy partitioning on sh.
+    val ranked = sh.join(dfreq.hint("merge"), "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc").orderBy(col("df"), col("sh"))))
       // prefix length = |A| - ceil(t·|A|) + 1. NOT floor((1-t)·|A|)+1 in
@@ -142,7 +163,7 @@ object Dedup {
       .select("doc", "n_sh", "sh")
     // size-ratio filter inside the candidate join: J ≥ t forces
     // |A|/|B| ∈ [t, 1/t] — kills most spurious prefix collisions for free.
-    val cands = ranked.as("a").join(ranked.as("b"),
+    val cands = ranked.as("a").join(ranked.as("b").hint("merge"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
           col("a.n_sh").cast("double") >= lit(threshold) * col("b.n_sh") &&
           col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh"))
@@ -197,10 +218,13 @@ object Dedup {
       explode(col("sh_set")).as("g"))
     val rare = occ.groupBy("g").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf).select("g")
-    val keyed = occ.join(rare, "g")
+    // merge hints: rare and keyed are corpus-cardinality (the join-strategy
+    // contract above) — the round-15 100× rehearsal OOM'd exactly here when
+    // AQE broadcast-promoted the rare-shingle table
+    val keyed = occ.join(rare.hint("merge"), "g")
     // size-ratio filter: J ≥ t forces |A|/|B| ∈ [t, 1/t] — drops no true
     // pair, kills spurious rare-key collisions for free
-    val cands = keyed.as("a").join(keyed.as("b"),
+    val cands = keyed.as("a").join(keyed.as("b").hint("merge"),
         col("a.g") === col("b.g") && col("a.doc") < col("b.doc") &&
           col("a.n_sh").cast("double") >= lit(threshold) * col("b.n_sh") &&
           col("b.n_sh").cast("double") >= lit(threshold) * col("a.n_sh"))
@@ -251,7 +275,8 @@ object Dedup {
     // into the join's post-condition, re-evaluating the non-codegen shingle
     // HOFs once per hash-bucket match — measured 100× slower.)
     val banded = bandedSignatures(docs, idCol, textCol, n, k, bands, seed)
-    val cands = banded.as("a").join(banded.as("b"),
+    // merge hint: banded is corpus-cardinality (join-strategy contract)
+    val cands = banded.as("a").join(banded.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
@@ -381,7 +406,8 @@ object Dedup {
     val blocked = fp.select(col("doc"), col("fp"),
         explode(array(blockStructs: _*)).as("p"))
       .select(col("doc"), col("fp"), col("p.blk"), col("p.bits"))
-    blocked.as("a").join(blocked.as("b"),
+    // merge hint: blocked is corpus-cardinality (join-strategy contract)
+    blocked.as("a").join(blocked.as("b").hint("merge"),
         col("a.blk") === col("b.blk") && col("a.bits") === col("b.bits") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -407,7 +433,8 @@ object Dedup {
       case None => VectorFunctions.hyperplaneSketch(col(vecCol), planes, seed)
     }
     val b = vecs.select(col(idCol).as("vid"), sketch.as("bucket"))
-    val cands = b.as("a").join(b.as("b"),
+    // merge hint: the bucket table is corpus-cardinality (contract above)
+    val cands = b.as("a").join(b.as("b").hint("merge"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
     val v = vecs.select(col(idCol).as("vid"), col(vecCol).as("v"))
@@ -499,11 +526,26 @@ object Dedup {
       .withColumn("label", col("node"))
     var round = 0
     var converged = false
+    // the label table is CORPUS-cardinality by construction (one row per
+    // node), so broadcasting it is categorically wrong at scale — and left
+    // to size stats, AQE DOES it: two-long label rows compress to tens of
+    // MB of shuffle bytes (under the 64 MB session threshold) while the
+    // in-memory hash build is 3-5x larger, and the round-15 100x rehearsal
+    // measured the result as a driver OOM ("not enough memory to build and
+    // broadcast") inside this loop. The label joins are pinned to
+    // SHUFFLE_HASH, not sort-merge: the loop pays the join per ROUND, and
+    // the A/B at sf0.1 read merge at 1.4x the unhinted plan (a sort per
+    // side per round) vs 1.15x for shuffle-hash. The unspillable-build
+    // hazard that rules SHJ out elsewhere (RecordLinkage r14) is absent
+    // here by construction: the build side is the label table — fixed-width
+    // two-long rows, exactly one per node, so a partition's build is
+    // |nodes| / shuffle-partitions rows and partition count scales with
+    // the cluster; nothing explodes it.
     while (round < maxRounds && !converged) {
       // each node's new label: min over own label and all neighbors' labels
       val viaNeighbors = adj
         .join(labels.withColumnRenamed("node", "b")
-          .withColumnRenamed("label", "nb_label"), "b")
+          .withColumnRenamed("label", "nb_label").hint("shuffle_hash"), "b")
         .select(col("a").as("node"), col("nb_label").as("cand"))
       val propagated = labels.select(col("node"), col("label").as("cand"))
         .union(viaNeighbors)
@@ -513,7 +555,8 @@ object Dedup {
       // lazy checkpoint — the per-round convergence probe (labelSum) is the
       // materializing action: one job per round, not checkpoint + probe
       val next = propagated
-        .join(propagated.select(col("node").as("label"), col("label").as("label2")),
+        .join(propagated.select(col("node").as("label"), col("label").as("label2"))
+            .hint("shuffle_hash"),
           "label")
         .select(col("node"), col("label2").as("label"))
         .pipe(Lineage.cut)
@@ -717,15 +760,17 @@ object Dedup {
         explode(VectorFunctions.winnowMd5(TextFunctions.tokens(col(textCol)),
           n, w)).as("fp"))
       .distinct()
+    // merge hints: the fingerprint-df table and both inverted-index sides
+    // are corpus-cardinality (join-strategy contract above)
     val rare = fps
-      .join(fps.groupBy("fp").agg(count(lit(1)).as("_df")), "fp")
+      .join(fps.groupBy("fp").agg(count(lit(1)).as("_df")).hint("merge"), "fp")
       .filter(col("_df") <= maxDf)
       .select("doc_id", "fp")
     val denom = rare.groupBy(col("doc_id").as("doc_a"))
       .agg(count(lit(1)).as("n_fp_a"))
     val a = rare.select(col("doc_id").as("doc_a"), col("fp"))
     val b = rare.select(col("doc_id").as("doc_b"), col("fp"))
-    a.join(b, "fp")
+    a.join(b.hint("merge"), "fp")
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -818,6 +863,14 @@ object Dedup {
     // for candidate rows only
     val assigned = emb.select(col(idCol).as("id"),
       VectorFunctions.nearestCentroid(col(vecCol), flat, norms, dim).as("cell"))
+    // deliberately NOT merge-pinned (the one exception to the join-strategy
+    // contract): the join key is the quantizer CELL — LOW-cardinality by
+    // construction (nlist values) — so pinning SMJ collapses parallelism to
+    // nlist sorted partitions (measured at the 100x rehearsal: 40 s -> 602 s
+    // at nlist=16). The scale story here is nlist itself: auto mode grows
+    // cells with the corpus, which bounds the per-cell join AND keeps the
+    // key parallel; at true tier the assigned table exceeds any broadcast
+    // threshold, so AQE cannot mis-broadcast it.
     val cands = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -876,7 +929,9 @@ object Dedup {
       .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
     val repeated = occ.groupBy("h").agg(count(lit(1)).as("_c"))
       .filter(col("_c") >= minCount).select("h")
-    val marks = occ.join(repeated, Seq("h"), "left_semi")
+    // merge hint: repeated is corpus/minCount-bounded — still linear in the
+    // corpus, so it must not broadcast (join-strategy contract above)
+    val marks = occ.join(repeated.hint("merge"), Seq("h"), "left_semi")
     // merge overlapping/abutting [p, p+n) marks into maximal spans: a mark
     // starts a new span when it begins past every previous mark's end
     val byDoc = Window.partitionBy("doc_id").orderBy("p")

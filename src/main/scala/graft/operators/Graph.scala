@@ -75,8 +75,12 @@ object Graph {
     val zeros = nodes.select(col("node"), lit(0L).as("c"))
     var ranks = nodes.withColumn("mass", lit(scale))
     for (i <- 1 to iters) {
+      // merge hint: ranks is NODE-cardinality — the Dedup join-strategy
+      // contract (AQE broadcast-promotes two-long tables at mid scales and
+      // the driver build OOMs; measured in the r15 100x rehearsal's CC
+      // loop). SMJ reuses withDeg's pinned hash(src) partitioning.
       val contrib = withDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(ranks.withColumnRenamed("node", "src").hint("merge"), "src")
         .select(col("dst").as("node"),
           expr(s"(mass * $dampPct) div (100 * deg)").as("c"))
       ranks = contrib.union(zeros)
@@ -117,9 +121,10 @@ object Graph {
     val small = g.groupBy(col("g")).agg(count(lit(1)).as("_n"))
       .filter(col("_n") <= maxGroupSize)
       .select(col("g"))
-    val kept = g.join(small, "g")
+    val kept = g.join(small.hint("merge"), "g")
+    // merge hints: small/kept are group-cardinality (join-strategy contract)
     kept.select(col("g"), col("i").as("a"))
-      .join(kept.select(col("g"), col("i").as("b")), "g")
+      .join(kept.select(col("g"), col("i").as("b")).hint("merge"), "g")
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"))
       .distinct()
@@ -148,7 +153,9 @@ object Graph {
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val da = deg.select(col("n").as("a"), col("d").as("da"))
     val db = deg.select(col("n").as("b"), col("d").as("db"))
-    val oriented = e.join(da, "a").join(db, "b")
+    // merge hints: deg/oriented/outNbr are node/edge-cardinality — the
+    // Dedup join-strategy contract (no corpus-sized side may broadcast)
+    val oriented = e.join(da.hint("merge"), "a").join(db.hint("merge"), "b")
       .select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")),
@@ -157,11 +164,12 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .pipe(Lineage.cut)
     val outNbr = oriented.join(db.withColumnRenamed("b", "v")
-      .withColumnRenamed("db", "dv"), "v")
+      .withColumnRenamed("db", "dv").hint("merge"), "v")
     val triangles = outNbr.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+        .hint("merge"), "u")
       .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
-      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+      .join(oriented.select(col("u").as("x"), col("v").as("y")).hint("merge"),
         Seq("x", "y"), "left_semi")
       .select(col("u"), col("x"), col("y"))
     val perNode = triangles
@@ -210,7 +218,9 @@ object Graph {
     // so exactly one direction survives per edge
     val da = deg.select(col("n").as("a"), col("d").as("da"))
     val db = deg.select(col("n").as("b"), col("d").as("db"))
-    val oriented = e.join(da, "a").join(db, "b")
+    // merge hints: deg/oriented/outNbr are node/edge-cardinality — the
+    // Dedup join-strategy contract (no corpus-sized side may broadcast)
+    val oriented = e.join(da.hint("merge"), "a").join(db.hint("merge"), "b")
       .select(
         when(col("da") < col("db") ||
              (col("da") === col("db") && col("a") < col("b")),
@@ -225,13 +235,14 @@ object Graph {
     def key(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
       struct(d, n)
     val outNbr = oriented.join(db.withColumnRenamed("b", "v")
-      .withColumnRenamed("db", "dv"), "v")
+      .withColumnRenamed("db", "dv").hint("merge"), "v")
     val wedges = outNbr.select(col("u"), col("v").as("x"), col("dv").as("dx"))
-      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy")), "u")
+      .join(outNbr.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+        .hint("merge"), "u")
       .filter(key(col("x"), col("dx")) < key(col("y"), col("dy")))
       .select(col("x"), col("y"))
     val nTri = wedges
-      .join(oriented.select(col("u").as("x"), col("v").as("y")),
+      .join(oriented.select(col("u").as("x"), col("v").as("y")).hint("merge"),
         Seq("x", "y"), "left_semi")
       .count()
     // open wedge count uses RAW degrees: Σ d·(d-1)/2 (centered anywhere,

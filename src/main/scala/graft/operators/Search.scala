@@ -81,7 +81,9 @@ object Search {
 
     val scored = matched
       .join(broadcast(dfq), "term")
-      .join(doclen, "doc_id")
+      // doclen is DOC-cardinality and matched is hot-term-unbounded: at
+      // scale NEITHER side is safely broadcastable (join-strategy contract)
+      .join(doclen.hint("merge"), "doc_id")
       .withColumn("idf_fp",
         expr(s"((2*(${nDocs}L - df) + 1) * 1000000L) div (2*df + 1)"))
       .withColumn("tfc_fp", expr(

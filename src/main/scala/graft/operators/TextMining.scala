@@ -58,13 +58,15 @@ object TextMining {
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
 
-    // no broadcast hint on the unigram joins: a web-scale vocabulary is
-    // large (the min-count-filtered bigram side is usually smaller) — these
-    // are vocab-keyed equi-joins, AQE picks the build side at runtime
+    // merge hints on the unigram joins: BOTH sides are vocabulary-
+    // cardinality (the Dedup join-strategy contract) — left to size stats,
+    // AQE broadcast-promotes a compressed word-count table at mid scales
+    // and the in-memory build is 3-5x larger (the r15 100x-rehearsal OOM
+    // class). SMJ reuses the groupBy partitioning on the word keys.
     val scored = bi.join(uni.withColumnRenamed("w", "w1")
-        .withColumnRenamed("c", "c_x"), "w1")
+        .withColumnRenamed("c", "c_x").hint("merge"), "w1")
       .join(uni.withColumnRenamed("w", "w2")
-        .withColumnRenamed("c", "c_y"), "w2")
+        .withColumnRenamed("c", "c_y").hint("merge"), "w2")
       .withColumn("score_fp",
         expr(s"(c_xy * ${total}L * 1000000L) div (c_x * c_y)"))
     // global top-k via orderBy+limit: plans as TakeOrderedAndProject (each
