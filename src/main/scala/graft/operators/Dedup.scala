@@ -628,8 +628,19 @@ object Dedup {
                            maxRounds: Int = 10): Unit = {
     val spark = newPairs.sparkSession
     require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
-    val folded = incrementalGroups(spark.table(table), newPairs,
-      aCol, bCol, maxRounds)
+    // folded is consumed twice (no-change probe + staging write) — cut so
+    // the incrementalGroups pipeline executes once
+    val folded = Lineage.cut(incrementalGroups(spark.table(table), newPairs,
+      aCol, bCol, maxRounds))
+    // no-change short-circuit: a fold that alters no row (the common retry /
+    // replayed-delta case — incrementalGroups is idempotent by its exactness
+    // law) must not rewrite the table. The probe is one anti-join over the
+    // two-long-column tables — row counts are equal by construction when no
+    // row changed (folded covers map ∪ pair docs), so "no new-or-changed
+    // row" alone proves set equality.
+    val changed = folded.join(spark.table(table),
+      Seq("doc_id", "canonical_id"), "left_anti")
+    if (changed.isEmpty) return
     val staging = table + "__next"
     SimilaritySearch.saveBucketedTable(folded, staging, Seq("doc_id"),
       nBuckets, org.apache.spark.sql.SaveMode.Overwrite)
