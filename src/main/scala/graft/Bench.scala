@@ -73,6 +73,16 @@ object Bench {
   // spread is data, not scheduling. A first run at/under this bound keeps
   // the extra-run cost O(seconds) per query.
   private val ExtraRunsMaxSec = 3.0
+  // ... and the min(first, committed) gate itself is bounded by a sanity
+  // multiple on the FIRST run: the committed arm exists so a steal burst
+  // inflating the first run of a normally-cheap query can't disable the
+  // extra runs, but taken alone it would also fire them on a genuine large
+  // regression (first 50x, committed 3 s) at the regressed per-run cost —
+  // 2 extra multi-minute runs eating the suite's wall budget. Past this
+  // multiple of ExtraRunsMaxSec the first run is either a monster burst or
+  // a real regression, and either way the extra runs cost more than the
+  // scheduling-spread signal they carry.
+  private val ExtraRunsFirstSanityMult = 5.0
   // retime-pass budget (round 14): the r13 retime set was unbounded — with
   // a stale committed baseline many queries can flag at once and the pass
   // alone can exceed the driver window. Cap the set by violation severity;
@@ -267,6 +277,40 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val benchSeed = sys.env.get("SPARK_GRAFT_BENCH_SEED")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(42L)
+    // --- shard mode (round 16) -------------------------------------------
+    // The canonical-refresh blocker is the HOST: it steals cpu in minute-
+    // scale bursts, and a full ~20-minute suite hasn't found a clean window
+    // in two rounds of attempts. SPARK_GRAFT_BENCH_SHARD="i/n" runs only
+    // the i-th (1-based) of n round-robin slices of the sorted query list
+    // (round-robin, not contiguous, so each expensive family spreads across
+    // shards and shard walls stay even) — a ~n-times-shorter run that fits
+    // between bursts. A shard NEVER writes the committed baseline itself:
+    // it emits target/bench_shard_<i>_of_<n>.json carrying the same gate
+    // fields plus "shard_promotable" (the canonical predicate evaluated
+    // over the shard), and tools/PromoteShards merges promotable shards'
+    // per-query records into bench/bench_full.json. Per-shard promotion is
+    // sound because every gate the canonical predicate checks — probes,
+    // steal attribution, spread/retime classification — is measured inside
+    // the shard's own window; the committed file just converges query-by-
+    // query instead of all-at-once.
+    val shardSpec: Option[(Int, Int)] =
+      sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
+        val parts = s.split("/").map(_.trim.toInt)
+        require(parts.length == 2 && parts(1) >= 1 &&
+          parts(0) >= 1 && parts(0) <= parts(1),
+          s"bad SPARK_GRAFT_BENCH_SHARD '$s' (want i/n, 1 <= i <= n)")
+        (parts(0), parts(1))
+      }
+    // throughput planes ride a full run always; a shard only on request
+    // (they are whole-plane measurements — sharding can't split them, and
+    // every shard re-measuring them would pay the suite's most expensive
+    // block n times)
+    val runPlanes = shardSpec.isEmpty ||
+      sys.env.get("SPARK_GRAFT_BENCH_PLANES").contains("1")
+    val outName = shardSpec match {
+      case Some((i, n)) => s"bench_shard_${i}_of_$n.json"
+      case None => "bench_full.json"
+    }
     // machine-load context, captured BEFORE the suite adds its own load — a
     // reader comparing rounds needs to know whether the box was already busy
     val loadBefore = java.lang.management.ManagementFactory
@@ -497,7 +541,8 @@ object Bench {
       // disable the extra runs exactly when they carry the most signal
       val gateSec = committedMedians.get(name)
         .fold(first)(c => math.min(first, c))
-      val extra = if (actions > MultiActionThreshold && gateSec <= ExtraRunsMaxSec)
+      val extra = if (actions > MultiActionThreshold && gateSec <= ExtraRunsMaxSec
+          && first <= ExtraRunsMaxSec * ExtraRunsFirstSanityMult)
         MultiJobExtraRuns else 0
       val times = first +: (2 to timedRuns + extra).map { _ =>
         val t1 = System.nanoTime()
@@ -574,7 +619,7 @@ object Bench {
       try {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
         java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("target/bench_full.json"),
+          java.nio.file.Paths.get(s"target/$outName"),
           s"""{"partial":true,"n_queries":${rs.size},"queries":$qs,""" +
             s""""bench_seed":$benchSeed,"sf":"$sfDir"}""" + "\n")
       } catch { case _: Throwable => () }
@@ -596,8 +641,13 @@ object Bench {
     // first family (ann_*) 2-4x and the artifact was indistinguishable from
     // a code regression. Randomized order spreads machine noise across
     // unrelated names; the seed rides the JSON so a run is reproducible.
-    val ordered = new scala.util.Random(benchSeed)
-      .shuffle(SparkEntry.queries.toSeq.sortBy(_._1))
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selectedQueries = shardSpec match {
+      case Some((i, n)) => allQueries.zipWithIndex
+        .collect { case (kv, idx) if idx % n == i - 1 => kv }
+      case None => allQueries
+    }
+    val ordered = new scala.util.Random(benchSeed).shuffle(selectedQueries)
     // ... and the probe re-runs mid-suite (every ~25 queries): a stall that
     // starts (or clears) after the opening probe is caught by whichever
     // re-probe it overlaps, so a shifted WINDOW flags the round even when
@@ -679,24 +729,32 @@ object Bench {
     }
     val retimed: Map[String, (Double, QRec)] = retimedPairs.toMap
     val retimeSkipped = (retimeSkipped0.map(_.name) ++ budgetSkipped).sorted
+    // a retime whose own window had cpu-seconds stolen cannot adjudicate
+    // ANYTHING: a "reproduced regression" measured under active steal is
+    // the host reproducing, not the code; a retime meant to REPLACE a
+    // steal-dirty first pass that is itself dirty never gave the entry a
+    // clean measurement; and (the round-15 hole) a dirty retime of a
+    // stddev-flagged-but-steal-CLEAN first pass is a contaminated median
+    // that must not silently replace the clean one — StealDirtySec's
+    // declaration is unconditional ("HOST-contaminated whatever its median
+    // says"), so ANY dirty retime joins this set and blocks canonicality.
+    val stealDirty = retimed.collect {
+      case (name, (_, rr)) if rr.qStealSec > StealDirtySec => name
+    }.toSeq.sorted
     val results = firstPass.map { r =>
       retimed.get(r.name)
-        .map { case (firstMed, rr) => rr.copy(firstMedian = Some(firstMed)) }
+        .map { case (firstMed, rr) =>
+          // a steal-dirty retime of a steal-clean first pass: keep the
+          // clean first-pass median (the contaminated window must not
+          // enter the record's medians; the entry still blocks
+          // canonicality via stealDirty — it never resolved its flag)
+          if (rr.qStealSec > StealDirtySec && !firstPassStealDirty(r.name)) r
+          else rr.copy(firstMedian = Some(firstMed))
+        }
         .getOrElse(r)
     }.sortBy(_.name) // report alphabetically whatever the execution order
     val stillInconsistent = retimed.collect {
       case (name, (_, rr)) if stddevArm(rr.med, rr.sd) => name
-    }.toSeq.sorted
-    // a retime whose own window had cpu-seconds stolen cannot adjudicate:
-    // a "reproduced regression" measured under active steal is the host
-    // reproducing, not the code — it gets its own label and blocks
-    // canonicality exactly like an unreproduced one. The same applies to a
-    // retime that was supposed to REPLACE a steal-dirty first pass: if the
-    // second window is dirty too, the entry never got a clean measurement.
-    val stealDirty = retimed.collect {
-      case (name, (_, rr))
-        if rr.qStealSec > StealDirtySec &&
-          (committedArm(name, rr.med) || firstPassStealDirty(name)) => name
     }.toSeq.sorted
     val (acceptedRegressions, unreproduced) = retimed.toSeq.collect {
       case (name, (firstMed, rr))
@@ -770,7 +828,7 @@ object Bench {
     //     tail window has silently distorted the one number that carries
     //     the reference's throughput envelope.
     val cdcProbeBefore = calibrationProbe(spark)
-    val throughput = try {
+    val throughput = if (!runPlanes) 0.0 else try {
       val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
       def runPlane(): Double = {
         val t0 = System.nanoTime()
@@ -790,7 +848,7 @@ object Bench {
     // measurements with their OWN probe readings (before and after) so a
     // contended tail window is visible in the JSON instead of inferred.
     val streamProbeBefore = calibrationProbe(spark)
-    val streamRate = try streamingThroughput(spark, sfDir)
+    val streamRate = if (!runPlanes) 0.0 else try streamingThroughput(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] streaming throughput failed: ${e.getMessage}"); 0.0
     }
@@ -798,7 +856,8 @@ object Bench {
     // (bounded off-heap state); reported side by side with the in-heap
     // number so a provider-induced regression is visible per round
     val streamRateRocksDb =
-      try streamingThroughput(spark, sfDir, Some(GraftSession.RocksDbProvider))
+      if (!runPlanes) 0.0
+      else try streamingThroughput(spark, sfDir, Some(GraftSession.RocksDbProvider))
       catch { case e: Throwable =>
         System.err.println(s"[bench] rocksdb streaming throughput failed: " +
           e.getMessage); 0.0
@@ -899,12 +958,6 @@ object Bench {
     // the throughput planes ride the canonical record too: the r9 CDC
     // regression had NO committed baseline value to compare against because
     // bench_full.json only carried per-query medians
-    val fullJson =
-      s"""{"queries":$full,$context,""" +
-      s""""cdc_events_per_sec":${throughput.round},""" +
-      s""""stream_events_per_sec":${streamRate.round},""" +
-      s""""stream_events_per_sec_rocksdb":${streamRateRocksDb.round},""" +
-      s""""sf":"$sfDir"}""" + "\n"
     // target/ for this run; bench/ is the committed cross-round baseline and
     // only CANONICAL runs may replace it (sf0.1, full median-of-5, probe
     // unshifted) — a quick sf0.001 smoke run or a busy-machine run that
@@ -917,19 +970,37 @@ object Bench {
     // ... and accepted regressions need a provably QUIET machine (both CPU
     // and IO probes on their anchors): a reproduced slowdown on a noisy
     // host is the host, not the code, and must not enter the baseline.
-    val canonical = sfDir.stripSuffix("/").endsWith("sf0.1") &&
+    // the canonical predicate — identical for full runs and shards; a full
+    // run meeting it replaces the committed baseline outright, a shard
+    // meeting it is stamped promotable and merged by tools/PromoteShards
+    val canonicalEligible = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       timedRuns >= 5 && !machineShifted && spreadClean &&
       (acceptedRegressions.isEmpty || probesQuiet)
-    for (d <- Seq("target") ++ (if (canonical) Seq("bench") else Nil)) {
+    val canonical = canonicalEligible && shardSpec.isEmpty
+    val shardFields = shardSpec.map { case (i, n) =>
+      s""""shard":"$i/$n","shard_promotable":$canonicalEligible,"""
+    }.getOrElse("")
+    val outJson =
+      s"""{$shardFields"queries":$full,$context,""" +
+      s""""cdc_events_per_sec":${throughput.round},""" +
+      s""""stream_events_per_sec":${streamRate.round},""" +
+      s""""stream_events_per_sec_rocksdb":${streamRateRocksDb.round},""" +
+      s""""sf":"$sfDir"}""" + "\n"
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(outName), outJson)
+    } catch { case _: Throwable => () }
+    if (canonical) {
       try {
-        val dir = java.nio.file.Paths.get(d)
+        val dir = java.nio.file.Paths.get("bench")
         java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.writeString(dir.resolve("bench_full.json"), fullJson)
+        java.nio.file.Files.writeString(dir.resolve("bench_full.json"), outJson)
       } catch { case _: Throwable => () }
-    }
-    if (!canonical)
-      System.err.println("[bench] non-canonical run (sf/runs/shift/spread): " +
-        "bench/bench_full.json baseline left untouched")
+    } else System.err.println(
+      "[bench] non-canonical run (sf/runs/shift/spread/shard): " +
+        "bench/bench_full.json baseline left untouched" +
+        shardSpec.map(_ => s" (shard record: target/$outName)").getOrElse(""))
     // stop() can throw on shutdown races; the bench line must print anyway
     // (a swallowed line parses as a null round)
     try spark.stop() catch { case _: Throwable => () }
@@ -939,7 +1010,7 @@ object Bench {
     // printed after spark.stop() so no shutdown logging lands below it —
     // this must be the last stdout line sbt emits for this main
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qs,"n_queries":${results.size},$context,""" +
+      s"""$shardFields"queries":$qs,"n_queries":${results.size},$context,""" +
       s""""cdc_events_per_sec":${throughput.round},""" +
       s""""stream_events_per_sec":${streamRate.round},""" +
       s""""stream_events_per_sec_rocksdb":${streamRateRocksDb.round},""" +

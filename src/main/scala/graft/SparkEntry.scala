@@ -2147,7 +2147,8 @@ object SparkEntry {
         Dedup.buildMinhashIndex(old, "doc_id", "text", idxTable,
           n = 3, k = 64, bands = 16)
       // round 15: the map is a BUCKETED canonical-map table and the fold
-      // PERSISTS back through the staging swap (foldIntoCanonicalMap) —
+      // PERSISTS back via dynamic partition overwrite of the touched
+      // pbucket partitions (foldIntoCanonicalMap) —
       // the query now exercises the full maintenance lifecycle
       // (read table -> fold delta -> swap -> read), not just the fold
       // computation. Folding the same delta again is a no-op by

@@ -597,56 +597,124 @@ object Dedup {
     * The PAIR FAMILY is the table's identity: a map built from
     * [[ngramJaccardPairsCapped]] edges answers capped-family questions
     * only — callers own keying consumers to the family they built.
+    *
+    * Layout: PARTITIONED by `pbucket` = hash(doc_id) mod `nPartitions` (a
+    * pure function of doc_id, so a row can never migrate partitions) and
+    * BUCKETED by doc_id within each partition. The partition axis exists
+    * for [[foldIntoCanonicalMap]]: a fold rewrites only the partitions
+    * holding changed rows (dynamic partition overwrite), so daily
+    * maintenance cost is ∝ touched data, not map size — at 100 TB a map
+    * fold that rewrote the whole table would be real money every day. The
+    * bucket axis is the consumer contract: joins/aggregations on doc_id
+    * carry no Exchange (bucket ids are global across partitions).
+    * `nPartitions` is recorded as a table property so folds can recompute
+    * the same pbucket; size it so one partition's rewrite is a comfortable
+    * job at the deployment's scale (more partitions = finer fold granularity
+    * but more files: total files ≤ nPartitions × nBuckets).
     */
   def buildCanonicalMap(pairs: DataFrame, aCol: String, bCol: String,
                         table: String, nBuckets: Int = 8,
-                        maxRounds: Int = 10): Unit =
-    SimilaritySearch.saveBucketedTable(
-      duplicateGroups(pairs, aCol, bCol, maxRounds),
-      table, Seq("doc_id"), nBuckets,
-      org.apache.spark.sql.SaveMode.Overwrite)
+                        maxRounds: Int = 10, nPartitions: Int = 8): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
+    val spark = pairs.sparkSession
+    SimilaritySearch.dropTableAndOrphan(spark, table)
+    duplicateGroups(pairs, aCol, bCol, maxRounds)
+      .withColumn("pbucket", cmapPartition(col("doc_id"), nPartitions))
+      // one shuffle task per pbucket → ≤ nBuckets files per partition dir
+      // (an unpartitioned-by-pbucket write would emit every (task ×
+      // partition × bucket) combination as its own tiny file)
+      .repartition(col("pbucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pbucket")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(table)
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.cmap.npartitions'='$nPartitions')")
+    ()
+  }
+
+  /** hash(doc_id) mod nPartitions — the canonical map's partition key. A
+    * pure function of the immutable doc_id: rows never migrate partitions,
+    * which is what makes partition-scoped fold rewrites exact.
+    */
+  private def cmapPartition(docId: Column, nPartitions: Int): Column =
+    pmod(xxhash64(docId), lit(nPartitions.toLong))
 
   /** Fold new near-dup pairs into a PERSISTED canonical map in place:
     * [[incrementalGroups]] (cost ∝ new pairs + touched components — the
-    * historical graph is never re-read) followed by a staging write and a
-    * catalog-level swap, preserving the bucket spec so consumers stay
-    * Exchange-free after every fold. The swap (write `table__next`, drop,
-    * rename) keeps a complete table on disk until the new one is fully
-    * written; the drop→rename window is the accepted non-atomicity (a
-    * transactional table format closes it at tier). Folding the same pair
-    * set twice is a no-op by [[incrementalGroups]]' exactness law —
-    * interrupted-retry safe.
+    * historical graph is never re-read) followed by a DYNAMIC PARTITION
+    * OVERWRITE of only the `pbucket` partitions holding changed rows. Both
+    * halves of the fold are now delta-proportional: the compute (touched
+    * components) and the rewrite (touched partitions) — a day touching
+    * 0.1% of components rewrites ~min(nPartitions, touched-rows) partition
+    * directories, never the whole map. Untouched partitions' files are not
+    * opened, not rewritten, not moved (spec-pinned).
     *
-    * Scale note: the swap rewrites the whole (two-long-column) map, which
-    * is linear in MAP size, not corpus size. Past the point where even
-    * that matters, partition the map by a doc_id bucket and use dynamic
-    * partition overwrite to confine the rewrite to touched buckets —
-    * doc_id never changes, so rows never migrate partitions.
+    * Partition-scoped overwrite is EXACT because pbucket is a pure function
+    * of doc_id ([[cmapPartition]]) and [[incrementalGroups]] never drops
+    * rows: a partition with no changed row is byte-identical between old
+    * and folded states, and a touched partition's full folded content
+    * (changed + carried rows) is what gets written. The bucket spec rides
+    * the table's catalog entry, so the overwrite writes bucketed files and
+    * consumers stay Exchange-free after every fold (spec-pinned).
+    *
+    * Crash safety: the table name exists at all times (no drop/rename
+    * window — the round-15 swap's accepted flaw, now closed); the
+    * overwrite job stages files and replaces each partition's contents at
+    * commit. A crash mid-job leaves the old partitions intact, and
+    * replaying the fold is a no-op-or-repair by [[incrementalGroups]]'
+    * exactness law (same delta → same folded rows). A crash inside the
+    * commit itself can leave a PARTITION-level mix (some partitions
+    * committed, some not) — replaying the fold repairs it, since every
+    * touched partition re-derives and rewrites; a transactional table
+    * format closes that last window at tier.
+    *
+    * Folding the same pair set twice is a no-op (zero touched partitions).
     */
   def foldIntoCanonicalMap(table: String, newPairs: DataFrame,
-                           aCol: String, bCol: String, nBuckets: Int = 8,
+                           aCol: String, bCol: String,
                            maxRounds: Int = 10): Unit = {
     val spark = newPairs.sparkSession
     require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
-    // folded is consumed twice (no-change probe + staging write) — cut so
-    // the incrementalGroups pipeline executes once
-    val folded = Lineage.cut(incrementalGroups(spark.table(table), newPairs,
-      aCol, bCol, maxRounds))
-    // no-change short-circuit: a fold that alters no row (the common retry /
-    // replayed-delta case — incrementalGroups is idempotent by its exactness
-    // law) must not rewrite the table. The probe is one anti-join over the
-    // two-long-column tables — row counts are equal by construction when no
-    // row changed (folded covers map ∪ pair docs), so "no new-or-changed
-    // row" alone proves set equality.
-    val changed = folded.join(spark.table(table),
-      Seq("doc_id", "canonical_id"), "left_anti")
-    if (changed.isEmpty) return
-    val staging = table + "__next"
-    SimilaritySearch.saveBucketedTable(folded, staging, Seq("doc_id"),
-      nBuckets, org.apache.spark.sql.SaveMode.Overwrite)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    spark.sql(s"ALTER TABLE $staging RENAME TO $table")
-    ()
+    val existing = spark.table(table)
+    require(existing.columns.contains("pbucket"),
+      s"'$table' is not a canonical-map table (no pbucket partition " +
+        "column) — build it with buildCanonicalMap")
+    val nPartitions = spark
+      .sql(s"SHOW TBLPROPERTIES $table('graft.cmap.npartitions')")
+      .select("value").collect().headOption.map(_.getString(0).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"'$table' lacks the graft.cmap.npartitions property"))
+    // folded is consumed twice (touched-partition probe + overwrite) — cut
+    // so the incrementalGroups pipeline executes once
+    val folded = Lineage.cut(
+      incrementalGroups(existing.select("doc_id", "canonical_id"), newPairs,
+          aCol, bCol, maxRounds)
+        .withColumn("pbucket", cmapPartition(col("doc_id"), nPartitions)))
+    // changed rows → touched partitions. One anti-join over the two-long
+    // tables; "no new-or-changed row" alone proves set equality (folded
+    // covers map ∪ pair docs and incrementalGroups never drops rows), so
+    // an empty result is the no-op short-circuit. The collect is bounded
+    // by nPartitions (audited driver collect).
+    val touched = folded
+      .join(existing.select("doc_id", "canonical_id"),
+        Seq("doc_id", "canonical_id"), "left_anti")
+      .select("pbucket").distinct().collect().map(_.getLong(0))
+    if (touched.isEmpty) return
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      folded.where(col("pbucket").isin(touched.map(Long.box): _*))
+        .repartition(col("pbucket"))
+        // insertInto is positional: (data columns..., partition column)
+        .select("doc_id", "canonical_id", "pbucket")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .insertInto(table)
+    } finally prevMode match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
   }
 
   /** Fold NEW near-dup pairs into an EXISTING canonical map — the

@@ -379,8 +379,8 @@ object SimilaritySearch {
     * ephemeral catalog leaves the warehouse dir behind, and saveAsTable
     * refuses to create over it.
     */
-  private def dropTableAndOrphan(spark: org.apache.spark.sql.SparkSession,
-                                 table: String): Unit = {
+  private[operators] def dropTableAndOrphan(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),

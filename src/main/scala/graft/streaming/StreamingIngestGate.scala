@@ -111,4 +111,79 @@ object StreamingIngestGate {
         finally accepted.unpersist(blocking = false)
       }
       .start()
+
+  /** The FULL daily-ingest loop body: [[gateBatch]] (reject near-dups of
+    * the corpus at `gateThreshold`, persist corpus + index), then maintain
+    * the PERSISTED CANONICAL MAP over the survivors at `mapThreshold` —
+    * the same (doc_id → canonical_id) table the batch consumers
+    * (leakage-safe split, representative selection, dedup stats) read. The
+    * three persisted-state pieces of the 100 TB pipeline — minhash index,
+    * accepted corpus, canonical map — stay in lockstep inside one epoch
+    * body, each paying delta-proportional cost: the delta's sketch pass
+    * (gate), one index probe at the map threshold, one
+    * [[graft.operators.Dedup.foldIntoCanonicalMap]] partition-scoped fold.
+    *
+    * Thresholds: `gateThreshold` REJECTS (hard dups never enter the
+    * corpus); `mapThreshold` (≤ gate, typically looser) GROUPS the
+    * survivors for split-safety/dedup-stats questions. The accepted slice
+    * is already indexed when the map probe runs, so one probe surfaces
+    * cross-epoch AND intra-epoch pairs (self-matches filtered on id).
+    *
+    * Exactness law (spec-pinned, the stream == batch convention): after
+    * any number of epochs, the map table equals `duplicateGroups` over
+    * `minhashLshPairs(acceptedCorpus, mapThreshold)` — the full-corpus
+    * batch recompute. Holds exactly because both sides band with the same
+    * (n, k, bands, seed) family and band collisions are deterministic
+    * per-pair, so the union of per-epoch probe pairs is the full-corpus
+    * pair set (modulo direction, which CC ignores).
+    *
+    * Replay: a re-delivered epoch gate-rejects all its docs (exact
+    * self-match), yielding zero pairs — the fold is a no-op and the map
+    * stays consistent. The narrow crash window between the corpus append
+    * and the fold mirrors [[gateBatch]]'s index/corpus caveat: recover by
+    * refolding the affected epoch's pairs (the fold is idempotent).
+    */
+  def gateAndFoldBatch(batch: DataFrame, idCol: String, textCol: String,
+                       corpusTable: String, indexTable: String,
+                       mapTable: String, n: Int, k: Int, bands: Int,
+                       gateThreshold: Double, mapThreshold: Double,
+                       seed: Long = 42L, nBuckets: Int = 8): DataFrame = {
+    val spark = batch.sparkSession
+    val accepted = gateBatch(batch, idCol, textCol, corpusTable, indexTable,
+      n, k, bands, gateThreshold, seed, nBuckets)
+    val pairs = Dedup.incrementalNearDupPairs(accepted,
+        spark.table(corpusTable), idCol, textCol, indexTable,
+        n, k, bands, mapThreshold, seed = seed)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b")
+    if (!spark.catalog.tableExists(mapTable))
+      Dedup.buildCanonicalMap(pairs, "doc_a", "doc_b", mapTable,
+        nBuckets = nBuckets)
+    else
+      Dedup.foldIntoCanonicalMap(mapTable, pairs, "doc_a", "doc_b")
+    accepted
+  }
+
+  /** [[start]] with the canonical-map fold composed into every epoch —
+    * the streaming plane maintaining the same persisted map the batch
+    * consumers read.
+    */
+  def startWithCanonicalMap(docs: DataFrame, idCol: String, textCol: String,
+                            corpusTable: String, indexTable: String,
+                            mapTable: String, n: Int, k: Int, bands: Int,
+                            gateThreshold: Double, mapThreshold: Double,
+                            checkpointDir: String, seed: Long = 42L,
+                            nBuckets: Int = 8)
+                           (onBatch: (DataFrame, Long) => Unit =
+                              (_, _) => ()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val accepted = gateAndFoldBatch(batch, idCol, textCol, corpusTable,
+          indexTable, mapTable, n, k, bands, gateThreshold, mapThreshold,
+          seed, nBuckets)
+        try onBatch(accepted, epoch)
+        finally accepted.unpersist(blocking = false)
+      }
+      .start()
 }

@@ -402,10 +402,86 @@ object ScaleRehearsal {
           s""""planted_check_error":"${e.getClass.getSimpleName}","""
         }
       } else ""
+    // round 16: the persisted-map FOLD at tier — the claim under test is
+    // that canonical-map maintenance cost tracks the DELTA (touched
+    // components to compute, touched pbucket partitions to rewrite), never
+    // the map: build the capped-family map at the scaled tier ONCE (the
+    // contrast number — this is what a consumer-triggered recompute would
+    // pay), fold an epoch-shaped delta (a few new docs joining existing
+    // components), and count the partitions whose files actually changed.
+    // An honest fold artifact needs all four numbers side by side:
+    // build_sec >> fold_sec, touched_partitions << total_partitions,
+    // and the replayed fold (idempotence) rewriting nothing.
+    val foldJson = if (picked.contains("dedup_canonical_map")) {
+      try {
+        import graft.operators.Dedup
+        val tbl = "rehearsal_cmap"
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        val docs = spark.read.parquet(s"$out/documents.parquet")
+        val tb0 = System.nanoTime()
+        Dedup.buildCanonicalMap(
+          Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8,
+            maxDf = 20L),
+          "doc_a", "doc_b", tbl, nPartitions = 64)
+        val buildSec = (System.nanoTime() - tb0) / 1e9
+        val mapRows = spark.table(tbl).count()
+        def inv(): Map[String, (Long, Long)] = {
+          val loc = new java.net.URI(spark.sql(s"DESCRIBE EXTENDED $tbl")
+            .where(col("col_name") === "Location")
+            .select("data_type").collect()(0).getString(0)).getPath
+          def walk(f: java.io.File): Seq[java.io.File] =
+            if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+            else Seq(f)
+          walk(new java.io.File(loc)).filter(_.getName.endsWith(".parquet"))
+            .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+            .toMap
+        }
+        def pbuckets(files: Iterable[String]): Set[String] =
+          files.flatMap("pbucket=\\d+".r.findFirstIn(_)).toSet
+        val before = inv()
+        // epoch-shaped delta: 10 fresh docs, each joining one existing
+        // component (ids above the corpus range so the canonical minima —
+        // and therefore every EXISTING row — stay put: changed rows are
+        // exactly the 10 new docs)
+        val members = spark.table(tbl).select(col("doc_id"))
+          .orderBy(col("doc_id")).limit(10).collect().map(_.getLong(0))
+        val maxId = spark.table(tbl).agg(max(col("doc_id")))
+          .collect()(0).getLong(0)
+        import spark.implicits._
+        val delta = members.zipWithIndex
+          .map { case (m, i) => (m, maxId + i + 1) }.toSeq
+          .toDF("doc_a", "doc_b")
+        val tf0 = System.nanoTime()
+        Dedup.foldIntoCanonicalMap(tbl, delta, "doc_a", "doc_b")
+        val foldSec = (System.nanoTime() - tf0) / 1e9
+        val after = inv()
+        val changedFiles = after.keySet.filter(p =>
+          !before.get(p).contains(after(p))) ++ (before.keySet -- after.keySet)
+        val touched = pbuckets(changedFiles)
+        val total = pbuckets(after.keys)
+        val tn0 = System.nanoTime()
+        Dedup.foldIntoCanonicalMap(tbl, delta, "doc_a", "doc_b")
+        val noopSec = (System.nanoTime() - tn0) / 1e9
+        val after2 = inv()
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        System.err.println(s"[rehearsal] cmap fold: build=$buildSec " +
+          s"fold=$foldSec touched=${touched.size}/${total.size} noop=$noopSec")
+        s""""cmap_fold":{"build_sec":${math.round(buildSec * 1000) / 1000.0},""" +
+          s""""map_rows":$mapRows,"delta_pairs":${members.length},""" +
+          s""""fold_sec":${math.round(foldSec * 1000) / 1000.0},""" +
+          s""""touched_partitions":${touched.size},""" +
+          s""""total_partitions":${total.size},""" +
+          s""""refold_noop_sec":${math.round(noopSec * 1000) / 1000.0},""" +
+          s""""refold_rewrote_files":${after2 != after}},"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[rehearsal] cmap fold FAILED: ${e.getMessage}")
+        s""""cmap_fold":{"error":"${e.getClass.getSimpleName}"},"""
+      }
+    } else ""
     val level = sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
       .map(l => s""""local_ckpt_level":"$l",""").getOrElse("")
     val json =
-      s"""{"base_sf":"$base","scaled_reps":$reps,$level$plantedJson""" +
+      s"""{"base_sf":"$base","scaled_reps":$reps,$level$plantedJson$foldJson""" +
         s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
     // the default 10x run owns the canonical artifact name; other tiers
     // (e.g. the 100x decade) land beside it, never over it
