@@ -301,15 +301,26 @@ object Bench {
           s"bad SPARK_GRAFT_BENCH_SHARD '$s' (want i/n, 1 <= i <= n)")
         (parts(0), parts(1))
       }
+    // SPARK_GRAFT_BENCH_ONLY="a,b" — the TARGETED retry endgame: when a
+    // shard was refused because one specific query's windows kept landing
+    // in bursts, re-measuring just that query (a ~30-60 s run) fits windows
+    // no multi-query shard can. Emits the same gate-stamped shard record
+    // (target/bench_shard_only.json) for PromoteShards.
+    val onlySpec: Option[Seq[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    require(shardSpec.isEmpty || onlySpec.isEmpty,
+      "SPARK_GRAFT_BENCH_SHARD and SPARK_GRAFT_BENCH_ONLY are exclusive")
     // throughput planes ride a full run always; a shard only on request
     // (they are whole-plane measurements — sharding can't split them, and
     // every shard re-measuring them would pay the suite's most expensive
     // block n times)
-    val runPlanes = shardSpec.isEmpty ||
+    val runPlanes = (shardSpec.isEmpty && onlySpec.isEmpty) ||
       sys.env.get("SPARK_GRAFT_BENCH_PLANES").contains("1")
-    val outName = shardSpec match {
-      case Some((i, n)) => s"bench_shard_${i}_of_$n.json"
-      case None => "bench_full.json"
+    val outName = (shardSpec, onlySpec) match {
+      case (Some((i, n)), _) => s"bench_shard_${i}_of_$n.json"
+      case (_, Some(_)) => "bench_shard_only.json"
+      case _ => "bench_full.json"
     }
     // machine-load context, captured BEFORE the suite adds its own load — a
     // reader comparing rounds needs to know whether the box was already busy
@@ -346,6 +357,54 @@ object Bench {
     val timedRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(5)
+
+    // --- JVM bake (round 16, shard modes) ---------------------------------
+    // A shard JVM is minutes old when its queries time; a full-suite JVM is
+    // up to 20 minutes into sustained load. The difference is NOT per-query
+    // codegen (the per-query warmup covers that) but shared-infrastructure
+    // C2 compilation completing in the background over minutes of load —
+    // measured inside the first shard campaign's own records: retimes of
+    // clean first passes, same JVM ~3 minutes later, read 10-60% lower on
+    // steal-clean windows (q_scalar_functions 0.41→0.18, q_kmv_overlap
+    // 0.82→0.53, text_langid_confusion 0.69→0.47), an early-suite premium
+    // that would bake systematically-inflated anchors into a shard-merged
+    // committed baseline. The bake runs the shard's own queries in untimed
+    // rotation for BakeSec of wall before anything is measured — and since
+    // it is untimed, a steal burst during the bake costs nothing: only the
+    // short timed phase after it needs the clean window. Full (non-shard)
+    // runs default to 0 (their own early-suite premium is position-random
+    // under the seeded shuffle and the retime pass absorbs flags), but the
+    // env knob applies everywhere.
+    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selectedQueries = (shardSpec, onlySpec) match {
+      case (Some((i, n)), _) => allQueries.zipWithIndex
+        .collect { case (kv, idx) if idx % n == i - 1 => kv }
+      case (_, Some(names)) =>
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries in BENCH_ONLY: $unknown")
+        allQueries.filter(kv => names.contains(kv._1))
+      case _ => allQueries
+    }
+    val bakeSec = sys.env.get("SPARK_GRAFT_BENCH_BAKE_SEC")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(if (shardSpec.nonEmpty || onlySpec.nonEmpty) 150.0 else 0.0)
+    if (bakeSec > 0) {
+      val bakeStart = System.nanoTime()
+      val bakeList = new scala.util.Random(benchSeed ^ 0x9e3779b9L)
+        .shuffle(selectedQueries)
+      var i = 0
+      while ((System.nanoTime() - bakeStart) / 1e9 < bakeSec) {
+        val (_, fn) = bakeList(i % bakeList.size)
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        i += 1
+      }
+      System.err.println(f"[bench] bake: $i runs over " +
+        f"${(System.nanoTime() - bakeStart) / 1e9}%.0f s")
+    }
 
     // self-calibration against the committed baseline (created on first run).
     // The probe runs TWICE here and keeps the second reading: the opening
@@ -641,12 +700,6 @@ object Bench {
     // first family (ann_*) 2-4x and the artifact was indistinguishable from
     // a code regression. Randomized order spreads machine noise across
     // unrelated names; the seed rides the JSON so a run is reproducible.
-    val allQueries = SparkEntry.queries.toSeq.sortBy(_._1)
-    val selectedQueries = shardSpec match {
-      case Some((i, n)) => allQueries.zipWithIndex
-        .collect { case (kv, idx) if idx % n == i - 1 => kv }
-      case None => allQueries
-    }
     val ordered = new scala.util.Random(benchSeed).shuffle(selectedQueries)
     // ... and the probe re-runs mid-suite (every ~25 queries): a stall that
     // starts (or clears) after the opening probe is caught by whichever
@@ -976,10 +1029,15 @@ object Bench {
     val canonicalEligible = sfDir.stripSuffix("/").endsWith("sf0.1") &&
       timedRuns >= 5 && !machineShifted && spreadClean &&
       (acceptedRegressions.isEmpty || probesQuiet)
-    val canonical = canonicalEligible && shardSpec.isEmpty
-    val shardFields = shardSpec.map { case (i, n) =>
-      s""""shard":"$i/$n","shard_promotable":$canonicalEligible,"""
-    }.getOrElse("")
+    val canonical = canonicalEligible && shardSpec.isEmpty && onlySpec.isEmpty
+    val shardFields = (shardSpec, onlySpec) match {
+      case (Some((i, n)), _) =>
+        s""""shard":"$i/$n","shard_promotable":$canonicalEligible,"""
+      case (_, Some(names)) =>
+        s""""shard":"only:${names.mkString("+")}",""" +
+          s""""shard_promotable":$canonicalEligible,"""
+      case _ => ""
+    }
     val outJson =
       s"""{$shardFields"queries":$full,$context,""" +
       s""""cdc_events_per_sec":${throughput.round},""" +

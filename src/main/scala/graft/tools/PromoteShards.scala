@@ -99,6 +99,17 @@ object PromoteShards {
         .getOrElse(Seq.empty): _*)
     var planes: Option[(Long, Long, Long)] = None
 
+    // GRAFT_PROMOTE_PER_QUERY=1: promote INDIVIDUAL clean queries out of a
+    // refused shard. The shard-level refusal exists because one dirty entry
+    // blocks the run's canonical stamp — but the gate's whole design is
+    // per-query steal attribution, so a query measured on a steal-clean
+    // window (steal_sec ≤ 2.0, mirroring Bench.StealDirtySec) inside a
+    // machine-unshifted, probes-quiet sf0.1 run is exactly as clean as the
+    // same query inside a promotable shard; discarding it wastes the
+    // window. Classification-failed entries (still-inconsistent,
+    // unreproduced, retime-skipped, steal-dirty) stay excluded — they
+    // retry in a later shard or a BENCH_ONLY targeted run.
+    val perQuery = sys.env.get("GRAFT_PROMOTE_PER_QUERY").contains("1")
     var promoted = 0
     shardFiles.foreach { f =>
       val txt = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
@@ -106,37 +117,61 @@ object PromoteShards {
       val promotable = field(txt, "shard_promotable").contains("true")
       if (shardId.isEmpty) {
         println(s"SKIP $f: not a shard record (no shard field)")
-      } else if (!promotable) {
-        println(s"REFUSED $f: shard_promotable=false (gate fields: " +
-          s"machine_shifted=${field(txt, "machine_shifted").getOrElse("?")}, " +
-          s"spread_clean=${field(txt, "spread_clean").getOrElse("?")}, " +
-          s"steal_sec=${field(txt, "steal_sec").getOrElse("?")})")
       } else {
         val (ss, se) = objectSpan(txt, "queries").getOrElse(
           sys.error(s"$f has no queries object"))
-        val es = entries(txt.substring(ss, se))
-        es.foreach { case (k, v) => merged(k) = v }
+        val allEs = entries(txt.substring(ss, se))
         // context fields live AFTER the queries object — scoping the lookup
         // there keeps run-level names (steal_sec) from matching the
         // identically-named per-query fields inside the records
         val ctx = txt.substring(se)
-        val key = shardId.get.replace('/', '_')
-        promos(s"shard_$key") =
-          s"""{"n_queries":${es.size},""" +
-          s""""bench_seed":${field(ctx, "bench_seed").getOrElse("0")},""" +
-          s""""steal_sec":${field(ctx, "steal_sec").getOrElse("-1")},""" +
-          s""""calibration_worst_ratio":${
-            field(ctx, "calibration_worst_ratio").getOrElse("-1")},""" +
-          s""""elapsed_sec":${field(ctx, "elapsed_sec").getOrElse("-1")}}"""
-        val cdc = field(ctx, "cdc_events_per_sec").map(_.toDouble.toLong)
-        if (cdc.exists(_ > 0))
-          planes = Some((cdc.get,
-            field(ctx, "stream_events_per_sec").map(_.toDouble.toLong).getOrElse(0L),
-            field(ctx, "stream_events_per_sec_rocksdb").map(_.toDouble.toLong)
-              .getOrElse(0L)))
-        println(s"PROMOTE $f: ${es.size} queries " +
-          s"(steal_sec=${field(ctx, "steal_sec").getOrElse("?")})")
-        promoted += 1
+        def arr(name: String): Set[String] =
+          (s""""$name"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(ctx)
+            .map(_.group(1)).getOrElse("").split(",")
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).toSet
+        val perQueryEligible = perQuery &&
+          field(ctx, "machine_shifted").contains("false") &&
+          field(ctx, "probes_quiet").contains("true") &&
+          field(ctx, "sf").exists(_.stripSuffix("\"").endsWith("sf0.1")) &&
+          field(ctx, "timed_runs").exists(_.toDouble >= 5)
+        val bad = arr("spread_still_inconsistent") ++
+          arr("spread_unreproduced") ++ arr("spread_retime_skipped") ++
+          arr("spread_steal_dirty")
+        val es =
+          if (promotable) allEs
+          else if (perQueryEligible) allEs.filter { case (k, v) =>
+            !bad(k) && field(v, "steal_sec")
+              .map(_.toDouble).exists(s => s >= 0 && s <= 2.0)
+          } else Seq.empty
+        if (es.isEmpty) {
+          println(s"REFUSED $f: shard_promotable=false" +
+            (if (perQuery) " and no per-query-eligible entries" else "") +
+            s" (machine_shifted=${field(ctx, "machine_shifted").getOrElse("?")}, " +
+            s"spread_clean=${field(ctx, "spread_clean").getOrElse("?")}, " +
+            s"steal_sec=${field(ctx, "steal_sec").getOrElse("?")})")
+        } else {
+          es.foreach { case (k, v) => merged(k) = v }
+          val mode = if (promotable) "shard" else "per-query"
+          val key = shardId.get.replaceAll("[^A-Za-z0-9]+", "_")
+          promos(s"shard_$key") =
+            s"""{"n_queries":${es.size},"mode":"$mode",""" +
+            s""""bench_seed":${field(ctx, "bench_seed").getOrElse("0")},""" +
+            s""""steal_sec":${field(ctx, "steal_sec").getOrElse("-1")},""" +
+            s""""calibration_worst_ratio":${
+              field(ctx, "calibration_worst_ratio").getOrElse("-1")},""" +
+            s""""elapsed_sec":${field(ctx, "elapsed_sec").getOrElse("-1")}}"""
+          val cdc = field(ctx, "cdc_events_per_sec").map(_.toDouble.toLong)
+          if (promotable && cdc.exists(_ > 0))
+            planes = Some((cdc.get,
+              field(ctx, "stream_events_per_sec").map(_.toDouble.toLong)
+                .getOrElse(0L),
+              field(ctx, "stream_events_per_sec_rocksdb").map(_.toDouble.toLong)
+                .getOrElse(0L)))
+          println(s"PROMOTE[$mode] $f: ${es.size}/${allEs.size} queries " +
+            s"(run steal_sec=${field(ctx, "steal_sec").getOrElse("?")})")
+          promoted += 1
+        }
       }
     }
     require(promoted > 0, "no promotable shard — baseline left untouched")
