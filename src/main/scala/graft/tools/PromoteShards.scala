@@ -110,6 +110,12 @@ object PromoteShards {
     // unreproduced, retime-skipped, steal-dirty) stay excluded — they
     // retry in a later shard or a BENCH_ONLY targeted run.
     val perQuery = sys.env.get("GRAFT_PROMOTE_PER_QUERY").contains("1")
+    // GRAFT_PROMOTE_ONLY_NAMES="a,b" — restrict promotion to the named
+    // queries (for tiered merges: e.g. promote plan-changed queries whose
+    // committed anchors are void from an older record class without
+    // touching entries that have better anchors elsewhere)
+    val onlyNames: Option[Set[String]] = sys.env.get("GRAFT_PROMOTE_ONLY_NAMES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     var promoted = 0
     shardFiles.foreach { f =>
       val txt = new String(Files.readAllBytes(Paths.get(f)), "UTF-8")
@@ -138,12 +144,13 @@ object PromoteShards {
         val bad = arr("spread_still_inconsistent") ++
           arr("spread_unreproduced") ++ arr("spread_retime_skipped") ++
           arr("spread_steal_dirty")
-        val es =
+        val es0 =
           if (promotable) allEs
           else if (perQueryEligible) allEs.filter { case (k, v) =>
             !bad(k) && field(v, "steal_sec")
               .map(_.toDouble).exists(s => s >= 0 && s <= 2.0)
           } else Seq.empty
+        val es = onlyNames.fold(es0)(ns => es0.filter(kv => ns(kv._1)))
         if (es.isEmpty) {
           println(s"REFUSED $f: shard_promotable=false" +
             (if (perQuery) " and no per-query-eligible entries" else "") +
