@@ -543,7 +543,7 @@ object SparkEntry {
       // suite's #2 cost), which at tier is hours of redundant compute.
       // The dedup_canonical_map oracle pins table == inline recompute.
       val docs = t(s, d, "documents")
-      val groups = s.table(exactCanonicalMap(s, d))
+      val groups = Dedup.openCanonicalMap(s, exactCanonicalMap(s, d))
       val scored = docs.select(col("doc_id"),
         TF.nTokens(col("text")).cast("long").as("n_tokens"))
       Dedup.canonicalRepresentatives(groups, scored, "doc_id", "n_tokens")
@@ -598,7 +598,7 @@ object SparkEntry {
       // groups read from the persisted exact-family canonical map (built
       // once, shared with dedup_canonical).
       val docs = t(s, d, "documents")
-      val groups = s.table(exactCanonicalMap(s, d))
+      val groups = Dedup.openCanonicalMap(s, exactCanonicalMap(s, d))
       val canon = docs
         .select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("n_chars"))
@@ -626,7 +626,7 @@ object SparkEntry {
       // (the real ingest-cycle shape), consumers pay a bucketed table read
       // instead of the pair+CC pipeline per query.
       val docs = t(s, d, "documents")
-      val groups = s.table(cappedCanonicalMap(s, d))
+      val groups = Dedup.openCanonicalMap(s, cappedCanonicalMap(s, d))
       val canon = docs
         .select(col("doc_id").cast("long").as("doc_id"),
           col("lang"), col("n_chars"))
@@ -934,7 +934,7 @@ object SparkEntry {
       // dedup_groups_capped keeps timing the inline pipeline; this times
       // what every later consumer pays (corpus_split_safe_capped,
       // dedup_canonical read their family's map the same way).
-      s.table(cappedCanonicalMap(s, d))
+      Dedup.openCanonicalMap(s, cappedCanonicalMap(s, d))
         .select(col("doc_id").cast("long").as("doc_id"),
           col("canonical_id").cast("long").as("canonical_id"))
         .orderBy(col("doc_id"))),
@@ -2169,7 +2169,7 @@ object SparkEntry {
         cross.select("doc_a", "doc_b")
           .unionByName(intra.select("doc_a", "doc_b")),
         "doc_a", "doc_b")
-      s.table(mapTable)
+      Dedup.openCanonicalMap(s, mapTable)
         .select(col("doc_id").cast("long").as("doc_id"),
           col("canonical_id").cast("long").as("canonical_id"))
         .orderBy(col("doc_id"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
@@ -618,6 +618,10 @@ object Dedup {
     require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
     val spark = pairs.sparkSession
     SimilaritySearch.dropTableAndOrphan(spark, table)
+    // a rebuild is the manual escape hatch for an unrepairable map — any
+    // stale fold journal (and, with the dropped table, its pending-fold
+    // marker) must not survive into the new table's lifecycle
+    SimilaritySearch.dropTableAndOrphan(spark, foldJournal(table))
     duplicateGroups(pairs, aCol, bCol, maxRounds)
       .withColumn("pbucket", cmapPartition(col("doc_id"), nPartitions))
       // one shuffle task per pbucket → ≤ nBuckets files per partition dir
@@ -640,11 +644,149 @@ object Dedup {
   private def cmapPartition(docId: Column, nPartitions: Int): Column =
     pmod(xxhash64(docId), lit(nPartitions.toLong))
 
+  /** The fold journal's table name — `<table>_foldlog` holds the FOLDED
+    * content of every partition a pending fold touches, so a crash anywhere
+    * inside the fold's commit is repairable by re-applying the journal
+    * ([[repairCanonicalMap]]). Dropped when the fold completes.
+    */
+  private def foldJournal(table: String): String = s"${table}_foldlog"
+
+  private val NPartitionsProp = "graft.cmap.npartitions"
+  private val PendingFoldProp = "graft.cmap.pendingfold"
+  private val LastFoldProp = "graft.cmap.foldid"
+
+  /** Robust single-key TBLPROPERTIES read: Spark answers a MISSING key with
+    * a ROW whose value reads "Table ... does not have property ..." rather
+    * than an empty result, so a bare headOption can never distinguish
+    * absent from set — the sentinel text is filtered out here.
+    */
+  private def tblProp(spark: SparkSession, table: String,
+                      key: String): Option[String] =
+    spark.sql(s"SHOW TBLPROPERTIES $table('$key')")
+      .select("value").collect().headOption.map(_.getString(0))
+      .filterNot(_.contains("does not have property"))
+
+  /** Order-independent fingerprint of a fold journal's rows — the value the
+    * pending-fold marker carries, re-derived at repair time to verify the
+    * journal on disk is the one the marker described. bit_xor (not sum):
+    * commutative, and immune to ANSI long-sum overflow.
+    */
+  private def journalFingerprint(j: DataFrame): String =
+    j.select(xxhash64(col("doc_id"), col("canonical_id"), col("pbucket"))
+        .as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)))
+      .head().getLong(0).toHexString
+
+  /** Dynamic-partition-overwrite `rows` (doc_id, canonical_id, pbucket)
+    * into the map table — only the pbucket partitions present in `rows`
+    * are replaced; the catalog bucket spec rides the insert, so the files
+    * stay bucketed by doc_id.
+    */
+  private def overwriteMapPartitions(spark: SparkSession, table: String,
+                                     rows: DataFrame): Unit = {
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prevMode = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      rows.repartition(col("pbucket"))
+        // insertInto is positional: (data columns..., partition column)
+        .select("doc_id", "canonical_id", "pbucket")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .insertInto(table)
+    } finally prevMode match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+  }
+
+  /** Fold-commit epilogue: record the completed fold id, clear the pending
+    * marker, drop the journal. Ordered so a crash between any two steps
+    * leaves a repairable (marker still set → journal re-applies) or clean
+    * (marker cleared → stale journal is inert and the next fold drops it)
+    * state — never an undetectable one.
+    */
+  private def finishFold(spark: SparkSession, table: String,
+                         foldId: String): Unit = {
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'$LastFoldProp'='$foldId')")
+    spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS (" +
+      s"'$PendingFoldProp')")
+    SimilaritySearch.dropTableAndOrphan(spark, foldJournal(table))
+  }
+
+  /** Detect and repair a TORN canonical-map fold — the crash window a
+    * dynamic-partition-overwrite commit leaves open: some touched pbucket
+    * partitions committed, some still holding pre-fold rows. A torn map is
+    * NOT generally detectable from its rows (a partial component merge can
+    * leave both halves internally consistent — a silently split component,
+    * on which a naive fold replay no-ops forever), so detection rides the
+    * fold protocol instead: [[foldIntoCanonicalMap]] journals the folded
+    * content of every touched partition and marks the table
+    * (`graft.cmap.pendingfold` = journal fingerprint) BEFORE the overwrite,
+    * clearing the marker only after the commit completes. A marker found
+    * here means a fold died mid-commit; re-applying the journal — which IS
+    * the exact folded content of every touched partition — completes it.
+    * Idempotent and crash-safe against repeated failure: the journal is
+    * immutable until the marker clears.
+    *
+    * Called automatically at the top of [[foldIntoCanonicalMap]] and by
+    * [[openCanonicalMap]]; costs one catalog probe when no fold is
+    * pending.
+    *
+    * @return true iff a torn fold was found and repaired
+    */
+  def repairCanonicalMap(spark: SparkSession, table: String): Boolean = {
+    val pending = tblProp(spark, table, PendingFoldProp)
+    if (pending.isEmpty) return false
+    val journal = foldJournal(table)
+    require(spark.catalog.tableExists(journal),
+      s"torn fold on '$table': pending-fold marker '${pending.get}' is " +
+        s"set but journal table '$journal' is missing — auto-repair " +
+        "impossible; rebuild the map with buildCanonicalMap")
+    val j = spark.table(journal)
+    val fp = journalFingerprint(j)
+    require(fp == pending.get,
+      s"torn fold on '$table': journal fingerprint $fp does not match " +
+        s"the pending-fold marker '${pending.get}' — journal corrupt; " +
+        "rebuild the map with buildCanonicalMap")
+    overwriteMapPartitions(spark, table, j)
+    finishFold(spark, table, fp)
+    true
+  }
+
+  /** Open a canonical-map table for reading, repairing any torn fold first
+    * ([[repairCanonicalMap]]) — the reader-side half of the fold protocol.
+    * Costs one catalog probe over a plain `spark.table` when the map is
+    * healthy; consumers that read the map outside a fold call this instead
+    * of `spark.table` so a fold crash can never serve them a mixed state.
+    */
+  def openCanonicalMap(spark: SparkSession, table: String): DataFrame = {
+    repairCanonicalMap(spark, table)
+    spark.table(table)
+  }
+
+  /** Audit the canonical-map ROW invariant: every canonical_id must be a
+    * FIXED POINT (its own row maps to itself). Returns the violating rows
+    * (doc_id, canonical_id, canon_of_canon) — empty on any valid
+    * [[duplicateGroups]] output. A non-empty result means external
+    * corruption. Note the converse does NOT hold: a torn fold can split a
+    * component while both halves stay fixed-point-consistent, which is why
+    * fold crash safety uses the journal protocol ([[repairCanonicalMap]])
+    * rather than this audit; it is kept as a periodic operational check.
+    */
+  def canonicalMapViolations(map: DataFrame): DataFrame = {
+    val m = map.select(col("doc_id"), col("canonical_id"))
+    m.join(m.select(col("doc_id").as("canonical_id"),
+        col("canonical_id").as("canon_of_canon")), Seq("canonical_id"))
+      .where(col("canon_of_canon") =!= col("canonical_id"))
+      .select("doc_id", "canonical_id", "canon_of_canon")
+  }
+
   /** Fold new near-dup pairs into a PERSISTED canonical map in place:
     * [[incrementalGroups]] (cost ∝ new pairs + touched components — the
     * historical graph is never re-read) followed by a DYNAMIC PARTITION
     * OVERWRITE of only the `pbucket` partitions holding changed rows. Both
-    * halves of the fold are now delta-proportional: the compute (touched
+    * halves of the fold are delta-proportional: the compute (touched
     * components) and the rewrite (touched partitions) — a day touching
     * 0.1% of components rewrites ~min(nPartitions, touched-rows) partition
     * directories, never the whole map. Untouched partitions' files are not
@@ -658,35 +800,41 @@ object Dedup {
     * the table's catalog entry, so the overwrite writes bucketed files and
     * consumers stay Exchange-free after every fold (spec-pinned).
     *
-    * Crash safety: the table name exists at all times (no drop/rename
-    * window — the round-15 swap's accepted flaw, now closed); the
-    * overwrite job stages files and replaces each partition's contents at
-    * commit. A crash mid-job leaves the old partitions intact, and
-    * replaying the fold is a no-op-or-repair by [[incrementalGroups]]'
-    * exactness law (same delta → same folded rows). A crash inside the
-    * commit itself can leave a PARTITION-level mix (some partitions
-    * committed, some not) — replaying the fold repairs it, since every
-    * touched partition re-derives and rewrites; a transactional table
-    * format closes that last window at tier.
+    * Crash safety — the JOURNALED COMMIT protocol: the table name exists at
+    * all times (no drop/rename window), and before the overwrite runs, the
+    * folded content of every touched partition is persisted to a journal
+    * table (`<table>_foldlog`) and the map is marked pending
+    * (`graft.cmap.pendingfold` = journal fingerprint). Crash before the
+    * marker: old map intact, the marker-less journal is inert. Crash after
+    * the marker — including INSIDE the overwrite commit, the window that
+    * can leave a partition-level mix of old and new rows, a state not
+    * generally detectable from the rows themselves — is detected by the
+    * marker and repaired by re-applying the journal
+    * ([[repairCanonicalMap]], run automatically at the top of every fold
+    * and by [[openCanonicalMap]]). The journal write costs one extra pass
+    * over the touched rows — delta-proportional, like the fold itself.
     *
-    * Folding the same pair set twice is a no-op (zero touched partitions).
+    * Folding the same pair set twice is a no-op (zero touched partitions —
+    * no journal is written).
     */
   def foldIntoCanonicalMap(table: String, newPairs: DataFrame,
                            aCol: String, bCol: String,
                            maxRounds: Int = 10): Unit = {
     val spark = newPairs.sparkSession
     require(table.matches("[A-Za-z0-9_]+"), s"bad map table name '$table'")
+    // a torn PREVIOUS fold must complete before this fold reads the map
+    repairCanonicalMap(spark, table)
     val existing = spark.table(table)
     require(existing.columns.contains("pbucket"),
       s"'$table' is not a canonical-map table (no pbucket partition " +
         "column) — build it with buildCanonicalMap")
-    val nPartitions = spark
-      .sql(s"SHOW TBLPROPERTIES $table('graft.cmap.npartitions')")
-      .select("value").collect().headOption.map(_.getString(0).toInt)
+    val nPartitions = tblProp(spark, table, NPartitionsProp)
+      .filter(_.matches("\\d+")).map(_.toInt)
       .getOrElse(throw new IllegalStateException(
-        s"'$table' lacks the graft.cmap.npartitions property"))
-    // folded is consumed twice (touched-partition probe + overwrite) — cut
-    // so the incrementalGroups pipeline executes once
+        s"'$table' lacks a numeric $NPartitionsProp table property — " +
+          "not a buildCanonicalMap table?"))
+    // folded is consumed twice (touched-partition probe + journal write) —
+    // cut so the incrementalGroups pipeline executes once
     val folded = Lineage.cut(
       incrementalGroups(existing.select("doc_id", "canonical_id"), newPairs,
           aCol, bCol, maxRounds)
@@ -701,20 +849,22 @@ object Dedup {
         Seq("doc_id", "canonical_id"), "left_anti")
       .select("pbucket").distinct().collect().map(_.getLong(0))
     if (touched.isEmpty) return
-    val modeKey = "spark.sql.sources.partitionOverwriteMode"
-    val prevMode = spark.conf.getOption(modeKey)
-    spark.conf.set(modeKey, "dynamic")
-    try {
-      folded.where(col("pbucket").isin(touched.map(Long.box): _*))
-        .repartition(col("pbucket"))
-        // insertInto is positional: (data columns..., partition column)
-        .select("doc_id", "canonical_id", "pbucket")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .insertInto(table)
-    } finally prevMode match {
-      case Some(v) => spark.conf.set(modeKey, v)
-      case None => spark.conf.unset(modeKey)
-    }
+    // ---- journaled commit ----
+    val journal = foldJournal(table)
+    // a stale journal can exist only from a crash BEFORE the marker was
+    // set (repairCanonicalMap above completed any marked fold) — inert
+    SimilaritySearch.dropTableAndOrphan(spark, journal)
+    folded.where(col("pbucket").isin(touched.map(Long.box): _*))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(journal)
+    FailPoint("cmap-after-journal")
+    val foldId = journalFingerprint(spark.table(journal))
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'$PendingFoldProp'='$foldId')")
+    FailPoint("cmap-after-marker")
+    overwriteMapPartitions(spark, table, spark.table(journal))
+    FailPoint("cmap-after-overwrite")
+    finishFold(spark, table, foldId)
   }
 
   /** Fold NEW near-dup pairs into an EXISTING canonical map — the
