@@ -21,8 +21,10 @@ import java.nio.file.Files
   *     group — cross-epoch and intra-epoch pairs both land in the map.
   *  3. STREAM == BATCH REPLAY of [[StreamingIngestGate.gateAndFoldBatch]]
   *     epoch-by-epoch (the gate spec's convention, extended to the map),
-  *     and a re-delivered epoch leaves the map untouched (fold no-op on
-  *     gate-rejected replays).
+  *     and a re-delivered epoch leaves every table untouched (the
+  *     acceptance ledger recovers the slice; all downstream writes are
+  *     idempotent). Crash-at-every-window replay is pinned separately in
+  *     IngestReplayRecoverySpec.
   *
   * Fixture jaccard tiers (40-word docs, 3-gram shingles, exact values):
   * one edited word → 35/41 ≈ 0.854 (≥ 0.8 gate: rejected); two edited
@@ -72,7 +74,7 @@ class IngestCanonicalMapSpec extends AnyFunSuite {
 
   test("stream-maintained map == full-batch recompute after N epochs " +
     "(RocksDB provider); two-threshold semantics") {
-    drop("ingf_corpus", "ingf_index", "ingf_map")
+    drop("ingf_corpus", "ingf_index", "ingf_map", "ingf_map_epochs")
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, graft.GraftSession.RocksDbProvider)
@@ -115,26 +117,30 @@ class IngestCanonicalMapSpec extends AnyFunSuite {
       assert(!agg.queryExecution.executedPlan.toString
         .contains("Exchange hashpartitioning"))
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    drop("ingf_corpus", "ingf_index", "ingf_map")
+    drop("ingf_corpus", "ingf_index", "ingf_map", "ingf_map_epochs")
   }
 
   test("stream == epoch-by-epoch gateAndFoldBatch replay; re-delivered " +
     "epoch leaves the map untouched") {
-    drop("ingb_corpus", "ingb_index", "ingb_map")
-    epochs.foreach { e =>
+    drop("ingb_corpus", "ingb_index", "ingb_map", "ingb_map_epochs")
+    epochs.zipWithIndex.foreach { case (e, i) =>
       StreamingIngestGate.gateAndFoldBatch(e.toDF("doc_id", "text"),
-        "doc_id", "text", "ingb_corpus", "ingb_index", "ingb_map",
+        "doc_id", "text", "ingb_corpus", "ingb_index", "ingb_map", i.toLong,
         N, K, B, GATE, MAP).unpersist(blocking = false)
     }
     val expect = Map(1L -> 1L, 11L -> 1L, 12L -> 12L, 21L -> 12L,
       2L -> 2L, 23L -> 2L, 22L -> 22L, 24L -> 22L)
     assert(asMap("ingb_map") == expect)
-    // at-least-once: epoch 2 re-delivered — every doc gate-rejects on its
-    // exact self-match, zero pairs reach the fold, the map is unchanged
+    // at-least-once: epoch 2 re-delivered — the acceptance ledger recovers
+    // its accepted slice, the re-derived pairs fold as a no-op (already
+    // folded), corpus/index append nothing: everything stays unchanged
+    val corpusBefore = spark.table("ingb_corpus").count()
     StreamingIngestGate.gateAndFoldBatch(epoch2.toDF("doc_id", "text"),
-      "doc_id", "text", "ingb_corpus", "ingb_index", "ingb_map",
+      "doc_id", "text", "ingb_corpus", "ingb_index", "ingb_map", 1L,
       N, K, B, GATE, MAP).unpersist(blocking = false)
     assert(asMap("ingb_map") == expect)
-    drop("ingb_corpus", "ingb_index", "ingb_map")
+    assert(spark.table("ingb_corpus").count() == corpusBefore,
+      "re-delivered epoch must not double-append corpus rows")
+    drop("ingb_corpus", "ingb_index", "ingb_map", "ingb_map_epochs")
   }
 }
