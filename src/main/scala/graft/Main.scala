@@ -18,6 +18,16 @@ import org.apache.spark.sql.types._
   *            parquet (default, needs --out) or the reference's XADD output
   *            plane (`--sink redis`, RedisStreamsSink, WatchStream.java
   *            :261-295).
+  *   watch    --ingest-gate --in <docs-dir> --checkpoint <dir>
+  *            --corpus-table <t> --index-table <t> --map-table <t>
+  *            [--format json|parquet] [--gate-threshold 0.8]
+  *            [--map-threshold 0.7] [--npartitions N] [--once] [...]
+  *            runs the OTHER streaming plane: the composed daily-ingest
+  *            loop (near-dup gate → index probe → partitioned
+  *            canonical-map fold, [[IngestCli]]) — minhash index,
+  *            accepted corpus, and canonical map maintained in lockstep
+  *            at delta-proportional cost, crash-safe under at-least-once
+  *            replay.
   *   generate --config <cfg>
   *            prints Debezium Server properties derived from the config.
   */
@@ -26,6 +36,16 @@ object Main {
     case Some("generate") =>
       val cfg = CdcConfig.load(opt(args, "--config").getOrElse("./config.yaml"))
       print(DebeziumConfigGen.generate(cfg))
+
+    case Some("watch") if args.contains("--ingest-gate") =>
+      val spark = GraftSession.local()
+      spark.sparkContext.setLogLevel("WARN")
+      val q = IngestCli.start(spark, args)
+      if (args.contains("--once")) {
+        q.processAllAvailable(); q.stop()
+        println(IngestCli.summary(spark, args))
+      } else q.awaitTermination()
+      spark.stop()
 
     case Some("watch") =>
       val cfg = CdcConfig.load(opt(args, "--config").getOrElse("./config.yaml"))
