@@ -205,6 +205,21 @@ object PromoteShards {
         .replaceAll(""""stream_events_per_sec_rocksdb":\d+""",
           s""""stream_events_per_sec_rocksdb":$ro""")
     }
+    // stamp the merge at top level: after a merge the RUN-LEVEL gate
+    // fields (steal_sec, spread_*, probes_quiet, calibration_*,
+    // machine_shifted) still describe whatever full run originally wrote
+    // the file, NOT the shard-sourced per-query records — a reader who
+    // trusts them would misattribute cleanliness to merged entries. The
+    // stamp forces tools to consult shard_promotions for per-entry
+    // provenance. Idempotent across repeated merges.
+    if (!base.contains(""""merged":true""")) {
+      val brace = base.indexOf('{')
+      base = base.substring(0, brace + 1) +
+        """"merged":true,""" +
+        """"gate_fields_scope":"pre-merge run only — per-entry """ +
+        """provenance lives in shard_promotions",""" +
+        base.substring(brace + 1)
+    }
     Files.writeString(basePath, base)
     println(s"MERGED $promoted shard(s) into $basePath " +
       s"(${merged.size} committed query medians)")

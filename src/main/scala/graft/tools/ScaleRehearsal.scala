@@ -288,6 +288,19 @@ object ScaleRehearsal {
     // Exchange, beside the inline recompute's curve
     "dedup_canonical_map")
 
+  /** cumulative hypervisor steal seconds from /proc/stat (field 8), -1 if
+    * unreadable — per-query deltas attribute host bursts to the exact
+    * timed window they landed in, mirroring Bench's per-query steal
+    * attribution so tier artifacts carry the same canonicality signal.
+    */
+  private def stealTickSec(): Double =
+    try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      line.trim.split("\\s+").drop(1).lift(7)
+        .map(_.toLong / 100.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+
   private def fmt(n: String, sec: Double, rows: Long, m: ShuffleMeter,
                   extra: String = ""): String =
     s""""$n":{"sec":${math.round(sec * 1000) / 1000.0},"rows":$rows,""" +
@@ -338,16 +351,20 @@ object ScaleRehearsal {
         val rows = graft.SparkEntry.queries(n)(spark, dir).count()
         Thread.sleep(1500) // drain the warmup's listener events out of the window
         meter.reset()
+        val st0 = stealTickSec()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        val qSteal = { val st1 = stealTickSec()
+          if (st0 >= 0 && st1 >= 0) math.round((st1 - st0) * 100) / 100.0
+          else -1.0 }
         Thread.sleep(1500) // listener bus drain
         // the quantile rehearsal's round-count claim, from the operator's
         // own probe (set by the timed run just above)
-        val extra = if (n == "q_exact_customer_median")
+        val extra = (if (n == "q_exact_customer_median")
           s""","bisect_rounds":${graft.operators.ExactQuantiles.lastRounds}"""
-        else ""
+        else "") + s""","steal_sec":$qSteal"""
         System.err.println(f"[rehearsal] $dir $n: $sec%.1fs, $rows rows, " +
           s"maxTaskShufW=${meter.writeMaxTask.get}$extra")
         fmt(n, sec, rows, meter, extra)
@@ -370,7 +387,20 @@ object ScaleRehearsal {
       }
     }
 
+    // host-state bracketing (VERDICT r16 task 4): the same under-load
+    // steal spin + fsync'd IO probes Bench runs, at run start / between
+    // tiers / at run end — a reader of a tier regression can now tell a
+    // real curve change from a measured host burst without cross-checking
+    // wall-clock against campaign logs
+    def probePair(): (Double, Double) =
+      (graft.Bench.stealProbePct(), graft.Bench.ioProbe())
+    val (stealStart, ioStart) = probePair()
+    System.err.println(
+      f"[rehearsal] probes start: steal=$stealStart%.2f%% io=$ioStart%.2fs")
     val baseJson = timed(base).mkString("{", ",", "}")
+    val (stealMid, ioMid) = probePair()
+    System.err.println(
+      f"[rehearsal] probes mid: steal=$stealMid%.2f%% io=$ioMid%.2fs")
     val bigJson = timed(out).mkString("{", ",", "}")
     // planted-near-dup recall at tier (VERDICT r12 #3): the synthesis
     // plants one appended-salt near-dup per PlantEvery-th base doc, so the
@@ -418,12 +448,16 @@ object ScaleRehearsal {
         val tbl = "rehearsal_cmap"
         spark.sql(s"DROP TABLE IF EXISTS $tbl")
         val docs = spark.read.parquet(s"$out/documents.parquet")
+        val sb0 = stealTickSec()
         val tb0 = System.nanoTime()
         Dedup.buildCanonicalMap(
           Dedup.ngramJaccardPairsCapped(docs, "doc_id", "text", 3, 0.8,
             maxDf = 20L),
           "doc_a", "doc_b", tbl, nPartitions = 64)
         val buildSec = (System.nanoTime() - tb0) / 1e9
+        val buildSteal = { val s1 = stealTickSec()
+          if (sb0 >= 0 && s1 >= 0) math.round((s1 - sb0) * 100) / 100.0
+          else -1.0 }
         val mapRows = spark.table(tbl).count()
         def inv(): Map[String, (Long, Long)] = {
           val loc = new java.net.URI(spark.sql(s"DESCRIBE EXTENDED $tbl")
@@ -451,9 +485,13 @@ object ScaleRehearsal {
         val delta = members.zipWithIndex
           .map { case (m, i) => (m, maxId + i + 1) }.toSeq
           .toDF("doc_a", "doc_b")
+        val sf0 = stealTickSec()
         val tf0 = System.nanoTime()
         Dedup.foldIntoCanonicalMap(tbl, delta, "doc_a", "doc_b")
         val foldSec = (System.nanoTime() - tf0) / 1e9
+        val foldSteal = { val s1 = stealTickSec()
+          if (sf0 >= 0 && s1 >= 0) math.round((s1 - sf0) * 100) / 100.0
+          else -1.0 }
         val after = inv()
         val changedFiles = after.keySet.filter(p =>
           !before.get(p).contains(after(p))) ++ (before.keySet -- after.keySet)
@@ -467,8 +505,10 @@ object ScaleRehearsal {
         System.err.println(s"[rehearsal] cmap fold: build=$buildSec " +
           s"fold=$foldSec touched=${touched.size}/${total.size} noop=$noopSec")
         s""""cmap_fold":{"build_sec":${math.round(buildSec * 1000) / 1000.0},""" +
+          s""""build_steal_sec":$buildSteal,""" +
           s""""map_rows":$mapRows,"delta_pairs":${members.length},""" +
           s""""fold_sec":${math.round(foldSec * 1000) / 1000.0},""" +
+          s""""fold_steal_sec":$foldSteal,""" +
           s""""touched_partitions":${touched.size},""" +
           s""""total_partitions":${total.size},""" +
           s""""refold_noop_sec":${math.round(noopSec * 1000) / 1000.0},""" +
@@ -478,10 +518,21 @@ object ScaleRehearsal {
         s""""cmap_fold":{"error":"${e.getClass.getSimpleName}"},"""
       }
     } else ""
+    val (stealEnd, ioEnd) = probePair()
+    System.err.println(
+      f"[rehearsal] probes end: steal=$stealEnd%.2f%% io=$ioEnd%.2fs")
+    def r2(x: Double) = math.round(x * 100) / 100.0
+    val probesJson =
+      s""""probes":{"steal_pct_start":${r2(stealStart)},""" +
+        s""""steal_pct_mid":${r2(stealMid)},""" +
+        s""""steal_pct_end":${r2(stealEnd)},""" +
+        s""""io_sec_start":${r2(ioStart)},"io_sec_mid":${r2(ioMid)},""" +
+        s""""io_sec_end":${r2(ioEnd)}},"""
     val level = sys.env.get("SPARK_GRAFT_LOCAL_CKPT_LEVEL")
       .map(l => s""""local_ckpt_level":"$l",""").getOrElse("")
     val json =
-      s"""{"base_sf":"$base","scaled_reps":$reps,$level$plantedJson$foldJson""" +
+      s"""{"base_sf":"$base","scaled_reps":$reps,$probesJson$level""" +
+        s"""$plantedJson$foldJson""" +
         s""""base":$baseJson,"scaled":$bigJson}""" + "\n"
     // the default 10x run owns the canonical artifact name; other tiers
     // (e.g. the 100x decade) land beside it, never over it
