@@ -473,8 +473,14 @@ object SparkEntry {
       val tokens = t(s, d, "documents").select(
         col("doc_id").cast("long").as("doc_id"),
         explode(TF.tokens(col("text"))).as("term"))
-      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tokens.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      // tf rows ARE the distinct (doc, term) pairs, so df = tf rows per
+      // term — the tokens.distinct() formulation re-tokenized and
+      // re-shuffled the whole token stream for the same number (r17: plan
+      // went from 4 corpus scans + a token-stream distinct to ONE
+      // tokenize+explode+agg, cut because tf feeds both the join and df)
+      val tf = graft.operators.Lineage.cut(
+        tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(df, "term")
         .withColumn("rnk", row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df"), col("term"))))
@@ -696,14 +702,21 @@ object SparkEntry {
       // graph (crawl-ranking shape: K fixed damped rounds, each one
       // ranks⋈edges equi-join + dst hash agg — no driver materialization).
       // Integer mass only ⇒ the 3-round result replays exactly in SQL
+      // node encoding (r17): the ranking iterations run on LONG keys —
+      // customer k ↦ 2k, supplier k ↦ 2k+1 (bijective, parity-disjoint
+      // exactly as the old "c"/"s" string prefixes were) — and the output
+      // re-renders the "c<k>"/"s<k>" node strings AFTER the ranking.
+      // PageRank on an isomorphic relabeling yields identical mass per
+      // node, so the output is bit-identical; the 3 iterations' joins and
+      // aggs sort/hash 8-byte longs instead of strings.
       val pairs = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
         .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("p"))
+        .select((col("o_custkey").cast("long") * 2).as("c"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("p"))
         // dedupe the directed pair ONCE (half the rows of a post-union
-        // distinct); the two union arms are then disjoint by the c/s
-        // prefix, so no second distinct is needed — same edge set the
+        // distinct); the two union arms are then disjoint by the even/odd
+        // parity, so no second distinct is needed — same edge set the
         // oracle's UNION (dedup across disjoint sides) produces
         .distinct()
       val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
@@ -714,6 +727,11 @@ object SparkEntry {
       // LRU-evictable; a run-once batch job would take the default
       graft.operators.Graph.integerPageRank(edges, "src", "dst", iters = 3,
           releaseCaches = false)
+        .select(
+          when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+            .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("mass"))
         .orderBy(col("mass").desc, col("node")).limit(100)
     }),
 
@@ -2192,8 +2210,13 @@ object SparkEntry {
       import graft.operators.Multimodal
       val table = indexTable(s, d, "mm_img_corpus", "documents")
       ensureTable(s, table) { tn =>
+        // fixture written at cluster width (r17): the source corpus is 1-2
+        // scan splits, so an un-repartitioned fixture is 1-2 files and the
+        // TIMED decode→hash pass downstream runs on 1-2 tasks; same rows,
+        // just enough files for the codec pass to parallelize
         Multimodal.textImageCorpus(s, t(s, d, "documents"), "doc_id", "text")
-          .toDF().write.format("parquet").saveAsTable(tn)
+          .toDF().repartition(s.sparkContext.defaultParallelism)
+          .write.format("parquet").saveAsTable(tn)
       }
       val media = s.table(table)
       val fps = Multimodal.imagePhash(s, media).toDF()
@@ -2218,8 +2241,10 @@ object SparkEntry {
       import graft.operators.Multimodal
       val table = indexTable(s, d, "mm_wav_corpus", "documents")
       ensureTable(s, table) { tn =>
+        // cluster-width fixture files — same reasoning as mm_phash_pairs
         Multimodal.textAudioCorpus(s, t(s, d, "documents"), "doc_id", "text")
-          .toDF().write.format("parquet").saveAsTable(tn)
+          .toDF().repartition(s.sparkContext.defaultParallelism)
+          .write.format("parquet").saveAsTable(tn)
       }
       val media = s.table(table)
       val fps = Multimodal.audioFp(s, media).toDF()

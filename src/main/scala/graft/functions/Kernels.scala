@@ -305,6 +305,284 @@ object Kernels {
     new GenericArrayData(arr)
   }
 
+  /** Hash bucket of a gram's UTF-8 bytes: md5 family = [[md5hash60]] mod
+    * `buckets` (the oracle's `conv(substring(md5(g),1,15),16,10) % buckets`
+    * arithmetic — md5hash60 is non-negative so plain `%` IS pmod); xxhash64
+    * family = `pmod(xxhash64(g), buckets)` with Spark's default seed 42.
+    */
+  @inline private def gramBucket(buf: Array[Byte], len: Int, buckets: Int,
+                                 md5: Boolean): Long =
+    if (md5) md5hash60(buf, len) % buckets
+    else {
+      val h = XXH64.hashUnsafeBytes(buf,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      val r = h % buckets
+      if (r < 0) r + buckets else r
+    }
+
+  /** The DSIR feature-bucket stream of a token array — hash buckets of the
+    * unigrams then the adjacent word bigrams, WITH multiplicity: exactly the
+    * multiset `CorpusOps.dsirGrams` builds as strings, but in one kernel
+    * pass with no gram-string materialization (bigram bytes are joined with
+    * ' ' in a reused buffer, the [[shingleSet]] idiom) and no interpreted
+    * higher-order-function lambda (the `explode(transform(...))` +
+    * `conv(substring(md5(..)))` route evaluates every gram through
+    * CodegenFallback eval — measured as the dominant cost of the
+    * corpus_importance counting pass).
+    */
+  def dsirBuckets(tokens: ArrayData, buckets: Int, md5: Boolean):
+      GenericArrayData = {
+    val m = tokens.numElements()
+    if (m == 0) return new GenericArrayData(Array.emptyLongArray)
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val n = if (m >= 2) 2 * m - 1 else m.toInt
+    val out = new Array[Long](n)
+    i = 0
+    while (i < m) {
+      out(i) = gramBucket(toks(i), toks(i).length, buckets, md5)
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < m - 1) {
+      val a = toks(s); val b = toks(s + 1)
+      val len = a.length + 1 + b.length
+      if (len > buf.length) buf = new Array[Byte](math.max(buf.length * 2, len))
+      System.arraycopy(a, 0, buf, 0, a.length)
+      buf(a.length) = ' '.toByte
+      System.arraycopy(b, 0, buf, a.length + 1, b.length)
+      out(m + s) = gramBucket(buf, len, buckets, md5)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Σ over the [[dsirBuckets]] stream of `lw(bucket)` — the DSIR scoring
+    * pass as ONE codegen'd static call per document (the weight table rides
+    * as an expression reference object, the [[nearestCentroid]] pattern).
+    * `lw.length` is the bucket count. Exact-integer sum, order-independent —
+    * bit-identical to the `aggregate(...)` + `element_at(array literal)`
+    * formulation it replaces.
+    */
+  def dsirScoreSum(tokens: ArrayData, lw: Array[Long], md5: Boolean): Long = {
+    val buckets = lw.length
+    val m = tokens.numElements()
+    if (m == 0) return 0L
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    var sum = 0L
+    i = 0
+    while (i < m) {
+      sum += lw(gramBucket(toks(i), toks(i).length, buckets, md5).toInt)
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < m - 1) {
+      val a = toks(s); val b = toks(s + 1)
+      val len = a.length + 1 + b.length
+      if (len > buf.length) buf = new Array[Byte](math.max(buf.length * 2, len))
+      System.arraycopy(a, 0, buf, 0, a.length)
+      buf(a.length) = ' '.toByte
+      System.arraycopy(b, 0, buf, a.length + 1, b.length)
+      sum += lw(gramBucket(buf, len, buckets, md5).toInt)
+      s += 1
+    }
+    sum
+  }
+
+  /** Adjacent-token pairs as array<struct<w1,w2>> — one kernel pass instead
+    * of the interpreted `transform(sequence(...), i -> struct(...))` lambda
+    * (higher-order functions are CodegenFallback: per-element boxed eval,
+    * measured as the dominant cost of the corpus_perplexity gram pass).
+    * Fewer than 2 tokens → empty array (the adjacentPairs convention).
+    * Elements REFERENCE the input token strings (no copy): the tokens array
+    * is itself a fresh split() result, not a reused row buffer, and every
+    * generated output row is projected before the next input row is read.
+    */
+  def adjacentPairs(tokens: ArrayData): GenericArrayData = {
+    val m = tokens.numElements()
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var prev: AnyRef = if (tokens.isNullAt(0)) null else tokens.getUTF8String(0)
+    var i = 0
+    while (i < m - 1) {
+      val nxt: AnyRef =
+        if (tokens.isNullAt(i + 1)) null else tokens.getUTF8String(i + 1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, nxt))
+      prev = nxt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Ordered word n-gram list WITH multiplicity (the
+    * [[TextFunctions.ngramList]] convention: texts shorter than n tokens
+    * yield an EMPTY list — unlike [[shingleSet]]'s whole-doc shingle), built
+    * in one kernel pass: no interpreted transform/array_join/slice lambda
+    * per gram.
+    */
+  def ngramList(tokens: ArrayData, n: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s <= m - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      out(s) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Overlapping token-window chunks — array<struct<chunk_no:int,
+    * chunk:string, n_tokens:int>>, chunk i covering tokens
+    * [i·stride, i·stride+size); a doc shorter than `size` yields exactly one
+    * chunk (possibly empty for empty input) — the
+    * [[TextFunctions.chunks]] convention, one kernel pass instead of a
+    * transform/slice/array_join lambda chain per chunk.
+    */
+  def chunks(tokens: ArrayData, size: Int, stride: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val extra = math.max(m - size, 0)
+    val nChunks = 1 + (extra + stride - 1) / stride
+    val out = new Array[Any](nChunks)
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + size, m)
+      val n = math.max(end - start, 0)
+      var len = 0
+      var j = start
+      while (j < end) { len += toks(j).length + 1; j += 1 }
+      val buf = new Array[Byte](math.max(len - 1, 0))
+      var off = 0
+      j = start
+      while (j < end) {
+        if (j > start) { buf(off) = ' '.toByte; off += 1 }
+        System.arraycopy(toks(j), 0, buf, off, toks(j).length)
+        off += toks(j).length
+        j += 1
+      }
+      out(c) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](c, UTF8String.fromBytes(buf), n))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Ordered word n-gram list with the [[Dedup.shingles]] SHORT-DOC
+    * convention: texts shorter than n tokens yield ONE whole-text gram
+    * (contrast [[ngramList]]'s empty list). With multiplicity, order
+    * preserved.
+    */
+  def shingleList(tokens: ArrayData, n: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val eff = math.max(1, m - n + 1)
+    val width = if (m < n) m else n
+    val out = new Array[Any](eff)
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s < eff) {
+      var len = 0
+      var j = 0
+      while (j < width && s + j < m) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      out(s) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, len))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** (start position, 60-bit md5 gram hash) pairs per rolling n-token gram
+    * — the [[Dedup.repeatedSubstringSpans]] position stream: one kernel
+    * pass, hashing gram bytes directly ([[md5hash60]] == the oracle's
+    * conv(substring(md5(...),1,15),16,10) on the space-joined gram).
+    * Shorter-than-n docs yield an empty array (that operator's convention).
+    */
+  def posGramHashes(tokens: ArrayData, n: Int): GenericArrayData = {
+    val m = tokens.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](m)
+    var i = 0
+    while (i < m) {
+      toks(i) = if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](m - n + 1)
+    var buf = new Array[Byte](64)
+    var s = 0
+    while (s <= m - n) {
+      var len = 0
+      var j = 0
+      while (j < n) {
+        val t = toks(s + j)
+        if (len + t.length + 1 > buf.length)
+          buf = java.util.Arrays.copyOf(buf,
+            math.max(buf.length * 2, len + t.length + 1))
+        if (j > 0) { buf(len) = ' '.toByte; len += 1 }
+        System.arraycopy(t, 0, buf, len, t.length); len += t.length
+        j += 1
+      }
+      out(s) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](s, md5hash60(buf, len)))
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard similarity of two string arrays (treated as sets) in one
     * pass: hash-set of a, membership-count from distinct b. Returning the
     * ratio directly (not |∩| and |∪| separately) matters: Catalyst's project

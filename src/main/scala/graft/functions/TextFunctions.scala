@@ -26,12 +26,11 @@ object TextFunctions {
     * which is distinct-per-doc) — the frequency-counting view a corpus
     * profile needs. Texts shorter than n tokens yield an empty list.
     */
-  def ngramList(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-  }
+  def ngramList(text: Column, n: Int): Column =
+    // one codegen kernel pass (r17) — the transform/array_join/slice lambda
+    // route evaluated every gram through CodegenFallback eval; same
+    // convention (texts shorter than n tokens yield an empty list)
+    TextExpressions.ngramList(tokens(text), n)
 
   /** BPE-ish token counting: word pieces OR single non-space punctuation —
     * the standard pre-tokenizer regex shape.
@@ -86,16 +85,11 @@ object TextFunctions {
   def chunks(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
       "need 0 < stride <= chunkSize")
-    val toks = tokens(text)
-    val n = size(toks)
-    // number of chunks: 1 + ceil(max(0, n - chunkSize) / stride)
-    val extra = greatest(n - chunkSize, lit(0))
-    val nChunks = lit(1) + ceil(extra.cast("double") / stride).cast("int")
-    transform(sequence(lit(0), nChunks - 1), i => {
-      val piece = slice(toks, i * stride + 1, lit(chunkSize))
-      struct(i.as("chunk_no"), array_join(piece, " ").as("chunk"),
-        size(piece).as("n_tokens"))
-    })
+    // one codegen kernel pass (r17) — the transform/slice/array_join lambda
+    // chain evaluated every chunk through CodegenFallback eval; same
+    // convention (chunk i covers [i·stride, i·stride+chunkSize); short docs
+    // yield exactly one chunk)
+    TextExpressions.tokenChunks(tokens(text), chunkSize, stride)
   }
 
   /** PII redaction: replace every match of each (pattern, token) rule in

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextExpressions, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
@@ -191,7 +191,12 @@ object CorpusOps {
       evalPred.as("is_eval"),
       explode(VectorFunctions.shingleSet(
         TextFunctions.tokens(col(textCol)), n)).as("gram"))
-    val evalGrams = grams.filter(col("is_eval")).select("gram").distinct()
+    // cut: the distinct eval grams have up to three consumers (the sizing
+    // count, the bloom build, the verify join) and each would otherwise
+    // re-shingle the eval slice (r17); the cut table is the eval side —
+    // bounded by the eval set, the small side by construction
+    val evalGrams = Lineage.cut(
+      grams.filter(col("is_eval")).select("gram").distinct())
     // A hint above the broadcast threshold is trusted as-is: it selects the
     // scale-safe shuffled verify and sizes the bloom (overshoot costs bits,
     // not correctness). A hint AT OR BELOW the threshold is re-measured
@@ -301,10 +306,13 @@ object CorpusOps {
   def sourceOverlapMatrix(docs: DataFrame, srcCol: String, textCol: String,
                           n: Int, w: Int,
                           maxSrcDf: Int = Int.MaxValue): DataFrame = {
-    val fps = docs.select(col(srcCol).cast("string").as("src"),
+    // cut: the distinct (src, fp) table has three consumers (denominator
+    // counts + both inverted-index join sides) and each would otherwise
+    // re-run the corpus winnow pass (r17)
+    val fps = Lineage.cut(docs.select(col(srcCol).cast("string").as("src"),
         explode(VectorFunctions.winnowMd5(
           TextFunctions.tokens(col(textCol)), n, w)).as("fp"))
-      .distinct()
+      .distinct())
     val capped =
       if (maxSrcDf == Int.MaxValue) fps
       else fps.join(fps.groupBy("fp").agg(count(lit(1)).as("_df"))
@@ -493,31 +501,13 @@ object CorpusOps {
         (col("top_c").cast("double") / col("n_grams")).as("top_2gram_frac"))
   }
 
-  /** Unigrams + word bigrams WITH multiplicity — the DSIR feature stream.
-    * Empty/blank text → empty array (no grams, score 0); single-word text
-    * → just the one unigram. Built inline rather than via [[Dedup.shingles]]
-    * because shingles' short-doc convention (whole text as one gram) would
-    * double-count the unigram.
-    */
-  private def dsirGrams(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
-    concat(toks, bigrams)
-  }
-
-  /** Bucketed gram hash. md5 family: oracle-replicable 60-bit hash (the
-    * same family every dedup/ANN oracle uses) — costs one md5 per gram.
-    * Non-md5: codegen xxhash64, ~an order of magnitude cheaper per gram —
-    * the production family when no SQL oracle needs to replay the buckets
-    * (same convention as [[Dedup.simhashPairs]]' `md5` flag).
-    */
-  private def gramBucket(g: Column, buckets: Int, md5Family: Boolean): Column =
-    if (md5Family)
-      pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"),
-        lit(buckets.toLong))
-    else pmod(xxhash64(g), lit(buckets.toLong))
+  // DSIR feature stream + gram bucketing now live in Kernels.dsirBuckets /
+  // dsirScoreSum (r17): unigrams + word bigrams WITH multiplicity (empty
+  // text → no grams; single word → one unigram — NOT Dedup.shingles, whose
+  // short-doc whole-text convention would double-count the unigram), md5
+  // family = the oracle-replicable 60-bit hash, non-md5 = xxhash64 (the
+  // production family when no SQL oracle replays the buckets, the
+  // Dedup.simhashPairs `md5` flag convention).
 
   /** floor(log2(x)) + 1 for positive x — the integer "binary magnitude". */
   private def blen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
@@ -553,11 +543,17 @@ object CorpusOps {
                         md5Family: Boolean = true): DataFrame = {
     // both corpora count in ONE job: union the tagged gram streams and split
     // the counts in the aggregate — one B-bounded shuffle and one driver
-    // round-trip instead of two (each side is still scanned exactly once)
+    // round-trip instead of two (each side is still scanned exactly once).
+    // Buckets come from the one-pass codegen kernel (r17: the
+    // explode(dsirGrams)+md5/conv route evaluated every gram through a
+    // CodegenFallback higher-order lambda plus a hex-string md5 round-trip —
+    // measured 56 executor-cpu-s/run on the sf0.1 query; Kernels.dsirBuckets
+    // hashes gram bytes directly, same md5hash60 == conv(substring(md5..))
+    // arithmetic, bit-identical buckets)
     def taggedBuckets(df: DataFrame, tag: Int): DataFrame =
-      df.select(explode(dsirGrams(col(textCol))).as("g"))
-        .select(gramBucket(col("g"), buckets, md5Family).as("b"),
-          lit(tag).as("t"))
+      df.select(explode(TextExpressions.dsirBuckets(
+          TextFunctions.tokens(col(textCol)), buckets, md5Family)).as("b"),
+        lit(tag).as("t"))
     val counts = taggedBuckets(raw, 0).union(taggedBuckets(target, 1))
       .groupBy("b").agg(count(lit(1)).as("n"), sum(col("t")).as("tc"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
@@ -565,39 +561,44 @@ object CorpusOps {
     val tgtCounts = counts.collect { case (b, (_, tc)) if tc > 0 => b -> tc }
     val offset = blen(rawCounts.values.sum + buckets) -
       blen(tgtCounts.values.sum + buckets)
-    // dense weight table over ALL B buckets as an ARRAY literal indexed by
-    // bucket: element_at on an array literal is O(1) positional access,
-    // where a MAP literal's lookup linear-scans its entries per gram
-    // (ArrayBasedMapData has no hash index — measured 2.6s → sub-second on
-    // the sf0.1 query from this alone). Unseen buckets get
-    // blen(1)-blen(1) = 0, the correct add-1-smoothed weight.
+    // dense weight table over ALL B buckets, indexed by bucket; unseen
+    // buckets get blen(1)-blen(1) = 0, the correct add-1-smoothed weight.
+    // r17: the table now rides as a codegen REFERENCE OBJECT inside
+    // Kernels.dsirScoreSum (the NearestCentroid pattern) instead of an
+    // array literal consumed by an interpreted aggregate(...) lambda — the
+    // scoring pass is one static call per document in the scan's codegen
+    // stage (the previous element_at-on-literal note stands: this is the
+    // same O(1) positional access, minus the CodegenFallback per-gram eval
+    // and the md5 hex round-trip). Scores are exact integer sums either
+    // way — bit-identical output.
     val lwArr: Array[Long] = Array.tabulate(buckets) { b =>
       blen(tgtCounts.getOrElse(b.toLong, 0L) + 1) -
         blen(rawCounts.getOrElse(b.toLong, 0L) + 1)
     }
-    val lwLit = lit(lwArr)
-    val g = dsirGrams(col(textCol))
+    val toks = TextFunctions.tokens(col(textCol))
+    // n_grams = |unigrams| + |bigrams| = 2m-1 for m >= 2, else m — the exact
+    // size of the dsirGrams multiset, without materializing it
+    val nGrams = when(size(toks) >= 2,
+      size(toks).cast("long") * 2 - 1).otherwise(size(toks).cast("long"))
     raw.select(checkedLongId(idCol, "importanceWeights"),
-      size(g).cast("long").as("n_grams"),
-      (aggregate(g, lit(0L),
-        (acc, x) => acc + element_at(lwLit,
-          (gramBucket(x, buckets, md5Family) + 1).cast("int"))) +
-        size(g).cast("long") * lit(offset)).as("llr2"))
+      nGrams.as("n_grams"),
+      (TextExpressions.dsirScoreSum(toks, lwArr, md5Family) +
+        nGrams * lit(offset)).as("llr2"))
   }
 
   /** Per-doc (id, w1, w2) adjacent-token pairs; docs with < 2 tokens emit
     * no rows (re-attached by [[ngramLmBits]]'s final left join).
     */
   private def adjacentPairs(df: DataFrame, idCols: Seq[Column],
-                            textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    df.withColumn("_toks", toks).filter(size(col("_toks")) >= 2)
-      .select(idCols :+ explode(transform(
-        sequence(lit(0), size(col("_toks")) - 2),
-        i => struct(element_at(col("_toks"), i + 1).as("w1"),
-          element_at(col("_toks"), i + 2).as("w2")))).as("_g"): _*)
+                            textCol: String): DataFrame =
+    // one codegen kernel call per doc (r17): the transform(sequence(...))
+    // lambda route evaluated every pair through CodegenFallback eval —
+    // measured as the dominant per-task cost of the corpus_perplexity gram
+    // pass. < 2 tokens → empty array, explode drops the row (the old
+    // filter(size >= 2) made the same rows vanish).
+    df.select(idCols :+ explode(TextExpressions.adjacentPairs(
+        TextFunctions.tokens(col(textCol)))).as("_g"): _*)
       .select(idCols :+ col("_g.w1") :+ col("_g.w2"): _*)
-  }
 
   /** CCNet-shape n-gram language-model quality scoring (Wenzek et al. 2020,
     * arXiv:1911.00359): train an add-one-smoothed bigram LM on the in-domain
@@ -630,8 +631,14 @@ object CorpusOps {
     */
   def ngramLmBits(docs: DataFrame, trainPred: Column, idCol: String,
                   textCol: String, minCount: Long = 1L): DataFrame = {
-    val bcAll = adjacentPairs(docs.filter(trainPred), Seq.empty, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    // cut: the bigram-count table has THREE consumers (the pruned bc
+    // broadcast, the cc context sums, and the V vocabulary count) and each
+    // re-ran the train-slice tokenize+explode+agg (r17); the cut table is
+    // train-vocabulary-bounded and the V count below is its materializing
+    // action
+    val bcAll = Lineage.cut(
+      adjacentPairs(docs.filter(trainPred), Seq.empty, textCol)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("bc")))
     val cc = bcAll.groupBy("w1").agg(sum("bc").as("cc"))
     val v = bcAll.agg(count_distinct(col("w2"))).head.getLong(0)
     require(v > 0, "ngramLmBits: train slice has no bigrams")

@@ -31,17 +31,14 @@ import scala.util.chaining._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (n consecutive tokens joined).
-    * Builtin-composed form — kept as the independent reference implementation
-    * for tests; hot paths use the kernel [[shingleSet]] (the lambda HOFs here
-    * evaluate interpreted, ~7× slower per row).
+  /** Word n-gram shingles of a text column (n consecutive tokens joined),
+    * WITH multiplicity — the list sibling of the distinct [[shingleSet]].
+    * One codegen kernel pass (r17; was a transform/array_join lambda chain
+    * evaluating interpreted, ~7× slower per row). Same short-doc convention:
+    * fewer than n tokens yield one whole-text shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) < n, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.shingleList(TextFunctions.tokens(text), n)
 
   /** Distinct shingle set via the single-pass codegen kernel. */
   def shingleSet(text: Column, n: Int): Column =
@@ -456,12 +453,25 @@ object Dedup {
                           threshold: Double): DataFrame = {
     // norms once per ROW (map-side), dot once per PAIR: the pair loop is the
     // O(n²) hot path, so cosine = dot/(na*nb) does one array pass per pair
-    // instead of three — measured 3x at sf0.1
+    // instead of three — measured 3x at sf0.1.
+    // The stream side of the BroadcastNestedLoopJoin is REPARTITIONED to the
+    // session's shuffle width (r17): a small-corpus parquet table is one
+    // scan split, so the whole O(n²) pair loop otherwise runs in ONE task —
+    // measured 1.9 executor-cpu-s inside 2.07 s wall on 32 cores at sf0.1.
+    // The round-robin exchange moves |corpus| vector rows once, trivial next
+    // to the n² compute it parallelizes; the broadcast side is unchanged.
+    val parts = vecs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("va"),
       VectorFunctions.norm(col(vecCol)).as("na"))
+      .repartition(parts)
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       VectorFunctions.norm(col(vecCol)).as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    // explicit broadcast pin: one side of a nested-loop join must broadcast
+    // whichever way (this operator is the documented small-corpus path);
+    // pinning `b` keeps the repartitioned `a` the stream side whatever the
+    // planner's stats say
+    a.join(broadcast(b), col("id_a") < col("id_b"))
       .filter(col("na") > 0.0 && col("nb") > 0.0)
       .filter(VectorFunctions.dot(col("va"), col("vb")) >=
         lit(threshold) * col("na") * col("nb"))
@@ -486,6 +496,7 @@ object Dedup {
     */
   def duplicateGroups(pairs: DataFrame, aCol: String, bCol: String,
                       maxRounds: Int = 10): DataFrame = {
+    require(maxRounds >= 1, s"duplicateGroups: maxRounds=$maxRounds must be >= 1")
     // try_cast (not cast): under ANSI a bad id would throw a raw cast error
     // from whichever action runs first — the explicit check below gives one
     // deterministic, named failure in both ANSI and legacy modes
@@ -522,8 +533,10 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = stats.getDecimal(1) // Σ node = label-sum of the identity labeling
-    var labels = adj.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // labels == null marks the identity labeling (round 0): no node-distinct
+    // Exchange is ever built for it — round 1 derives its propagation
+    // directly from adj (see below)
+    var labels: DataFrame = null
     var round = 0
     var converged = false
     // the label table is CORPUS-cardinality by construction (one row per
@@ -542,14 +555,28 @@ object Dedup {
     // |nodes| / shuffle-partitions rows and partition count scales with
     // the cluster; nothing explodes it.
     while (round < maxRounds && !converged) {
-      // each node's new label: min over own label and all neighbors' labels
-      val viaNeighbors = adj
-        .join(labels.withColumnRenamed("node", "b")
-          .withColumnRenamed("label", "nb_label").hint("shuffle_hash"), "b")
-        .select(col("a").as("node"), col("nb_label").as("cand"))
-      val propagated = labels.select(col("node"), col("label").as("cand"))
-        .union(viaNeighbors)
-        .groupBy("node").agg(min(col("cand")).as("label"))
+      // each node's new label: min over own label and all neighbors' labels.
+      // Round 1 (identity labels) needs NO label join: every neighbor's
+      // label IS its id, so the propagation is one groupBy over adj —
+      // min(a, min(b)) per source node (adj is symmetrized, so every node
+      // appears as `a`). Saves the round's first shuffle-hash join AND the
+      // identity-label-table build; later rounds are unchanged, and the
+      // fixed point (component minima) is identical whatever the
+      // intermediate labelings were.
+      val propagated =
+        if (labels == null)
+          adj.groupBy("a").agg(min(col("b")).as("_mb"))
+            .select(col("a").as("node"),
+              least(col("a"), col("_mb")).as("label"))
+        else {
+          val viaNeighbors = adj
+            .join(labels.withColumnRenamed("node", "b")
+              .withColumnRenamed("label", "nb_label").hint("shuffle_hash"), "b")
+            .select(col("a").as("node"), col("nb_label").as("cand"))
+          labels.select(col("node"), col("label").as("cand"))
+            .union(viaNeighbors)
+            .groupBy("node").agg(min(col("cand")).as("label"))
+        }
       // pointer jumping: label := label(label). Every label is itself a
       // node id, so the self-join always resolves.
       // lazy checkpoint — the per-round convergence probe (labelSum) is the
@@ -985,16 +1012,19 @@ object Dedup {
         s"winnowContainmentPairs: non-numeric or null id in '$idCol' " +
           "(cast to long gave null)")))
       .otherwise(idCast)
-    val fps = docs.select(checkedId.as("doc_id"),
+    // cut: fps feeds its own df-count join (two consumers), and rare feeds
+    // the denominator plus both inverted-index sides (three consumers) —
+    // without the cuts each consumer re-ran the corpus winnow pass (r17)
+    val fps = Lineage.cut(docs.select(checkedId.as("doc_id"),
         explode(VectorFunctions.winnowMd5(TextFunctions.tokens(col(textCol)),
           n, w)).as("fp"))
-      .distinct()
+      .distinct())
     // merge hints: the fingerprint-df table and both inverted-index sides
     // are corpus-cardinality (join-strategy contract above)
-    val rare = fps
+    val rare = Lineage.cut(fps
       .join(fps.groupBy("fp").agg(count(lit(1)).as("_df")).hint("merge"), "fp")
       .filter(col("_df") <= maxDf)
-      .select("doc_id", "fp")
+      .select("doc_id", "fp"))
     val denom = rare.groupBy(col("doc_id").as("doc_a"))
       .agg(count(lit(1)).as("n_fp_a"))
     val a = rare.select(col("doc_id").as("doc_a"), col("fp"))
@@ -1147,13 +1177,12 @@ object Dedup {
           "(cast to long gave null)")))
       .otherwise(idCast)
     val toks = TextFunctions.tokens(col(textCol))
-    // (start position, 60-bit md5 gram hash) per rolling n-gram
-    val grams = when(size(toks) < n,
-        array().cast("array<struct<p:int,h:bigint>>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
-        struct(i.cast("int").as("p"),
-          conv(substring(md5(array_join(slice(toks, i + 1, lit(n)), " ")),
-            1, 15), 16, 10).cast("long").as("h"))))
+    // (start position, 60-bit md5 gram hash) per rolling n-gram — one
+    // codegen kernel pass (r17): the transform(sequence(...)) lambda +
+    // md5-hex-conv route evaluated every gram through CodegenFallback eval;
+    // Kernels.md5hash60 over the space-joined gram bytes is bit-identical
+    // to the conv(substring(md5(..),1,15),16,10) arithmetic
+    val grams = graft.functions.TextExpressions.posGramHashes(toks, n)
     val occ = docs.select(checkedId.as("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.p").as("p"), col("g.h").as("h"))
     val repeated = occ.groupBy("h").agg(count(lit(1)).as("_c"))

@@ -150,19 +150,24 @@ object EventAnalytics {
     * distinct users from that cohort active exactly `offset` buckets
     * later (offset 0 = the cohort bucket itself).
     *
-    * Plan: min-agg per user (cohort), user-keyed join back to events,
-    * distinct on (cohort, offset, user), then a count agg — two shuffles
-    * on the user key plus one on the bounded (cohort, offset) grid.
+    * Plan: per-user min-window (cohort — one user-keyed shuffle, no
+    * order-by sort key beyond the partition key), distinct on (cohort,
+    * offset, user), then a count agg on the bounded (cohort, offset) grid.
     *
     * @param bucketCol long bucket column (e.g. epoch-day / 7 for weeks)
     * @return (cohort BIGINT, offset BIGINT, n_users BIGINT)
     */
   def retention(events: DataFrame, userCol: String,
                 bucketCol: String): DataFrame = {
-    val cohorts = events.groupBy(col(userCol))
-      .agg(min(col(bucketCol)).as("cohort"))
+    // cohort = per-user min bucket as a WINDOW over the user partition
+    // (r17): the agg-then-join-back formulation scanned the events twice
+    // and paid a user-keyed join; the window computes the same per-user
+    // constant in the single user-partitioned pass (no ORDER BY ⇒ no
+    // per-user sort — an unbounded-frame min). One scan, and the join
+    // Exchange is gone.
+    val byUser = Window.partitionBy(col(userCol))
     events.select(col(userCol), col(bucketCol))
-      .join(cohorts, Seq(userCol))
+      .withColumn("cohort", min(col(bucketCol)).over(byUser))
       .select(col("cohort"),
         (col(bucketCol) - col("cohort")).as("offset"), col(userCol))
       .distinct()

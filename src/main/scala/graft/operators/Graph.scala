@@ -50,9 +50,14 @@ object Graph {
     require(iters >= 0 && iters <= 50, s"integerPageRank: iters=$iters")
     require(dampPct >= 0 && dampPct <= 100, s"integerPageRank: damp=$dampPct")
     require(scale > 0 && scale <= 1000000000L, s"integerPageRank: scale=$scale")
+    // node ids keep their NATIVE orderable type (r17): the per-iteration
+    // ranks⋈edges sort-merge joins and dst hash-aggs run 3×K times over the
+    // edge list, and a numeric key sorts/hashes materially cheaper than its
+    // string rendering (the triangleStats native-type argument applied
+    // here). Callers with mixed-type sides cast before calling; src/dst
+    // must share one type for the node union below.
     val e = edges
-      .select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .na.drop()
     // the two loop-invariant sides are CACHED with pinned hash partitioning,
     // not checkpointed: InMemoryRelation preserves outputPartitioning, so
@@ -246,7 +251,15 @@ object Graph {
         Seq("x", "y"), "left_semi")
       .count()
     // open wedge count uses RAW degrees: Σ d·(d-1)/2 (centered anywhere,
-    // not just at the orientation pivot — the standard clustering denom)
+    // not just at the orientation pivot — the standard clustering denom).
+    // (r17 note: fusing this aggregate and the triangle count into one
+    // union'd action was tried and REVERTED — across three measurement
+    // windows it never beat the committed anchor while executor-cpu read
+    // up to +25%, and no window was clean enough to prove the fused plan's
+    // job saving outweighed re-planning the shared deg/oriented subtrees
+    // inside one action. The two-action shape is the one the committed
+    // clean-window anchor validates; an unproven plan change on a census
+    // this cheap is not worth the anchor risk.)
     val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
         // handshake: m = Σd/2 — the edge count rides the same aggregate,

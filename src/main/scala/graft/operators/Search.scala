@@ -55,29 +55,42 @@ object Search {
       col(idCol).cast("long").as("doc_id"),
       explode(TF.tokens(col(textCol))).as("term"))
     val postings = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val doclen = docs.select(
+    // doc-length table, MATERIALIZED once (Lineage.cut — 16 bytes/doc, the
+    // classic doc-length file of an inverted index): it feeds the scoring
+    // join AND the corpus-stats aggregate below, so the corpus is tokenized
+    // once for lengths instead of once per consumer (r17: the plan carried
+    // SIX parquet scans of the corpus — postings ×2, doclen, stats — now
+    // two: one postings build, one doclen build).
+    val doclen = Lineage.cut(docs.select(
       col(idCol).cast("long").as("doc_id"),
-      TF.nTokens(col(textCol)).cast("long").as("dl"))
+      TF.nTokens(col(textCol)).cast("long").as("dl")))
     // Corpus stats (N docs, L tokens) are two longs: collect them driver-side
     // — the same bounded-collect shape as the IVF codebook / bloom build —
     // so the scoring arithmetic constant-folds and the planner sees only
     // equi-joins (a 1-row stats cross join would plan as a nested loop and
-    // trip the plan-audit gate for no benefit). One extra scan-only agg pass
-    // over the corpus, the classic two-pass index build.
-    val statsRow = docs.agg(
+    // trip the plan-audit gate for no benefit). Aggregated off the doclen
+    // table (N = row count, L = Σ dl — identical by definition), so the
+    // stats pass costs a doclen read, not a corpus re-tokenize.
+    val statsRow = doclen.agg(
       count(lit(1)).as("n"),
-      coalesce(sum(TF.nTokens(col(textCol)).cast("long")), lit(0L)).as("l"))
+      coalesce(sum(col("dl")), lit(0L)).as("l"))
       .head()
     val (nDocs, lTot) = (statsRow.getLong(0), statsRow.getLong(1))
 
     val qterms = queries.select(
       col("query_id").cast("long").as("query_id"), col("term"))
     // postings filtered to query terms FIRST: everything downstream is
-    // bounded by the query terms' posting lists, not the corpus.
-    val matched = postings.join(broadcast(qterms), "term")
-    val dfq = postings
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // bounded by the query terms' posting lists, not the corpus. The
+    // filtered slice is CUT (bounded by the query terms' postings) because
+    // it has two consumers — the per-query match rows and the df counts —
+    // and each would otherwise re-run the corpus-wide postings aggregate
+    // (the plan's second full scan+groupBy of the corpus, r17).
+    val matchedBase = Lineage.cut(
+      postings.join(broadcast(qterms.select("term").distinct()), "term"))
+    val matched = matchedBase.join(broadcast(qterms), "term")
+    // df per term over the already-filtered slice: identical to counting
+    // postings rows per term corpus-wide for exactly those terms
+    val dfq = matchedBase.groupBy("term").agg(count(lit(1)).as("df"))
 
     val scored = matched
       .join(broadcast(dfq), "term")

@@ -42,18 +42,27 @@ object TextMining {
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long, k: Int): DataFrame = {
     val toks = docs.select(TF.tokens(col(textCol)).as("ts"))
-    val uni = toks.select(explode(col("ts")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    // total token count: one scan-only agg (no explode/shuffle), collected
-    // driver-side (a single long, same bounded-collect shape as the bloom
-    // build) and inlined — a 1-row cross join would plan as a nested loop
-    val total = docs
-      .agg(coalesce(sum(size(TF.tokens(col(textCol))).cast("long")), lit(0L)))
+    // unigram counts, MATERIALIZED once (Lineage.cut — vocabulary-bounded):
+    // they feed BOTH sides of the scored join and the total-token probe, so
+    // the corpus is tokenized+exploded once instead of once per consumer
+    // (r17: the plan carried SIX parquet scans of the corpus — uni ×2 via
+    // the two join sides, the total agg, and the bigram pass — now two).
+    val uni = Lineage.cut(toks.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")))
+    // total token count = Σ unigram counts (identical by definition),
+    // collected driver-side (a single long, same bounded-collect shape as
+    // the bloom build) and inlined — a 1-row cross join would plan as a
+    // nested loop. Aggregating the vocabulary-bounded counts table costs a
+    // uni read, not a corpus re-tokenize — and doubles as the cut's
+    // materializing action.
+    val total = uni.agg(coalesce(sum(col("c")), lit(0L)))
       .head().getLong(0)
-    val bi = toks.filter(size(col("ts")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(ts) - 2), " +
-          "i -> struct(ts[i] AS w1, ts[i+1] AS w2))")).as("b"))
+    // bigram stream via the one-pass codegen kernel (r17): the
+    // transform(sequence(...)) lambda evaluated every pair through
+    // CodegenFallback eval
+    val bi = toks
+      .select(explode(graft.functions.TextExpressions.adjacentPairs(
+        col("ts"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
       .filter(col("c_xy") >= minCount)
